@@ -1,0 +1,385 @@
+"""Inverted-index build pipeline (batch, resumable, skew-aware).
+
+Dataflow (SURVEY.md §3.4), all stages declarative DataFrame ops except the
+two Arrow-batched Python stages (extraction+tokenization, block encoding):
+
+  pages (url, warc_ts, html, text, lang)          [input table, input_hint]
+    -> filter lang='en' AND html IS NOT NULL       [pushed to parquet scan]
+    -> mapInPandas extract+tokenize+local-tf-agg  -> tokens(url, term, tf)
+       (ONE fused Python pass; map-side partial aggregation: tf is counted
+        per document inside the Arrow batch, so the shuffle payload is
+        (url, term, tf) — never raw html/text.  This is the reference's
+        claim-check rule re-expressed: ship metadata, not payload;
+        ref: src/yahoo_search_process.py:30-33)
+    -> docmap: deterministic dense doc_id by url sort (range-partitioned
+       sort + zipWithIndex — the one RDD usage in the repo: a two-pass
+       narrow op, no extra shuffle, scales to any partition count)
+    -> posting rows (term, doc_id, tf, doc_len) via shuffle join on url
+    -> doc-range sharding: shard = doc_id * n_shards // n_docs.
+       EVERY term is split across the same contiguous doc_id ranges, which
+       (a) distributes head-term (stop-word) posting lists across the
+           cluster — explicit skew handling per north_rule: the hottest
+           term's reducer work is bounded by df/n_shards, no single task
+           ever owns a full stop-word list;
+       (b) preserves global doc_id order across shards (ranges are
+           contiguous and disjoint), so per-shard blocks concatenate into a
+           valid ordered posting list; and
+       (c) makes query-time top-k embarrassingly parallel per shard —
+           each shard holds COMPLETE postings of every term for its doc
+           range (a document-sharded index, the classic distributed-search
+           layout), so block-max WAND runs per shard with a bounded heap
+           and only k rows per (query, shard) ever reach the merge.
+    -> groupBy(term, shard).applyInPandas block encoder:
+       sort by doc_id, cut into BLOCK_SIZE blocks, delta-gap + varbyte
+       doc_ids / tfs / doc_lens, per-block first/last/max_tf and the exact
+       idf-free max score part (max over docs of tf*(k1+1)/(tf+k1*(1-b+
+       b*dl/avgdl))) — multiplied by idf after a join with the lexicon so
+       block_max_score is an EXACT float upper bound of any contained doc's
+       term score (monotone positive multiply), which block-max WAND
+       depends on for rank-identity.
+    -> write postings partitioned by term-hash bucket (partition pruning at
+       query time), rows sorted by term within files (row-group pruning).
+
+Resumability (north_rule): every stage and every bucket-batch commits an
+append-only manifest row through sources.catalog.Catalog; a rerun skips
+partitions whose LATEST manifest row is COMPLETED — the reference's
+point-in-time jobs-ledger recovery pattern
+(ref: database/tables.py:93-107, src/services/daos/status_dao.py:36-50).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import spec
+from ..functions.extract import _decode, document_text
+from ..sources.catalog import Catalog
+from .codec import encode_doc_ids, encode_varbyte
+
+TOKENS_SCHEMA = "url string, term string, tf int"
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("doc_count", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("block_max_part", T.DoubleType(), False),  # idf-free
+        T.StructField("doc_ids_vb", T.BinaryType(), False),
+        T.StructField("tfs_vb", T.BinaryType(), False),
+        T.StructField("doc_lens_vb", T.BinaryType(), False),
+    ]
+)
+
+
+# --- stage 1: fused extract + tokenize + per-doc tf (Arrow batches) ----------
+
+
+def tokenize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """pages(url, html) -> (url, term, tf). Map-side partial agg per doc."""
+    for pdf in batches:
+        urls: list[str] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if html is None:
+                continue
+            text = document_text(_decode(html))
+            counts: dict[str, int] = {}
+            for tok in spec.tokenize(text):
+                counts[tok] = counts.get(tok, 0) + 1
+            urls.extend([url] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        yield pd.DataFrame({"url": urls, "term": terms, "tf": pd.array(tfs, dtype="int32")})
+
+
+def tokens_from_pages(pages: DataFrame) -> DataFrame:
+    filtered = pages.filter((F.col("lang") == "en") & F.col("html").isNotNull())
+    return filtered.select("url", "html").mapInPandas(tokenize_batch, schema=TOKENS_SCHEMA)
+
+
+def tokens_from_text(pages: DataFrame) -> DataFrame:
+    """Alternative JVM-only tokenizer for tables that already carry extracted
+    text (e.g. the driver's `documents` table): no Python at all — tokenize
+    with built-in regexp_extract_all + explode, whole-stage codegen'd."""
+    return (
+        pages.select(
+            "url",
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("url", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+# --- stage 2: docmap ----------------------------------------------------------
+
+
+def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> DataFrame:
+    """(doc_id, url, doc_len); doc_id = dense rank by url (deterministic).
+
+    Range-partition by url + sort within partitions gives a total order over
+    the unique urls; zipWithIndex then assigns contiguous ids without a
+    single-partition window (scales to any N).  doc_len = sum(tf) (total
+    token count), 0 for docs with no extracted text.
+    """
+    urls = (
+        pages.filter((F.col("lang") == "en") & F.col("html").isNotNull())
+        .select("url")
+        .repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+    )
+    spark = urls.sparkSession
+    indexed = urls.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["url"]))
+    docmap = spark.createDataFrame(indexed, schema="doc_id long, url string")
+    doc_lens = tokens.groupBy("url").agg(F.sum("tf").cast("int").alias("doc_len"))
+    return (
+        docmap.join(doc_lens, "url", "left")
+        .select("doc_id", "url", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
+    )
+
+
+# --- stage 4: block encoder -----------------------------------------------------
+
+
+def make_block_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
+    """Returns the applyInPandas function for groupBy(term, shard)."""
+    k1, b = spec.K1, spec.B
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["doc_len"].to_numpy()
+        # exact idf-free score part per posting (same op order as query side)
+        parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        rows = []
+        for s in range(0, len(doc_ids), block_size):
+            e = min(s + block_size, len(doc_ids))
+            rows.append(
+                {
+                    "term": term,
+                    "shard": shard,
+                    "block_id": s // block_size,
+                    "doc_count": e - s,
+                    "first_doc_id": int(doc_ids[s]),
+                    "last_doc_id": int(doc_ids[e - 1]),
+                    "max_tf": int(tfs[s:e].max()),
+                    "block_max_part": float(parts[s:e].max()),
+                    "doc_ids_vb": encode_doc_ids(doc_ids[s:e]),
+                    "tfs_vb": encode_varbyte(tfs[s:e]),
+                    "doc_lens_vb": encode_varbyte(dls[s:e]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode_group
+
+
+# --- full build ------------------------------------------------------------------
+
+
+def build_index(
+    spark: SparkSession,
+    pages_path: str,
+    index_root: str,
+    n_shards: int = 8,
+    n_buckets: int = 16,
+    bucket_batch: int | None = None,
+    tokenizer: str = "html",
+    fail_after_buckets: int | None = None,
+) -> Catalog:
+    """Build (or resume) the full index under index_root.
+
+    tokenizer: "html" runs the reference-parity extractor on the html column;
+    "text" tokenizes a pre-extracted text column JVM-side.
+    fail_after_buckets: test hook — raise after N bucket batches to exercise
+    resume-from-manifest.
+    """
+    cat = Catalog(index_root)
+    done = cat.completed_partitions()
+    par = spark.sparkContext.defaultParallelism
+
+    pages = spark.read.parquet(pages_path)
+
+    # -- tokens ------------------------------------------------------------
+    if "tokens" not in done:
+        t0 = time.time()
+        tok = tokens_from_pages(pages) if tokenizer == "html" else tokens_from_text(pages)
+        cat.write(tok, "tokens")
+        cat.append_manifest(
+            [_mrow("tokens", build_time_s=time.time() - t0)]
+        )
+    tokens = cat.read(spark, "tokens")
+
+    # -- docmap -------------------------------------------------------------
+    if "docmap" not in done:
+        t0 = time.time()
+        cat.write(build_docmap(pages, tokens, par), "docmap")
+        cat.append_manifest([_mrow("docmap", build_time_s=time.time() - t0)])
+    docmap = cat.read(spark, "docmap")
+
+    # -- stats ----------------------------------------------------------------
+    if "stats" not in done:
+        t0 = time.time()
+        agg = docmap.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        cat.write_stats(
+            {
+                "n_docs": int(agg["n"]),
+                "avgdl": float(agg["avgdl"]),
+                "k1": spec.K1,
+                "b": spec.B,
+                "block_size": spec.BLOCK_SIZE,
+                "n_shards": n_shards,
+                "n_buckets": n_buckets,
+            }
+        )
+        cat.append_manifest([_mrow("stats", build_time_s=time.time() - t0)])
+    stats = cat.read_stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_shards, n_buckets = stats["n_shards"], stats["n_buckets"]
+
+    # -- posting rows staged by bucket -----------------------------------------
+    if "posting_rows" not in done:
+        t0 = time.time()
+        rows = (
+            tokens.join(docmap, "url")  # shuffle join on url, html never shipped
+            .select(
+                "term",
+                "doc_id",
+                "tf",
+                "doc_len",
+                F.floor(F.col("doc_id") * n_shards / F.lit(n_docs))
+                .cast("int")
+                .alias("shard"),
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            )
+        )
+        cat.write(rows, "posting_rows", partition_by=["bucket"])
+        cat.append_manifest([_mrow("posting_rows", build_time_s=time.time() - t0)])
+    posting_rows = cat.read(spark, "posting_rows")
+
+    # -- lexicon core (df, cf, idf) — needed to finalize block_max_score --------
+    if "lexicon_core" not in done:
+        t0 = time.time()
+        lex = posting_rows.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        # Robertson idf, same formula as spec.idf
+        lex = lex.withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        cat.write(lex, "lexicon_core")
+        cat.append_manifest([_mrow("lexicon_core", build_time_s=time.time() - t0)])
+    lexicon_core = cat.read(spark, "lexicon_core")
+
+    # -- per-bucket block encode (the resumable unit) ----------------------------
+    encoder = make_block_encoder(avgdl)
+    batch = bucket_batch or n_buckets
+    batches_done = 0
+    all_buckets = list(range(n_buckets))
+    for start in range(0, n_buckets, batch):
+        group = all_buckets[start : start + batch]
+        pending = [b for b in group if f"bucket:{b}" not in done]
+        if not pending:
+            continue
+        if fail_after_buckets is not None and batches_done >= fail_after_buckets:
+            raise RuntimeError(f"injected failure after {batches_done} bucket batches")
+        t0 = time.time()
+        blocks = (
+            posting_rows.filter(F.col("bucket").isin(pending))  # partition-pruned scan
+            .groupBy("term", "shard")
+            .applyInPandas(encoder, schema=BLOCKS_SCHEMA)
+            .join(lexicon_core.select("term", "idf"), "term")
+            .withColumn("block_max_score", F.col("idf") * F.col("block_max_part"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+            .drop("idf", "block_max_part")
+            .repartition(max(1, len(pending)), "bucket")
+            .sortWithinPartitions("term", "shard", "block_id")
+        )
+        blocks.persist()
+        try:
+            blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
+            metrics = (
+                blocks.groupBy("bucket")
+                .agg(
+                    F.min("term").alias("tmin"),
+                    F.max("term").alias("tmax"),
+                    F.sum("doc_count").alias("doc_count"),
+                    F.sum(
+                        F.octet_length("doc_ids_vb")
+                        + F.octet_length("tfs_vb")
+                        + F.octet_length("doc_lens_vb")
+                    ).alias("bytes"),
+                )
+                .collect()
+            )
+        finally:
+            blocks.unpersist()
+        dt = time.time() - t0
+        by_bucket = {int(r["bucket"]): r for r in metrics}
+        cat.append_manifest(
+            [
+                _mrow(
+                    f"bucket:{b}",
+                    term_range=(
+                        f"{by_bucket[b]['tmin']}..{by_bucket[b]['tmax']}"
+                        if b in by_bucket
+                        else ""
+                    ),
+                    doc_count=int(by_bucket[b]["doc_count"]) if b in by_bucket else 0,
+                    bytes=int(by_bucket[b]["bytes"]) if b in by_bucket else 0,
+                    build_time_s=dt / max(1, len(pending)),
+                )
+                for b in pending
+            ]
+        )
+        batches_done += 1
+
+    # -- final lexicon (adds n_blocks) -------------------------------------------
+    if "lexicon" not in done:
+        t0 = time.time()
+        nb = (
+            cat.read(spark, "postings")
+            .groupBy("term")
+            .agg(F.count("*").cast("int").alias("n_blocks"))
+        )
+        cat.write(
+            lexicon_core.join(nb, "term").select("term", "df", "cf", "n_blocks", "idf"),
+            "lexicon",
+        )
+        cat.append_manifest([_mrow("lexicon", build_time_s=time.time() - t0)])
+
+    return cat
+
+
+def _mrow(partition_id: str, **kw) -> dict:
+    row = {
+        "partition_id": partition_id,
+        "term_range": kw.get("term_range", ""),
+        "doc_count": kw.get("doc_count", 0),
+        "bytes": kw.get("bytes", 0),
+        "build_time_s": kw.get("build_time_s", 0.0),
+        "status": kw.get("status", "COMPLETED"),
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
+    }
+    return row

@@ -1,0 +1,311 @@
+"""BM25 top-k: block-max WAND (optimized path) + exhaustive scorer (oracle).
+
+The optimized path runs per (query_id, shard) inside applyInPandas: the
+index is document-sharded (contiguous doc_id ranges — see index_build), so
+each shard holds complete posting lists of every term for its range and the
+shard-local top-k with a bounded min-heap is globally mergeable.  Only k rows
+per (query, shard) leave Python; the global merge is a window rank.
+
+Rank-identity contract (north_rule): result doc_id sequence equals the
+exhaustive oracle's under the tie-break (score DESC, doc_id ASC).  Two
+properties make this hold:
+  * block_max_score is an EXACT upper bound: it was computed at build time
+    as idf * max(per-doc score parts) with the same float ops the query side
+    uses, so bound >= score holds in float arithmetic, not just real math;
+  * pruning uses strict less-than (skip only when bound < theta): a
+    candidate whose score ties the heap minimum is still fully scored, so
+    doc_id tie-breaks are decided by comparison, never by pruning.
+
+The exhaustive oracle is an INDEPENDENT implementation (plain DataFrame ops
+over the staged posting rows, no shared code path beyond spec constants) —
+drift between them fails the equivalence tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import spec
+from .codec import decode_doc_ids, decode_varbyte
+
+_INF = 1 << 62
+
+TOPK_PARTIAL_SCHEMA = "query_id string, doc_id long, score double"
+
+
+class _Cursor:
+    """Posting-list cursor over the compressed blocks of one term (one shard).
+
+    Blocks decode lazily: next_geq skips whole blocks via last_doc_id before
+    touching their bytes; shallow() advances only the block pointer (for
+    block-max bounds) leaving the current doc valid-for-bounds but stale,
+    which the subsequent next_geq resolves.
+    """
+
+    __slots__ = (
+        "idf", "ub", "firsts", "lasts", "bmax", "ids_vb", "tfs_vb", "dls_vb",
+        "n_blocks", "bi", "docs", "tfs", "parts", "pos", "doc", "k1", "b", "avgdl",
+    )
+
+    def __init__(self, idf: float, block_pdf: pd.DataFrame, avgdl: float):
+        block_pdf = block_pdf.sort_values(["shard", "block_id"])
+        self.idf = idf
+        self.firsts = block_pdf["first_doc_id"].to_numpy()
+        self.lasts = block_pdf["last_doc_id"].to_numpy()
+        self.bmax = block_pdf["block_max_score"].to_numpy()
+        self.ids_vb = list(block_pdf["doc_ids_vb"])
+        self.tfs_vb = list(block_pdf["tfs_vb"])
+        self.dls_vb = list(block_pdf["doc_lens_vb"])
+        self.n_blocks = len(self.firsts)
+        self.ub = float(self.bmax.max()) if self.n_blocks else 0.0
+        self.avgdl = avgdl
+        self.k1, self.b = spec.K1, spec.B
+        self.bi = 0
+        self.docs = None
+        self.pos = 0
+        self.doc = -1
+        self._load()
+        if self.docs is not None:
+            self.doc = int(self.docs[0])
+        else:
+            self.doc = _INF
+
+    def _load(self) -> None:
+        if self.bi >= self.n_blocks:
+            self.docs = None
+            return
+        self.docs = decode_doc_ids(self.ids_vb[self.bi])
+        self.tfs = decode_varbyte(self.tfs_vb[self.bi])
+        dls = decode_varbyte(self.dls_vb[self.bi])
+        # same op order as the build-side encoder (rank-identity)
+        self.parts = (self.tfs * (self.k1 + 1.0)) / (
+            self.tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+        )
+        self.pos = 0
+
+    def shallow(self, target: int) -> tuple[float, int]:
+        """Advance the block pointer to the block that may contain target;
+        return (block_max_score, block_last_doc) — (0, INF) if exhausted."""
+        while self.bi < self.n_blocks and self.lasts[self.bi] < target:
+            self.bi += 1
+            self.docs = None
+        if self.bi >= self.n_blocks:
+            self.doc = _INF
+            return 0.0, _INF
+        return float(self.bmax[self.bi]), int(self.lasts[self.bi])
+
+    def next_geq(self, target: int) -> int:
+        while self.bi < self.n_blocks and self.lasts[self.bi] < target:
+            self.bi += 1
+            self.docs = None
+        if self.bi >= self.n_blocks:
+            self.doc = _INF
+            return _INF
+        if self.docs is None:
+            self._load()
+        self.pos = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pos >= len(self.docs):  # defensive; lasts check should prevent
+            self.bi += 1
+            self.docs = None
+            return self.next_geq(target)
+        self.doc = int(self.docs[self.pos])
+        return self.doc
+
+    def score_current(self) -> float:
+        return self.idf * float(self.parts[self.pos])
+
+
+def _push(heap: list, k: int, score: float, doc_id: int) -> None:
+    # min-heap keyed (score, -doc_id): the worst entry is the smallest score,
+    # ties broken so that the LARGER doc_id is worse (tie-break doc_id ASC).
+    item = (score, -doc_id)
+    if len(heap) < k:
+        heapq.heappush(heap, item)
+    elif item > heap[0]:
+        heapq.heapreplace(heap, item)
+
+
+def wand_topk(
+    cursors: list[_Cursor], k: int, mode: str, n_terms: int
+) -> list[tuple[int, float]]:
+    """Shard-local BM25 top-k. Returns [(doc_id, score)] (unsorted)."""
+    if mode == spec.MODE_CONJUNCTIVE:
+        return _conjunctive(cursors, k, n_terms)
+    return _bmw(cursors, k)
+
+
+def _bmw(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    heap: list[tuple[float, int]] = []
+    cursors = [c for c in cursors if c.doc < _INF]
+    while cursors:
+        cursors.sort(key=lambda c: c.doc)
+        while cursors and cursors[-1].doc >= _INF:
+            cursors.pop()
+        if not cursors:
+            break
+        full = len(heap) >= k
+        theta = heap[0][0] if full else -np.inf
+        # pivot: first prefix whose term-UB sum could still beat/tie theta
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if not full or acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # total remaining upper bound below theta: done
+        d = cursors[pivot].doc
+        if d >= _INF:
+            break
+        # extend the prefix over every cursor already sitting at d, so the
+        # block-max bound below covers ALL terms d could contain
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].doc == d:
+            pivot += 1
+        # block-max refinement over the pivot prefix
+        bacc = 0.0
+        boundary = _INF
+        for c in cursors[: pivot + 1]:
+            bm, blast = c.shallow(d)
+            bacc += bm
+            if blast < boundary:
+                boundary = blast
+        if full and bacc < theta:
+            # no doc in the prefix's current blocks can beat theta: skip past
+            # the nearest block boundary, but never past the first doc of any
+            # non-prefix cursor (docs there may draw on additional terms)
+            target = boundary + 1
+            if pivot + 1 < len(cursors):
+                target = min(target, cursors[pivot + 1].doc)
+            target = max(target, d + 1)
+            for c in cursors[: pivot + 1]:
+                if c.doc < target:
+                    c.next_geq(target)
+            cursors = [c for c in cursors if c.doc < _INF]
+            continue
+        if cursors[0].doc == d:
+            # all cursors in the prefix sit at d: full score
+            score = 0.0
+            for c in cursors:
+                if c.doc == d:
+                    score += c.score_current()
+            _push(heap, k, score, d)
+            for c in cursors:
+                if c.doc == d:
+                    c.next_geq(d + 1)
+            cursors = [c for c in cursors if c.doc < _INF]
+        else:
+            # advance the lagging cursors up to the pivot doc
+            for c in cursors[:pivot]:
+                if c.doc < d:
+                    c.next_geq(d)
+            cursors = [c for c in cursors if c.doc < _INF]
+    return [(-nd, s) for s, nd in heap]
+
+
+def _conjunctive(cursors: list[_Cursor], k: int, n_terms: int) -> list[tuple[int, float]]:
+    """Posting-list intersection with block skipping (doc-at-a-time)."""
+    if len(cursors) < n_terms:  # some query term absent from this shard
+        return []
+    heap: list[tuple[float, int]] = []
+    d = max(c.doc for c in cursors)
+    while d < _INF:
+        aligned = True
+        for c in cursors:
+            if c.doc < d:
+                c.next_geq(d)
+            if c.doc != d:
+                aligned = False
+        nd = max(c.doc for c in cursors)
+        if aligned and nd == d:
+            score = sum(c.score_current() for c in cursors)
+            _push(heap, k, score, d)
+            nd = d + 1
+            for c in cursors:
+                c.next_geq(nd)
+            nd = max(c.doc for c in cursors)
+        d = nd
+    return [(-nd, s) for s, nd in heap]
+
+
+# --- applyInPandas wrapper ----------------------------------------------------
+
+
+def make_wand_partial(avgdl: float, k: int):
+    """groupBy(query_id, shard).applyInPandas function over joined
+    (query meta x blocks) rows."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        mode = pdf["mode"].iloc[0]
+        n_terms = int(pdf["n_terms"].iloc[0])
+        cursors = []
+        for term, grp in pdf.groupby("term", sort=True):
+            cursors.append(_Cursor(float(grp["idf"].iloc[0]), grp, avgdl))
+        hits = wand_topk(cursors, k, mode, n_terms)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(hits),
+                "doc_id": pd.array([h[0] for h in hits], dtype="int64"),
+                "score": pd.array([h[1] for h in hits], dtype="float64"),
+            }
+        )
+
+    return fn
+
+
+# --- exhaustive oracle (independent implementation, plain DataFrame ops) -------
+
+
+def exhaustive_topk(
+    posting_rows: DataFrame,
+    qmeta: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Oracle: score every matching doc, no pruning, no compression.
+
+    posting_rows: (term, doc_id, tf, doc_len); qmeta: (query_id, term,
+    n_terms, mode) one row per distinct query token.  Output: (query_id,
+    rank, doc_id, score) with the canonical tie-break.
+    """
+    lex = posting_rows.groupBy("term").agg(F.count("*").alias("df"))
+    q = (
+        qmeta.join(lex, "term", "left")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+    )
+    scored = (
+        posting_rows.join(F.broadcast(q), "term")
+        .withColumn(
+            "part",
+            (F.col("tf") * (spec.K1 + 1.0))
+            / (
+                F.col("tf")
+                + spec.K1 * (1.0 - spec.B + spec.B * F.col("doc_len") / F.lit(avgdl))
+            ),
+        )
+        .withColumn("tscore", F.col("idf") * F.col("part"))
+        .groupBy("query_id", "mode", "n_terms", "doc_id")
+        .agg(F.sum("tscore").alias("score"), F.count("*").alias("n_matched"))
+        .filter(
+            (F.col("mode") == spec.MODE_DISJUNCTIVE)
+            | (F.col("n_matched") == F.col("n_terms"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

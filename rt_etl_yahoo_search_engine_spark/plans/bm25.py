@@ -1,0 +1,97 @@
+"""Query-side planning: BM25 top-k over the built index.
+
+Two paths, both returning (query_id, rank, doc_id, score [, url]):
+
+  * optimized — lexicon lookup (driver-side isin pushdown: query terms are a
+    handful of literals, so the postings scan is bucket-partition-pruned AND
+    term-row-group-pruned by Catalyst/parquet), broadcast of query metadata
+    onto the block rows, block-max WAND per (query, shard) group, global
+    window merge of the k-row partials.
+  * oracle — exhaustive DataFrame scoring over the staged posting rows
+    (operators.topk.exhaustive_topk), used by tests and the driver gate.
+
+All queries of a batch run in ONE Spark job — the engine amortizes scan and
+shuffle across the whole query set (the reference instead paid a
+Kafka+Postgres round trip per query; ref: src/router.py:91-127).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..operators.topk import TOPK_PARTIAL_SCHEMA, exhaustive_topk, make_wand_partial
+from ..sources.catalog import Catalog
+
+
+def build_qmeta(
+    spark: SparkSession, queries: dict[str, str], mode: str
+) -> tuple[DataFrame, list[str]]:
+    """(query_id, term, n_terms, mode) rows — one per DISTINCT query token —
+    plus the driver-side term list (for isin pushdown)."""
+    rows = []
+    all_terms: set[str] = set()
+    for qid, text in queries.items():
+        toks = sorted(set(spec.tokenize(text)))
+        all_terms.update(toks)
+        for t in toks:
+            rows.append((qid, t, len(toks), mode))
+    df = spark.createDataFrame(
+        rows, schema="query_id string, term string, n_terms int, mode string"
+    )
+    return df, sorted(all_terms)
+
+
+def topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+    k: int = spec.TOP_K_DEFAULT,
+    with_url: bool = False,
+) -> DataFrame:
+    """Optimized path: compressed postings + block-max WAND."""
+    cat = Catalog(index_root)
+    stats = cat.read_stats()
+    qmeta, terms = build_qmeta(spark, queries, mode)
+    if not terms:
+        return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
+
+    lex = cat.read(spark, "lexicon").filter(F.col("term").isin(terms))
+    q = qmeta.join(lex.select("term", "idf"), "term")  # drops out-of-corpus terms
+
+    blocks = cat.read(spark, "postings").filter(F.col("term").isin(terms))
+    joined = blocks.join(F.broadcast(q), "term")
+
+    partials = joined.groupBy("query_id", "shard").applyInPandas(
+        make_wand_partial(stats["avgdl"], k), schema=TOPK_PARTIAL_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    if with_url:
+        docmap = cat.read(spark, "docmap")
+        out = (
+            docmap.join(F.broadcast(out), "doc_id")
+            .select("query_id", "rank", "doc_id", "url", "score")
+        )
+    return out
+
+
+def topk_oracle(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Oracle path: exhaustive scoring over staged posting rows."""
+    cat = Catalog(index_root)
+    stats = cat.read_stats()
+    qmeta, terms = build_qmeta(spark, queries, mode)
+    rows = cat.read(spark, "posting_rows").select("term", "doc_id", "tf", "doc_len")
+    return exhaustive_topk(rows, qmeta, stats["n_docs"], stats["avgdl"], k)

@@ -1,0 +1,129 @@
+"""Table catalog: Iceberg when available, partitioned Parquet + JSON
+manifests otherwise.
+
+The design target (BASELINE.json) is an Iceberg table of web pages.  This
+sandbox has no Iceberg runtime jar and no pyiceberg (verified; SURVEY.md
+header), so the catalog degrades LOUDLY to:
+
+  * partitioned Parquet directories under a root path, and
+  * an append-only manifest ledger of JSON-lines files, committed atomically
+    via write-to-temp-then-``os.rename`` (same-filesystem rename is atomic on
+    POSIX) — our analog of an Iceberg snapshot commit.
+
+The manifest is the engine's lineage + checkpoint table (SURVEY.md §1.2 row
+"manifest"): append-only, recovery reads the LATEST row per partition_id —
+the same point-in-time "an update is an insert" ledger + top-1-per-key read
+the reference uses for job status
+(ref: database/tables.py:93-107, src/services/daos/status_dao.py:36-50,
+src/models/dto_data_classes/status_dto.py:10-15).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Filesystem-rooted table namespace with atomic manifest commits."""
+
+    MANIFEST_DIR = "_manifest"
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # --- tables ---------------------------------------------------------
+
+    def write(self, df, name: str, partition_by=None, mode: str = "overwrite"):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def read(self, spark, name: str):
+        return spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f.startswith(("bucket=", "shard=", "part-"))
+            for f in os.listdir(p)
+        )
+
+    # --- stats sidecar ----------------------------------------------------
+
+    def write_stats(self, stats: dict) -> None:
+        self._atomic_json(os.path.join(self.root, "stats.json"), stats)
+
+    def read_stats(self) -> dict:
+        with open(os.path.join(self.root, "stats.json")) as f:
+            return json.load(f)
+
+    # --- manifest ledger (append-only, atomic) -----------------------------
+
+    def append_manifest(self, rows: list[dict]) -> None:
+        """Atomically append a batch of manifest rows (one commit = one file)."""
+        mdir = os.path.join(self.root, self.MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        stamp = f"{time.time():.6f}-{uuid.uuid4().hex[:8]}"
+        final = os.path.join(mdir, f"commit-{stamp}.jsonl")
+        self._atomic_lines(final, rows)
+
+    def read_manifest(self) -> list[dict]:
+        """All manifest rows in commit order (file mtime-stable by name)."""
+        mdir = os.path.join(self.root, self.MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return []
+        rows: list[dict] = []
+        for fname in sorted(os.listdir(mdir)):
+            if not fname.endswith(".jsonl"):
+                continue
+            with open(os.path.join(mdir, fname)) as f:
+                rows.extend(json.loads(line) for line in f if line.strip())
+        return rows
+
+    def latest_status(self) -> dict[str, dict]:
+        """Latest manifest row per partition_id (the reference's top-1-per-key
+        read, status_dao.py:47-49). Key is str(partition_id)."""
+        latest: dict[str, dict] = {}
+        for row in self.read_manifest():  # commit order -> last write wins
+            latest[str(row["partition_id"])] = row
+        return latest
+
+    def completed_partitions(self) -> set[str]:
+        return {
+            pid
+            for pid, row in self.latest_status().items()
+            if row.get("status") == "COMPLETED"
+        }
+
+    # --- atomic writers ---------------------------------------------------
+
+    @staticmethod
+    def _atomic_json(path: str, obj: dict) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=2, sort_keys=True)
+        os.rename(tmp, path)
+
+    @staticmethod
+    def _atomic_lines(path: str, rows: list[dict]) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+        os.rename(tmp, path)

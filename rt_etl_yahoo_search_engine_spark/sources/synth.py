@@ -1,0 +1,133 @@
+"""Deterministic synthetic webtext corpus (the engine's input table).
+
+Materializes the BASELINE.json ``input_hint`` shape:
+    pages(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+
+Generation rules follow FIXTURES.md §A exactly:
+  url      https://synth.example/{lang}/{i:08d}         (unique, non-null)
+  warc_ts  2024-09-21T00:00:00 UTC + i seconds
+  html     UTF-8 bytes of a SERP-like page (well-formed <ol>/<li> so the
+           reference's LI-gate passes); bodies drawn from a Zipf(1.2)
+           10k-term vocabulary; reference query terms injected into a known
+           subset so every query (conjunctive AND disjunctive) has matches
+  text     null at generation time (filled by the extractor; byte-identity
+           column under test)
+  lang     "en", with a 2% "xx" slice to exercise lang filtering
+
+Everything is seeded PER DOCUMENT (seed = 42_000_000 + i), so output is
+byte-identical regardless of partitioning, parallelism, or generation order —
+no wall-clock, no global RNG state (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..spec import REFERENCE_QUERIES, tokenize
+
+VOCAB_SIZE = 10_000
+VOCAB = np.array([f"w{k:04d}" for k in range(VOCAB_SIZE)])
+XX_VOCAB = np.array([f"x{k:03d}" for k in range(500)])
+
+_QUERY_TOKEN_LISTS = [tokenize(q) for q in REFERENCE_QUERIES.values()]
+QUERY_TERMS = sorted({t for toks in _QUERY_TOKEN_LISTS for t in toks})
+
+_MONTHS = [
+    "Jan", "February", "Mar", "April", "May", "June",
+    "Jul", "August", "Sep", "October", "Nov", "December",
+]
+
+EPOCH = dt.datetime(2024, 9, 21, 0, 0, 0)
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _zipf_words(rng: np.random.Generator, n: int, vocab: np.ndarray) -> list[str]:
+    idx = (rng.zipf(1.2, n) - 1) % len(vocab)
+    return list(vocab[idx])
+
+
+def gen_page(i: int) -> dict:
+    """One deterministic page. Pure function of i."""
+    rng = np.random.default_rng(42_000_000 + i)
+    lang = "xx" if i % 50 == 49 else "en"
+    vocab = XX_VOCAB if lang == "xx" else VOCAB
+
+    # query-term injection (en docs only)
+    inject: list[str] = []
+    if lang == "en":
+        qi = i % 37
+        if qi < len(_QUERY_TOKEN_LISTS):
+            inject.extend(_QUERY_TOKEN_LISTS[qi])  # full query -> conjunctive hits
+        for t in QUERY_TERMS:
+            if rng.random() < 0.03:
+                inject.extend([t] * int(rng.integers(1, 4)))
+
+    n_results = int(rng.integers(3, 8))
+    lis = []
+    for r in range(n_results):
+        words = _zipf_words(rng, int(rng.integers(15, 40)), vocab)
+        if r == 0 and inject:
+            # deterministic interleave of injected terms into the first body
+            for j, t in enumerate(inject):
+                words.insert((j * 7) % (len(words) + 1), t)
+        body = " ".join(words)
+        title = " ".join(_zipf_words(rng, int(rng.integers(3, 7)), vocab))
+        site = f"site{int(rng.integers(0, 500))}.example.com"
+        crumbs = " › ".join(_zipf_words(rng, 2, vocab))
+        month = _MONTHS[int(rng.integers(0, 12))]
+        day = int(rng.integers(1, 29))
+        year = int(rng.integers(2020, 2025))
+        kind = rng.random()
+        if kind < 0.70:  # full result: link + date + body (+ title)
+            li = (
+                f"  <li>\n    <h3><a>{site} › {crumbs}</a></h3>\n"
+                f"    <span>{month} {day}, {year}</span>\n"
+                f"    <p>{title} {body}</p>\n  </li>"
+            )
+        elif kind < 0.90:  # link + body, no date
+            li = (
+                f"  <li>\n    <h3><a>{site} › {crumbs}</a></h3>\n"
+                f"    <p>{title} {body}</p>\n  </li>"
+            )
+        else:  # under-informative: body only -> filtered by info_count >= 2
+            li = f"  <li>\n    <p>{body}</p>\n  </li>"
+        lis.append(li)
+
+    html = (
+        "<html><body>\n<div><h1>results</h1>\n<ol>\n"
+        + "\n".join(lis)
+        + "\n</ol>\n</div>\n</body></html>"
+    )
+    return {
+        "url": f"https://synth.example/{lang}/{i:08d}",
+        "warc_ts": EPOCH + dt.timedelta(seconds=i),
+        "html": html.encode("utf-8"),
+        "text": None,
+        "lang": lang,
+    }
+
+
+def synth_pages_pandas(n_docs: int, start: int = 0) -> pd.DataFrame:
+    rows = [gen_page(i) for i in range(start, start + n_docs)]
+    return pd.DataFrame(rows)
+
+
+def synth_pages_df(spark, n_docs: int, num_partitions: int | None = None):
+    """Distributed generation: spark.range -> mapInPandas(gen). Each task
+    generates only its id range; deterministic under any partitioning."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([gen_page(int(i)) for i in pdf["id"]])
+
+    rng_df = spark.range(0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark, n_docs: int, path: str, num_partitions: int | None = None) -> None:
+    synth_pages_df(spark, n_docs, num_partitions).write.mode("overwrite").parquet(path)
