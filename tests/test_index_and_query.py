@@ -1,0 +1,161 @@
+"""End-to-end: build index over synthetic corpus, verify structure, and the
+north_rule gate — WAND top-k rank-identical to the exhaustive oracle on the
+reference query set, both modes, plus a DuckDB cross-check of the oracle."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rt_etl_yahoo_search_engine_spark import spec
+from rt_etl_yahoo_search_engine_spark.operators.codec import (
+    decode_doc_ids,
+    decode_varbyte,
+)
+from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk, topk_oracle
+from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def cat(index_dir):
+    return Catalog(index_dir)
+
+
+def test_stats_sane(spark, cat):
+    stats = cat.read_stats()
+    # 2000 docs, 2% lang=xx filtered out -> 1960 indexed
+    assert stats["n_docs"] == 1960
+    assert stats["avgdl"] > 50
+    assert stats["k1"] == 1.2 and stats["b"] == 0.75
+
+
+def test_docmap_dense_and_sorted(spark, cat):
+    dm = cat.read(spark, "docmap")
+    n = dm.count()
+    assert dm.select("doc_id").distinct().count() == n
+    agg = dm.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    assert agg[0] == 0 and agg[1] == n - 1
+    # doc_id order == url order (dense rank by url)
+    rows = dm.orderBy("doc_id").select("url").collect()
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls)
+
+
+def test_lexicon_matches_posting_rows(spark, cat):
+    stats = cat.read_stats()
+    lex = {r["term"]: r for r in cat.read(spark, "lexicon").collect()}
+    rows = (
+        cat.read(spark, "posting_rows")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .collect()
+    )
+    assert len(rows) == len(lex)
+    for r in rows[:200]:
+        e = lex[r["term"]]
+        assert e["df"] == r["df"] and e["cf"] == r["cf"]
+        assert abs(e["idf"] - spec.idf(stats["n_docs"], r["df"])) < 1e-12
+
+
+def test_blocks_decode_to_posting_rows(spark, cat):
+    """Compressed blocks decode back to exactly the staged posting rows."""
+    sample_terms = [r["term"] for r in cat.read(spark, "lexicon")
+                    .orderBy(F.desc("df")).limit(5).collect()]
+    sample_terms += ["starbucks", "coffee", "rice"]
+    rows = (
+        cat.read(spark, "posting_rows")
+        .filter(F.col("term").isin(sample_terms))
+        .collect()
+    )
+    expected = {}
+    for r in rows:
+        expected.setdefault(r["term"], []).append((r["doc_id"], r["tf"], r["doc_len"]))
+    blocks = (
+        cat.read(spark, "postings")
+        .filter(F.col("term").isin(sample_terms))
+        .collect()
+    )
+    got = {}
+    for b in sorted(blocks, key=lambda b: (b["term"], b["shard"], b["block_id"])):
+        ids = decode_doc_ids(b["doc_ids_vb"])
+        tfs = decode_varbyte(b["tfs_vb"])
+        dls = decode_varbyte(b["doc_lens_vb"])
+        assert b["doc_count"] == len(ids)
+        assert b["first_doc_id"] == ids[0] and b["last_doc_id"] == ids[-1]
+        assert b["max_tf"] == tfs.max()
+        got.setdefault(b["term"], []).extend(zip(ids.tolist(), tfs.tolist(), dls.tolist()))
+    for t in expected:
+        assert sorted(expected[t]) == got[t], t
+        # concatenated shard/block order IS global doc_id order
+        assert [g[0] for g in got[t]] == sorted(g[0] for g in got[t])
+
+
+@pytest.mark.parametrize("mode", [spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE])
+def test_rank_identity_reference_queries(spark, index_dir, mode):
+    """north_rule gate: WAND == exhaustive oracle, exact doc_id sequence,
+    scores to 1e-9, all reference queries, k=10."""
+    eng = topk(spark, index_dir, spec.REFERENCE_QUERIES, mode=mode, k=10).collect()
+    ora = topk_oracle(spark, index_dir, spec.REFERENCE_QUERIES, mode=mode, k=10).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        return out
+
+    e, o = by_query(eng), by_query(ora)
+    assert set(e) == set(o)
+    assert len(o) >= 8  # every reference query should match something (disj)
+    for qid in o:
+        assert [x[0] for x in e[qid]] == [x[0] for x in o[qid]], (mode, qid)
+        for (d1, s1), (d2, s2) in zip(e[qid], o[qid]):
+            assert abs(s1 - s2) <= 1e-9 * max(1.0, abs(s2)), (mode, qid, d1)
+
+
+def test_conjunctive_queries_nonempty(spark, index_dir):
+    """Synth injects full query phrases -> conjunctive must hit for each."""
+    res = topk(spark, index_dir, spec.REFERENCE_QUERIES,
+               mode=spec.MODE_CONJUNCTIVE, k=10).collect()
+    qids = {r["query_id"] for r in res}
+    assert qids == set(spec.REFERENCE_QUERIES)
+
+
+def test_oracle_vs_duckdb(spark, cat, index_dir):
+    """Independent cross-check: DuckDB computes BM25 from the same staged
+    posting rows; top-10 must match the Spark oracle."""
+    stats = cat.read_stats()
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    q = "Chicken Rice"
+    terms = sorted(set(spec.tokenize(q)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW pr AS SELECT * FROM parquet_scan('{cat.path('posting_rows')}/*/*.parquet')"
+    )
+    tl = ",".join(f"'{t}'" for t in terms)
+    ddb = con.execute(
+        f"""
+        WITH lex AS (
+          SELECT term, count(*) AS df FROM pr GROUP BY term
+        ), scored AS (
+          SELECT pr.doc_id,
+                 sum( ln(({n} - lex.df + 0.5)/(lex.df + 0.5) + 1.0)
+                      * (pr.tf * ({spec.K1} + 1.0))
+                      / (pr.tf + {spec.K1} * (1.0 - {spec.B} + {spec.B} * pr.doc_len / {avgdl}))
+                 ) AS score
+          FROM pr JOIN lex USING (term)
+          WHERE pr.term IN ({tl})
+          GROUP BY pr.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """
+    ).fetchall()
+    ora = (
+        topk_oracle(spark, index_dir, {"q": q}, mode=spec.MODE_DISJUNCTIVE, k=10)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["doc_id"] for r in ora] == [d for d, _ in ddb]
+    for r, (_, s) in zip(ora, ddb):
+        assert math.isclose(r["score"], s, rel_tol=1e-9)
