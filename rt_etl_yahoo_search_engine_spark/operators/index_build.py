@@ -52,6 +52,7 @@ from __future__ import annotations
 import time
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,40 +154,123 @@ def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> Da
 # --- stage 4: block encoder -----------------------------------------------------
 
 
-def make_block_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
-    """Returns the applyInPandas function for groupBy(term, shard)."""
+def _vb_lens(v: "np.ndarray") -> "np.ndarray":
+    """Varbyte byte-length per value (vectorized)."""
+    lens = np.ones(v.size, dtype=np.int64)
+    tmp = v >> 7
+    while (tmp > 0).any():
+        lens += tmp > 0
+        tmp >>= 7
+    return lens
+
+
+def _encode_sorted_frame(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+    """Encode a frame of posting rows ALREADY sorted by (term, shard, doc_id)
+    into block rows.  Fully vectorized: group/block boundaries, per-block
+    aggregates (reduceat), and varbyte payloads are all computed over the
+    whole frame at once; the only Python loop is the final per-block byte
+    slicing."""
+    n = len(pdf)
+    if n == 0:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in BLOCKS_SCHEMA.fields}
+        )
     k1, b = spec.K1, spec.B
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy()
+    tfs = pdf["tf"].to_numpy().astype(np.int64)
+    dls = pdf["doc_len"].to_numpy().astype(np.int64)
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        dls = pdf["doc_len"].to_numpy()
-        # exact idf-free score part per posting (same op order as query side)
-        parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        rows = []
-        for s in range(0, len(doc_ids), block_size):
-            e = min(s + block_size, len(doc_ids))
-            rows.append(
-                {
-                    "term": term,
-                    "shard": shard,
-                    "block_id": s // block_size,
-                    "doc_count": e - s,
-                    "first_doc_id": int(doc_ids[s]),
-                    "last_doc_id": int(doc_ids[e - 1]),
-                    "max_tf": int(tfs[s:e].max()),
-                    "block_max_part": float(parts[s:e].max()),
-                    "doc_ids_vb": encode_doc_ids(doc_ids[s:e]),
-                    "tfs_vb": encode_varbyte(tfs[s:e]),
-                    "doc_lens_vb": encode_varbyte(dls[s:e]),
-                }
+    pos = np.arange(n)
+    group_start = np.ones(n, dtype=bool)
+    group_start[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+    first_pos = np.maximum.accumulate(np.where(group_start, pos, 0))
+    idx_in_group = pos - first_pos
+    block_start = group_start | (idx_in_group % block_size == 0)
+    starts = np.flatnonzero(block_start)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:] - 1
+    ends[-1] = n - 1
+
+    # exact idf-free score part per posting (same op order as query side)
+    parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    max_tf = np.maximum.reduceat(tfs, starts)
+    max_part = np.maximum.reduceat(parts, starts)
+
+    # delta-gap doc_ids with a reset at every block start; one varbyte pass
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]
+    ids_bytes = encode_varbyte(gaps)
+    tfs_bytes = encode_varbyte(tfs)
+    dls_bytes = encode_varbyte(dls)
+    ids_off = np.zeros(n + 1, dtype=np.int64)
+    ids_off[1:] = np.cumsum(_vb_lens(gaps))
+    tfs_off = np.zeros(n + 1, dtype=np.int64)
+    tfs_off[1:] = np.cumsum(_vb_lens(tfs))
+    dls_off = np.zeros(n + 1, dtype=np.int64)
+    dls_off[1:] = np.cumsum(_vb_lens(dls))
+
+    ids_mv, tfs_mv, dls_mv = memoryview(ids_bytes), memoryview(tfs_bytes), memoryview(dls_bytes)
+    return pd.DataFrame(
+        {
+            "term": terms[starts],
+            "shard": shards[starts].astype("int32"),
+            "block_id": (idx_in_group[starts] // block_size).astype("int32"),
+            "doc_count": (ends - starts + 1).astype("int32"),
+            "first_doc_id": doc_ids[starts],
+            "last_doc_id": doc_ids[ends],
+            "max_tf": max_tf.astype("int32"),
+            "block_max_part": max_part,
+            "doc_ids_vb": [
+                bytes(ids_mv[ids_off[s] : ids_off[e + 1]])
+                for s, e in zip(starts, ends)
+            ],
+            "tfs_vb": [
+                bytes(tfs_mv[tfs_off[s] : tfs_off[e + 1]])
+                for s, e in zip(starts, ends)
+            ],
+            "doc_lens_vb": [
+                bytes(dls_mv[dls_off[s] : dls_off[e + 1]])
+                for s, e in zip(starts, ends)
+            ],
+        }
+    )
+
+
+def make_block_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
+    """mapInPandas encoder over a partition repartitioned by (term, shard)
+    and sorted by (term, shard, doc_id).
+
+    Arrow hands the partition over as a stream of batches that can SPLIT a
+    (term, shard) group; rows of the last (possibly incomplete) group are
+    carried into the next batch so every group is encoded exactly once with
+    correct block alignment."""
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            changed = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
             )
-        return pd.DataFrame(rows)
+            if changed.size == 0:
+                carry = pdf  # whole batch is one (possibly continuing) group
+                continue
+            cut = int(changed[-1]) + 1  # first row of the final group
+            yield _encode_sorted_frame(pdf.iloc[:cut], avgdl, block_size)
+            carry = pdf.iloc[cut:]
+        if carry is not None and len(carry):
+            yield _encode_sorted_frame(carry, avgdl, block_size)
 
-    return encode_group
+    return encode_partition
 
 
 # --- full build ------------------------------------------------------------------
@@ -304,8 +388,9 @@ def build_index(
         t0 = time.time()
         blocks = (
             posting_rows.filter(F.col("bucket").isin(pending))  # partition-pruned scan
-            .groupBy("term", "shard")
-            .applyInPandas(encoder, schema=BLOCKS_SCHEMA)
+            .repartition(max(par, len(pending)), "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+            .mapInPandas(encoder, schema=BLOCKS_SCHEMA)
             .join(lexicon_core.select("term", "idf"), "term")
             .withColumn("block_max_score", F.col("idf") * F.col("block_max_part"))
             .withColumn(

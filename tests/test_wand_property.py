@@ -1,0 +1,105 @@
+"""Property test: block-max WAND == naive exhaustive scoring on random
+posting lists (pure Python level — no Spark), including adversarial ties,
+tiny blocks, and single-posting terms."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rt_etl_yahoo_search_engine_spark import spec
+from rt_etl_yahoo_search_engine_spark.operators.codec import (
+    encode_doc_ids,
+    encode_varbyte,
+)
+from rt_etl_yahoo_search_engine_spark.operators.topk import _Cursor, wand_topk
+
+
+def _make_cursor(idf, doc_ids, tfs, dls, avgdl, block_size):
+    rows = []
+    for s in range(0, len(doc_ids), block_size):
+        e = min(s + block_size, len(doc_ids))
+        ids = np.array(doc_ids[s:e])
+        t = np.array(tfs[s:e])
+        d = np.array(dls[s:e])
+        parts = (t * (spec.K1 + 1.0)) / (
+            t + spec.K1 * (1.0 - spec.B + spec.B * d / avgdl)
+        )
+        rows.append(
+            {
+                "shard": 0,
+                "block_id": s // block_size,
+                "first_doc_id": ids[0],
+                "last_doc_id": ids[-1],
+                "block_max_score": idf * parts.max(),
+                "doc_ids_vb": encode_doc_ids(ids),
+                "tfs_vb": encode_varbyte(t),
+                "doc_lens_vb": encode_varbyte(d),
+            }
+        )
+    return _Cursor(idf, pd.DataFrame(rows), avgdl)
+
+
+def _naive(term_postings, idfs, avgdl, k, mode, n_terms):
+    """Independent exhaustive reference."""
+    scores: dict[int, float] = {}
+    counts: dict[int, int] = {}
+    for t, (ids, tfs, dls) in term_postings.items():
+        for doc, tf, dl in zip(ids, tfs, dls):
+            part = (tf * (spec.K1 + 1.0)) / (
+                tf + spec.K1 * (1.0 - spec.B + spec.B * dl / avgdl)
+            )
+            scores[doc] = scores.get(doc, 0.0) + idfs[t] * part
+            counts[doc] = counts.get(doc, 0) + 1
+    items = [
+        (doc, s)
+        for doc, s in scores.items()
+        if mode == spec.MODE_DISJUNCTIVE or counts[doc] == n_terms
+    ]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return items[:k]
+
+
+@st.composite
+def corpus(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=400))
+    n_terms = draw(st.integers(min_value=1, max_value=5))
+    # doc lens: small ints; ties encouraged via tiny ranges
+    dl_map = {
+        d: draw(st.integers(min_value=1, max_value=4)) * 10 for d in range(n_docs)
+    }
+    postings = {}
+    for t in range(n_terms):
+        docs = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_docs - 1),
+                min_size=1,
+                max_size=min(n_docs, 120),
+                unique=True,
+            )
+        )
+        docs.sort()
+        tfs = [draw(st.integers(min_value=1, max_value=3)) for _ in docs]
+        postings[f"t{t}"] = (docs, tfs, [dl_map[d] for d in docs])
+    k = draw(st.integers(min_value=1, max_value=15))
+    block_size = draw(st.sampled_from([2, 3, 8, 128]))
+    mode = draw(st.sampled_from([spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE]))
+    return n_docs, postings, k, block_size, mode
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus())
+def test_wand_equals_naive(c):
+    n_docs, postings, k, block_size, mode = c
+    avgdl = 25.0
+    idfs = {t: spec.idf(n_docs, len(p[0])) for t, p in postings.items()}
+    cursors = [
+        _make_cursor(idfs[t], *p, avgdl=avgdl, block_size=block_size)
+        for t, p in sorted(postings.items())
+    ]
+    got = wand_topk(cursors, k, mode, n_terms=len(postings))
+    got.sort(key=lambda x: (-x[1], x[0]))
+    want = _naive(postings, idfs, avgdl, k, mode, len(postings))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-12 * max(1.0, abs(ws))
