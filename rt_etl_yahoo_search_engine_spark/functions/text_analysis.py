@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in pyspark.sql.functions; no Python UDFs) so they stay
+inside whole-stage codegen and scale to 100 TB corpora: token counting,
+quality scoring, language-ID heuristic, and document fingerprinting.  Every
+operator has a textually-equivalent DuckDB oracle in __spark_entry__.py.
+
+Input contract: a DataFrame with (doc_id: long, text: string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic tokenizer, same spec as the index (spec.TOKEN_RE)
+TOKENS_EXPR = r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+# Small fixed English stopword list (alphabetical; shared with the SQL oracle)
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
+    "were", "will", "with",
+]
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("tokens", F.expr(TOKENS_EXPR))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_ws_tokens) — regex tokens,
+    distinct regex tokens, and naive whitespace-split tokens."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Deterministic quality features + a composite score in [0, 1]:
+      score = 0.4 * min(n_tokens / 100, 1)           (length credit)
+            + 0.3 * stopword_ratio                    (natural-language prior)
+            + 0.3 * (1 - non_alnum_ratio)             (symbol-noise penalty)
+    """
+    d = with_tokens(docs).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("tokens").alias("n_tokens"),
+        (
+            F.size(
+                F.filter(
+                    F.col("tokens"),
+                    lambda t: t.isin(STOPWORDS),
+                )
+            )
+            / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("non_alnum_ratio"),
+    )
+    return d.withColumn(
+        "quality",
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("stopword_ratio")
+        + 0.3 * (1.0 - F.col("non_alnum_ratio")),
+    )
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Heuristic language-ID: English stopword density.  A real pipeline
+    would swap in fastText/cld3 behind the same column contract."""
+    d = with_tokens(docs).select(
+        "doc_id",
+        (
+            F.size(F.filter(F.col("tokens"), lambda t: t.isin(STOPWORDS)))
+            / F.greatest(F.size("tokens"), F.lit(1))
+        ).alias("en_density"),
+    )
+    return d.withColumn(
+        "pred_lang", F.when(F.col("en_density") >= threshold, "en").otherwise("unk")
+    )
+
+
+def fingerprints(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, fp_full, fp_min): exact-content fingerprint (md5 of text) and
+    a content-robust fingerprint (min md5 over word shingles — the min-hash
+    of a rolling window, stable under local edits)."""
+    shingled = with_tokens(docs).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("fp_full"),
+        F.expr(
+            f"transform(sequence(1, greatest(size(tokens) - {shingle_n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(tokens, i, {shingle_n})))"
+        ).alias("shingles"),
+    )
+    return shingled.select(
+        "doc_id",
+        "fp_full",
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "UTF-8")))
+        ).alias("fp_min"),
+    )

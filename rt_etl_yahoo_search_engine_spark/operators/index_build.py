@@ -103,9 +103,15 @@ def tokenize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"url": urls, "term": terms, "tf": pd.array(tfs, dtype="int32")})
 
 
+def filtered_pages(pages: DataFrame, tokenizer: str) -> DataFrame:
+    """The indexed slice: lang='en' with a non-null payload column."""
+    payload = "html" if tokenizer == "html" else "text"
+    return pages.filter((F.col("lang") == "en") & F.col(payload).isNotNull())
+
+
 def tokens_from_pages(pages: DataFrame) -> DataFrame:
-    filtered = pages.filter((F.col("lang") == "en") & F.col("html").isNotNull())
-    return filtered.select("url", "html").mapInPandas(tokenize_batch, schema=TOKENS_SCHEMA)
+    """pages already filtered via filtered_pages."""
+    return pages.select("url", "html").mapInPandas(tokenize_batch, schema=TOKENS_SCHEMA)
 
 
 def tokens_from_text(pages: DataFrame) -> DataFrame:
@@ -136,8 +142,7 @@ def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> Da
     token count), 0 for docs with no extracted text.
     """
     urls = (
-        pages.filter((F.col("lang") == "en") & F.col("html").isNotNull())
-        .select("url")
+        pages.select("url")
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
     )
@@ -278,7 +283,7 @@ def make_block_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
 
 def build_index(
     spark: SparkSession,
-    pages_path: str,
+    pages_path,
     index_root: str,
     n_shards: int = 8,
     n_buckets: int = 16,
@@ -288,6 +293,7 @@ def build_index(
 ) -> Catalog:
     """Build (or resume) the full index under index_root.
 
+    pages_path: parquet path OR a DataFrame with (url, html|text, lang).
     tokenizer: "html" runs the reference-parity extractor on the html column;
     "text" tokenizes a pre-extracted text column JVM-side.
     fail_after_buckets: test hook — raise after N bucket batches to exercise
@@ -297,7 +303,8 @@ def build_index(
     done = cat.completed_partitions()
     par = spark.sparkContext.defaultParallelism
 
-    pages = spark.read.parquet(pages_path)
+    raw = spark.read.parquet(pages_path) if isinstance(pages_path, str) else pages_path
+    pages = filtered_pages(raw, tokenizer)
 
     # -- tokens ------------------------------------------------------------
     if "tokens" not in done:
