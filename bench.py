@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract + scaling protocol).
+
+Default mode (what the driver runs per round):
+    python bench.py
+  Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+  local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-phase/per-query seconds...}, "sf": ...}
+
+Phases measured:
+  build_webtext   synthesize the input_hint webtext corpus (html pages) at a
+                  size scaled by sf, run the FULL pipeline: extraction ->
+                  tokenize -> docmap -> salted shard encode -> compressed
+                  block postings  (north metric: docs/sec)
+  build_documents same index build over the driver's documents.parquet
+  query_batch_*   all reference queries in one Spark job, both modes (QPS)
+  q1..q9          per-query latencies, disjunctive WAND top-10 (p50/p99)
+
+Scaling mode (north_rule evidence; writes BENCH/BASELINE.md):
+    python bench.py --scaling
+  Runs the same job at local[8] and local[32] in fresh subprocesses on the
+  same input and reports throughput at both plus efficiency
+  (throughput32/throughput8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+WEBTEXT_DOCS_PER_SF = 120_000  # sf0.1 -> 12,000 html pages
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from rt_etl_yahoo_search_engine_spark import spec
+    from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+    from rt_etl_yahoo_search_engine_spark.session import get_spark
+    from rt_etl_yahoo_search_engine_spark.sources.synth import synth_pages_df
+
+    sf = _sf_from_dir(sf_dir)
+    n_docs = n_webtext or max(2000, int(WEBTEXT_DOCS_PER_SF * sf))
+    spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        # --- webtext corpus (materialize first so build timing excludes synth)
+        pages_path = os.path.join(tmp, "pages")
+        t0 = time.time()
+        synth_pages_df(spark, n_docs, num_partitions=cpus * 2).write.parquet(pages_path)
+        timings["synth_corpus"] = time.time() - t0
+
+        # --- full html-path index build (north metric)
+        web_idx = os.path.join(tmp, "idx_web")
+        t0 = time.time()
+        build_index(spark, pages_path, web_idx, n_shards=cpus, n_buckets=16,
+                    tokenizer="html")
+        build_s = time.time() - t0
+        timings["build_webtext"] = build_s
+        timings["build_webtext_docs_per_sec"] = n_docs / build_s
+
+        # --- documents-table index build (driver data continuity)
+        doc_idx = os.path.join(tmp, "idx_docs")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages2 = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+            "text", "lang",
+        )
+        n_docs2 = docs.count()
+        t0 = time.time()
+        build_index(spark, pages2, doc_idx, n_shards=cpus, n_buckets=8,
+                    tokenizer="text")
+        timings["build_documents"] = time.time() - t0
+        timings["build_documents_docs_per_sec"] = n_docs2 / timings["build_documents"]
+
+        # --- query batches (QPS)
+        for mode in (spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE):
+            t0 = time.time()
+            topk(spark, web_idx, spec.REFERENCE_QUERIES, mode=mode, k=10).collect()
+            dt = time.time() - t0
+            timings[f"query_batch_{mode}"] = dt
+            timings[f"qps_{mode}"] = len(spec.REFERENCE_QUERIES) / dt
+
+        # --- per-query latencies (disjunctive)
+        lat = []
+        for qid, text in spec.REFERENCE_QUERIES.items():
+            t0 = time.time()
+            topk(spark, web_idx, {qid: text}, mode=spec.MODE_DISJUNCTIVE, k=10).collect()
+            dt = time.time() - t0
+            timings[qid] = dt
+            lat.append(dt)
+        lat.sort()
+        timings["query_p50_s"] = lat[len(lat) // 2]
+        timings["query_p99_s"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+        total = (
+            timings["build_webtext"]
+            + timings["build_documents"]
+            + timings["query_batch_disjunctive"]
+            + timings["query_batch_conjunctive"]
+        )
+        return {
+            "metric": "index_build_plus_bm25_query_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": sf,
+            "n_webtext_docs": n_docs,
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _scaling(sf_dir: str) -> None:
+    """Run build+query at local[8] vs local[32] in fresh JVMs; write report."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+
+    q8, q32 = results[8]["queries"], results[32]["queries"]
+    build_tp8 = q8["build_webtext_docs_per_sec"]
+    build_tp32 = q32["build_webtext_docs_per_sec"]
+    build_eff = (build_tp32 / build_tp8) / 4
+    qps8 = q8["qps_disjunctive"]
+    qps32 = q32["qps_disjunctive"]
+    query_eff = (qps32 / qps8) / 4
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling (sandbox protocol)
+
+north_rule requires >=0.8 throughput scaling efficiency between N and 4N
+executors for both phases.  No real cluster exists in this sandbox
+(BASELINE.md "sandbox scaling protocol"), so the same job runs on the same
+input at `local[8]` vs `local[32]` in fresh JVMs.
+
+Input: {results[8]["n_webtext_docs"]} synthesized webtext pages (input_hint
+shape) at sf={results[8]["sf"]}; full pipeline = HTML extraction -> tokenize
+-> docmap -> salted doc-range shard encode -> compressed block postings;
+query = block-max WAND BM25 top-10, reference query set, one batch job.
+
+| phase | local[8] | local[32] | ratio | efficiency (ratio/4) |
+|---|---|---|---|---|
+| index build (docs/sec) | {build_tp8:.1f} | {build_tp32:.1f} | {build_tp32/build_tp8:.2f}x | **{build_eff:.2f}** |
+| query batch (QPS, disjunctive) | {qps8:.2f} | {qps32:.2f} | {qps32/qps8:.2f}x | **{query_eff:.2f}** |
+
+Raw build times: {q8["build_webtext"]:.1f}s @8 -> {q32["build_webtext"]:.1f}s @32.
+Query batch: {q8["query_batch_disjunctive"]:.2f}s @8 -> {q32["query_batch_disjunctive"]:.2f}s @32.
+Per-query p50/p99 @32: {q32["query_p50_s"]:.2f}s / {q32["query_p99_s"]:.2f}s.
+
+Caveats: local-mode shuffles are in-process (no network), so this evidences
+algorithmic scalability (no serial bottleneck, no skewed reducer), not
+cluster-fabric behavior.  Fixed per-job driver overhead (~seconds) dilutes
+small-input query QPS scaling; build-phase efficiency is the load-bearing
+number.
+""")
+    print(json.dumps({
+        "build_eff": round(build_eff, 3),
+        "query_eff": round(query_eff, 3),
+        "build_docs_per_sec": {"8": build_tp8, "32": build_tp32},
+        "qps_disjunctive": {"8": qps8, "32": qps32},
+    }))
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        _scaling(sf_dir)
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, cpus)))

@@ -33,10 +33,11 @@ two Arrow-batched Python stages (extraction+tokenization, block encoding):
        sort by doc_id, cut into BLOCK_SIZE blocks, delta-gap + varbyte
        doc_ids / tfs / doc_lens, per-block first/last/max_tf and the exact
        idf-free max score part (max over docs of tf*(k1+1)/(tf+k1*(1-b+
-       b*dl/avgdl))) — multiplied by idf after a join with the lexicon so
-       block_max_score is an EXACT float upper bound of any contained doc's
-       term score (monotone positive multiply), which block-max WAND
-       depends on for rank-identity.
+       b*dl/avgdl))).  The query side multiplies the lexicon idf in with
+       the same float op order, so idf * block_max_part is an EXACT float
+       upper bound of any contained doc's term score (monotone positive
+       multiply) — the property block-max WAND's rank-identity rests on —
+       without paying a blocks x lexicon join at build time.
     -> write postings partitioned by term-hash bucket (partition pruning at
        query time), rows sorted by term within files (row-group pruning).
 
@@ -61,7 +62,7 @@ from pyspark.sql import types as T
 from .. import spec
 from ..functions.extract import _decode, document_text
 from ..sources.catalog import Catalog
-from .codec import encode_doc_ids, encode_varbyte
+from .codec import encode_varbyte
 
 TOKENS_SCHEMA = "url string, term string, tf int"
 BLOCKS_SCHEMA = T.StructType(
@@ -136,24 +137,48 @@ def tokens_from_text(pages: DataFrame) -> DataFrame:
 def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> DataFrame:
     """(doc_id, url, doc_len); doc_id = dense rank by url (deterministic).
 
-    Range-partition by url + sort within partitions gives a total order over
-    the unique urls; zipWithIndex then assigns contiguous ids without a
-    single-partition window (scales to any N).  doc_len = sum(tf) (total
-    token count), 0 for docs with no extracted text.
+    Scalable zipWithIndex without leaving the JVM: range-partition by url,
+    count rows per partition (one cheap job), then doc_id = partition offset
+    + within-partition row_number.  The window partitions by the physical
+    partition id, so no single-partition global sort ever materializes; the
+    resulting ids are the global url rank regardless of how the range
+    boundaries fell.  doc_len = sum(tf) (total token count), 0 for docs with
+    no extracted text.
     """
+    from pyspark.sql import Window
+
     urls = (
         pages.select("url")
         .repartitionByRange(num_partitions, "url")
-        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
     )
-    spark = urls.sparkSession
-    indexed = urls.rdd.zipWithIndex().map(lambda t: (t[1], t[0]["url"]))
-    docmap = spark.createDataFrame(indexed, schema="doc_id long, url string")
+    # Pin pid assignment: the offsets collected below and the window job must
+    # see the SAME physical partitioning (range sampling is not replayed).
+    # The caller must materialize the result before this cache is evicted;
+    # build_index writes the docmap table immediately and then unpersists.
+    urls.persist()
+    counts = {r["pid"]: r["cnt"] for r in
+              urls.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    w = Window.partitionBy("pid").orderBy("url")
+    docmap = urls.select(
+        (F.row_number().over(w) - 1 + offset_map[F.col("pid")]).alias("doc_id"),
+        "url",
+    )
     doc_lens = tokens.groupBy("url").agg(F.sum("tf").cast("int").alias("doc_len"))
-    return (
+    out = (
         docmap.join(doc_lens, "url", "left")
         .select("doc_id", "url", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
     )
+    out._graft_cached_urls = urls  # handle for the caller to unpersist
+    return out
 
 
 # --- stage 4: block encoder -----------------------------------------------------
@@ -319,7 +344,9 @@ def build_index(
     # -- docmap -------------------------------------------------------------
     if "docmap" not in done:
         t0 = time.time()
-        cat.write(build_docmap(pages, tokens, par), "docmap")
+        dm = build_docmap(pages, tokens, par)
+        cat.write(dm, "docmap")
+        dm._graft_cached_urls.unpersist(blocking=False)
         cat.append_manifest([_mrow("docmap", build_time_s=time.time() - t0)])
     docmap = cat.read(spark, "docmap")
 
@@ -398,16 +425,14 @@ def build_index(
             .repartition(max(par, len(pending)), "term", "shard")
             .sortWithinPartitions("term", "shard", "doc_id")
             .mapInPandas(encoder, schema=BLOCKS_SCHEMA)
-            .join(lexicon_core.select("term", "idf"), "term")
-            .withColumn("block_max_score", F.col("idf") * F.col("block_max_part"))
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
             )
-            .drop("idf", "block_max_part")
-            .repartition(max(1, len(pending)), "bucket")
-            .sortWithinPartitions("term", "shard", "block_id")
         )
+        # block_max_part is idf-FREE; the query side multiplies the lexicon
+        # idf in (same float op order), so no blocks x lexicon join is paid
+        # here and the WAND bound stays an exact float upper bound.
         blocks.persist()
         try:
             blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))

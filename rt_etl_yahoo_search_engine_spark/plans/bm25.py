@@ -62,7 +62,11 @@ def topk(
     q = qmeta.join(lex.select("term", "idf"), "term")  # drops out-of-corpus terms
 
     blocks = cat.read(spark, "postings").filter(F.col("term").isin(terms))
-    joined = blocks.join(F.broadcast(q), "term")
+    # block_max_score = idf * idf-free part, multiplied HERE with the same
+    # float op order the scorer uses, so it is an exact upper bound
+    joined = blocks.join(F.broadcast(q), "term").withColumn(
+        "block_max_score", F.col("idf") * F.col("block_max_part")
+    )
 
     partials = joined.groupBy("query_id", "shard").applyInPandas(
         make_wand_partial(stats["avgdl"], k), schema=TOPK_PARTIAL_SCHEMA
