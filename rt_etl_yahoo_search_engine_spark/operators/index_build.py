@@ -429,6 +429,11 @@ def build_index(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
             )
+            # consolidate: one file per bucket per batch (the blocks table is
+            # ~block_size x smaller than the postings), term-sorted within
+            # files so query-time isin predicates prune row groups
+            .repartition(max(1, len(pending)), "bucket")
+            .sortWithinPartitions("term", "shard", "block_id")
         )
         # block_max_part is idf-FREE; the query side multiplies the lexicon
         # idf in (same float op order), so no blocks x lexicon join is paid
