@@ -58,7 +58,10 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
 
     tag = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_index_{tag}")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_index_v{spec.INDEX_FORMAT_VERSION}_{tag}",
+    )
     pages = _docs(spark, sf_dir).select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
         "text",

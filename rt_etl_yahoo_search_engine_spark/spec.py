@@ -64,6 +64,7 @@ def bm25_upper_bound(max_tf: int, term_idf: float) -> float:
 
 # --- postings layout -----------------------------------------------------------
 BLOCK_SIZE: int = 128  # docs per compressed posting block (block-max WAND unit)
+INDEX_FORMAT_VERSION = 2  # bump when the on-disk postings schema changes
 
 # Head-term salting: terms whose df exceeds this many postings are split into
 # ceil(df / SALT_TARGET) shards during the build shuffle so no single reducer
