@@ -52,7 +52,9 @@ def _zipf_words(rng: np.random.Generator, n: int, vocab: np.ndarray) -> list[str
 
 
 def gen_page(i: int) -> dict:
-    """One deterministic page. Pure function of i."""
+    """One deterministic page. Pure function of i.  All randomness is drawn
+    in a handful of batched numpy calls (per-call overhead dominates tiny
+    draws at corpus scale)."""
     rng = np.random.default_rng(42_000_000 + i)
     lang = "xx" if i % 50 == 49 else "en"
     vocab = XX_VOCAB if lang == "xx" else VOCAB
@@ -63,30 +65,44 @@ def gen_page(i: int) -> dict:
         qi = i % 37
         if qi < len(_QUERY_TOKEN_LISTS):
             inject.extend(_QUERY_TOKEN_LISTS[qi])  # full query -> conjunctive hits
-        for t in QUERY_TERMS:
-            if rng.random() < 0.03:
-                inject.extend([t] * int(rng.integers(1, 4)))
+        mask = rng.random(len(QUERY_TERMS)) < 0.03
+        reps = rng.integers(1, 4, len(QUERY_TERMS))
+        for t, m, r in zip(QUERY_TERMS, mask, reps):
+            if m:
+                inject.extend([t] * int(r))
 
     n_results = int(rng.integers(3, 8))
+    n_body = rng.integers(15, 40, n_results)
+    n_title = rng.integers(3, 7, n_results)
+    sites = rng.integers(0, 500, n_results)
+    months = rng.integers(0, 12, n_results)
+    days = rng.integers(1, 29, n_results)
+    years = rng.integers(2020, 2025, n_results)
+    kinds = rng.random(n_results)
+    # one zipf draw for every word on the page (bodies + titles + crumbs)
+    total = int(n_body.sum() + n_title.sum()) + 2 * n_results
+    pool = vocab[(rng.zipf(1.2, total) - 1) % len(vocab)]
+    pos = 0
     lis = []
     for r in range(n_results):
-        words = _zipf_words(rng, int(rng.integers(15, 40)), vocab)
+        words = list(pool[pos : pos + int(n_body[r])])
+        pos += int(n_body[r])
+        title = " ".join(pool[pos : pos + int(n_title[r])])
+        pos += int(n_title[r])
+        crumbs = " › ".join(pool[pos : pos + 2])
+        pos += 2
         if r == 0 and inject:
             # deterministic interleave of injected terms into the first body
             for j, t in enumerate(inject):
                 words.insert((j * 7) % (len(words) + 1), t)
         body = " ".join(words)
-        title = " ".join(_zipf_words(rng, int(rng.integers(3, 7)), vocab))
-        site = f"site{int(rng.integers(0, 500))}.example.com"
-        crumbs = " › ".join(_zipf_words(rng, 2, vocab))
-        month = _MONTHS[int(rng.integers(0, 12))]
-        day = int(rng.integers(1, 29))
-        year = int(rng.integers(2020, 2025))
-        kind = rng.random()
+        site = f"site{int(sites[r])}.example.com"
+        date = f"{_MONTHS[int(months[r])]} {int(days[r])}, {int(years[r])}"
+        kind = kinds[r]
         if kind < 0.70:  # full result: link + date + body (+ title)
             li = (
                 f"  <li>\n    <h3><a>{site} › {crumbs}</a></h3>\n"
-                f"    <span>{month} {day}, {year}</span>\n"
+                f"    <span>{date}</span>\n"
                 f"    <p>{title} {body}</p>\n  </li>"
             )
         elif kind < 0.90:  # link + body, no date
