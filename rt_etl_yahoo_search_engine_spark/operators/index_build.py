@@ -64,7 +64,7 @@ from ..functions.extract import _decode, document_text
 from ..sources.catalog import Catalog
 from .codec import encode_varbyte
 
-TOKENS_SCHEMA = "url string, term string, tf int"
+TOKENS_SCHEMA = "url string, term string, tf int, doc_len int"
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -86,22 +86,41 @@ BLOCKS_SCHEMA = T.StructType(
 
 
 def tokenize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """pages(url, html) -> (url, term, tf). Map-side partial agg per doc."""
+    """pages(url, html) -> (url, term, tf, doc_len).
+
+    Map-side partial agg per doc; doc_len rides along on every posting row
+    (it is known the moment the doc is tokenized), so NO doc-length
+    groupBy/join shuffle ever happens downstream.  One sentinel row per doc
+    (term NULL, tf 0) carries doc_len for the docmap — including 0-token
+    docs."""
     for pdf in batches:
         urls: list[str] = []
-        terms: list[str] = []
+        terms: list[str | None] = []
         tfs: list[int] = []
+        dls: list[int] = []
         for url, html in zip(pdf["url"], pdf["html"]):
             if html is None:
                 continue
             text = document_text(_decode(html))
             counts: dict[str, int] = {}
+            n = 0
             for tok in spec.tokenize(text):
                 counts[tok] = counts.get(tok, 0) + 1
-            urls.extend([url] * len(counts))
+                n += 1
+            urls.extend([url] * (len(counts) + 1))
             terms.extend(counts.keys())
+            terms.append(None)  # sentinel: doc exists, carries doc_len
             tfs.extend(counts.values())
-        yield pd.DataFrame({"url": urls, "term": terms, "tf": pd.array(tfs, dtype="int32")})
+            tfs.append(0)
+            dls.extend([n] * (len(counts) + 1))
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "term": terms,
+                "tf": pd.array(tfs, dtype="int32"),
+                "doc_len": pd.array(dls, dtype="int32"),
+            }
+        )
 
 
 def filtered_pages(pages: DataFrame, tokenizer: str) -> DataFrame:
@@ -118,17 +137,24 @@ def tokens_from_pages(pages: DataFrame) -> DataFrame:
 def tokens_from_text(pages: DataFrame) -> DataFrame:
     """Alternative JVM-only tokenizer for tables that already carry extracted
     text (e.g. the driver's `documents` table): no Python at all — tokenize
-    with built-in regexp_extract_all + explode, whole-stage codegen'd."""
-    return (
-        pages.select(
-            "url",
-            F.explode(
-                F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-            ).alias("term"),
-        )
-        .groupBy("url", "term")
-        .agg(F.count("*").cast("int").alias("tf"))
+    with built-in regexp_extract_all + explode, whole-stage codegen'd.
+    Same output contract as tokenize_batch (doc_len per row + sentinel)."""
+    toks = pages.select(
+        "url", F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks")
     )
+    tf = (
+        toks.select("url", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+        .groupBy("url", "doc_len", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("url", "term", "tf", "doc_len")
+    )
+    sentinels = toks.select(
+        "url",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("int").alias("tf"),
+        F.size("toks").alias("doc_len"),
+    )
+    return tf.unionByName(sentinels)
 
 
 # --- stage 2: docmap ----------------------------------------------------------
@@ -172,7 +198,9 @@ def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> Da
         (F.row_number().over(w) - 1 + offset_map[F.col("pid")]).alias("doc_id"),
         "url",
     )
-    doc_lens = tokens.groupBy("url").agg(F.sum("tf").cast("int").alias("doc_len"))
+    # doc lengths come from the per-doc sentinel rows the tokenizer emitted —
+    # an n_docs-sized join, never an n_postings-sized shuffle
+    doc_lens = tokens.filter(F.col("term").isNull()).select("url", "doc_len")
     out = (
         docmap.join(doc_lens, "url", "left")
         .select("doc_id", "url", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
@@ -375,8 +403,15 @@ def build_index(
     # -- posting rows staged by bucket -----------------------------------------
     if "posting_rows" not in done:
         t0 = time.time()
+        # doc_id attachment: broadcast the (doc_id, url) map when it fits
+        # (sandbox scale); at 10^12 docs this becomes the one big shuffle
+        # join on url — doc_len already rides on the token rows either way.
+        dm = docmap.select("doc_id", "url")
+        if n_docs <= 20_000_000:
+            dm = F.broadcast(dm)
         rows = (
-            tokens.join(docmap, "url")  # shuffle join on url, html never shipped
+            tokens.filter(F.col("term").isNotNull())
+            .join(dm, "url")
             .select(
                 "term",
                 "doc_id",
@@ -391,21 +426,6 @@ def build_index(
         cat.write(rows, "posting_rows", partition_by=["bucket"])
         cat.append_manifest([_mrow("posting_rows", build_time_s=time.time() - t0)])
     posting_rows = cat.read(spark, "posting_rows")
-
-    # -- lexicon core (df, cf, idf) — needed to finalize block_max_score --------
-    if "lexicon_core" not in done:
-        t0 = time.time()
-        lex = posting_rows.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
-        # Robertson idf, same formula as spec.idf
-        lex = lex.withColumn(
-            "idf",
-            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        )
-        cat.write(lex, "lexicon_core")
-        cat.append_manifest([_mrow("lexicon_core", build_time_s=time.time() - t0)])
-    lexicon_core = cat.read(spark, "lexicon_core")
 
     # -- per-bucket block encode (the resumable unit) ----------------------------
     encoder = make_block_encoder(avgdl)
@@ -477,16 +497,27 @@ def build_index(
         )
         batches_done += 1
 
-    # -- final lexicon (adds n_blocks) -------------------------------------------
+    # -- lexicon: df/cf/idf from posting rows + n_blocks from blocks, one job ----
     if "lexicon" not in done:
         t0 = time.time()
+        lex = (
+            posting_rows.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .withColumn(
+                "idf",  # Robertson idf, same formula as spec.idf
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+        )
         nb = (
             cat.read(spark, "postings")
             .groupBy("term")
             .agg(F.count("*").cast("int").alias("n_blocks"))
         )
         cat.write(
-            lexicon_core.join(nb, "term").select("term", "df", "cf", "n_blocks", "idf"),
+            lex.join(nb, "term").select("term", "df", "cf", "n_blocks", "idf"),
             "lexicon",
         )
         cat.append_manifest([_mrow("lexicon", build_time_s=time.time() - t0)])

@@ -21,7 +21,12 @@ def get_spark(
     if os.path.exists(PYBIN):
         os.environ.setdefault("PYSPARK_PYTHON", PYBIN)
         os.environ.setdefault("PYSPARK_DRIVER_PYTHON", PYBIN)
-    return (
+    # Shuffle/spill on tmpfs when available: the sandbox's ext4 root shows
+    # multi-second writeback stalls that dominate small-stage latencies.
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+    builder = (
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(n))
@@ -32,5 +37,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    return builder.getOrCreate()
+
+
+def warm_python_workers(spark) -> None:
+    """Run one tiny Arrow-UDF job so every task slot's Python worker is
+    spawned and has imported pandas/numpy before any timed phase."""
+    import pandas as pd  # noqa: F401
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n * 4, 1, n * 4).mapInPandas(_noop, "id long").count()
