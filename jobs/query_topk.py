@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""spark-submit entry point: BM25 top-k queries against a built index.
+
+    spark-submit --py-files dist/engine.zip jobs/query_topk.py \
+        --index /data/index --query "Chicken Rice" --query "Gout" \
+        [--mode conjunctive] [--k 10] [--oracle] [--out /data/results]
+
+--oracle runs the exhaustive DataFrame scorer instead of block-max WAND
+(rank-identical by construction; used for verification).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", action="append", default=[],
+                   help="repeatable; default: the reference query set")
+    p.add_argument("--mode", choices=["disjunctive", "conjunctive"],
+                   default="disjunctive")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--oracle", action="store_true")
+    p.add_argument("--out", default=None, help="write results parquet here")
+    args = p.parse_args(argv)
+
+    from rt_etl_yahoo_search_engine_spark import spec
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk, topk_oracle
+    from rt_etl_yahoo_search_engine_spark.session import get_spark
+
+    queries = (
+        {f"q{i}": q for i, q in enumerate(args.query)}
+        if args.query
+        else spec.REFERENCE_QUERIES
+    )
+    spark = get_spark(app="query-topk")
+    fn = topk_oracle if args.oracle else topk
+    kwargs = {} if args.oracle else {"with_url": True}
+    out = fn(spark, args.index, queries, mode=args.mode, k=args.k, **kwargs)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    else:
+        out.orderBy("query_id", "rank").show(args.k * len(queries), truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
