@@ -197,6 +197,46 @@ def _q_events_tumbling(spark, sf_dir):
     )
 
 
+def _q_json_extract(spark, sf_dir):
+    """JSON decode with schema (the reference pydantic-validates JSON Kafka
+    payloads; here: from_json/get_json_object over the events.props column)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_adjacent_grouping(spark, sf_dir):
+    """Ordered sessionization over events: runs of equal event_type per
+    user in (ts, event_id) order — the reference's adjacent-grouping fold
+    as a relational operator."""
+    from rt_etl_yahoo_search_engine_spark.operators.sessionize import (
+        adjacent_group_agg,
+    )
+
+    out = adjacent_group_agg(
+        _read(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value"),
+        partition_col="user_id",
+        order_col="event_id",
+        ident_col="event_type",
+        value_col="value",
+    )
+    return out.select(
+        "user_id",
+        F.col("group_seq").cast("long").alias("group_seq"),
+        "event_type",
+        "run_start",
+        "run_end",
+        F.col("run_len").alias("run_len"),
+        F.round("run_sum", 6).alias("run_sum"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup(_docs(spark, sf_dir))
 
@@ -283,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_enrich": _q_broadcast_join_enrich,
         "top1_per_key": _q_top1_per_key,
         "events_tumbling": _q_events_tumbling,
+        "adjacent_grouping": _q_adjacent_grouping,
+        "json_extract_agg": _q_json_extract,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
@@ -430,6 +472,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
                    event_type, count(*) AS n, ROUND(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "json_extract_agg": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "adjacent_grouping": """
+            WITH runs AS (
+              SELECT user_id, event_id, event_type, value,
+                     CAST(CASE WHEN lag(event_type) OVER w IS NULL
+                               OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS INTEGER) AS changed
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+            seq AS (
+              SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS group_seq
+              FROM runs)
+            SELECT user_id, group_seq, event_type,
+                   min(event_id) AS run_start, max(event_id) AS run_end,
+                   count(*) AS run_len, ROUND(sum(value), 6) AS run_sum
+            FROM seq GROUP BY user_id, group_seq, event_type
         """,
         "dedup_exact": """
             SELECT doc_id, content_hash, rn = 1 AS is_keeper
