@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rt_etl_yahoo_search_engine_spark import spec  # noqa: E402
 from rt_etl_yahoo_search_engine_spark.functions import dedup as dd  # noqa: E402
+from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm  # noqa: E402
 from rt_etl_yahoo_search_engine_spark.functions import similarity as sim  # noqa: E402
 from rt_etl_yahoo_search_engine_spark.functions import text_analysis as ta  # noqa: E402
 
@@ -266,6 +267,55 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.ivf_cosine_topk(
+        emb, ANN_QUERY_IDS, k=10, n_cells=16, nprobe=4
+    ).withColumn("cos", F.round("cos", 6))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return dd.embedding_near_dups(emb, threshold=0.3, n_planes=6).withColumn(
+        "cos", F.round("cos", 6)
+    )
+
+
+def _media(spark, sf_dir):
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.synth_media_df(_docs(spark, sf_dir))
+
+
+def _q_media_meta_stats(spark, sf_dir):
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.media_meta_stats(_media(spark, sf_dir))
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.sample_frames(_media(spark, sf_dir), every=2).select(
+        "doc_id", "frame_idx", "frame_off", "frame_len"
+    )
+
+
+def _q_media_image_features(spark, sf_dir):
+    """Fake-decode image feature extraction (decode itself is a deterministic
+    stand-in — real codecs aren't in this container; rows-only check)."""
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.image_features(_media(spark, sf_dir)).drop("hist")
+
+
+def _q_media_audio_features(spark, sf_dir):
+    """Fake-decode audio RMS/ZCR/peak (rows-only check)."""
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.audio_features(_media(spark, sf_dir))
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return sim.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=10, n_planes=8).withColumn(
@@ -330,8 +380,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_lsh_candidates": _q_dedup_lsh_candidates,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "media_meta_stats": _q_media_meta_stats,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
@@ -554,7 +610,71 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
         """,
+        "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  array_to_string(list_transform(embedding[1:6],
+                      x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings)
+SELECT vec_id_a, vec_id_b, ROUND(cos, 6) AS cos
+FROM (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cos >= 0.3
+        """,
         "ann_cosine_topk": _COS_SQL_BODY.format(join_extra="", where_extra=""),
+        "ann_ivf_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT e.vec_id, e.emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.emb, c.cemb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+             c.cell ASC) AS r
+    FROM e, c) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+probe AS (
+  SELECT query_id, qemb, cell AS pcell FROM (
+    SELECT q.query_id, q.qemb, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qemb, c.cemb)
+             / (sqrt(list_dot_product(q.qemb, q.qemb))
+                * sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+             c.cell ASC) AS r
+    FROM q, c) WHERE r <= 4),
+s AS (SELECT p.query_id, a.vec_id,
+             list_dot_product(a.emb, p.qemb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(p.qemb, p.qemb))) AS cos
+      FROM assign a JOIN probe p
+        ON a.cell = p.pcell AND a.vec_id <> p.query_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, ROUND(cos, 6) AS cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank FROM s)
+WHERE rank <= 10
+        """,
+        "media_meta_stats": f"""
+            SELECT {mm.META_SQL["media_type"]} AS media_type,
+                   count(*) AS n,
+                   sum(payload_len) AS total_bytes,
+                   ROUND(avg(payload_len), 6) AS avg_bytes
+            FROM (SELECT doc_id, {mm.META_SQL["payload_len"]} AS payload_len
+                  FROM documents)
+            GROUP BY 1
+        """,
+        "media_frame_sample": f"""
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   CAST(i * {mm.VIDEO_FRAME_BYTES} AS INTEGER) AS frame_off,
+                   CAST({mm.VIDEO_FRAME_BYTES} AS INTEGER) AS frame_len
+            FROM (SELECT doc_id, 4 + doc_id % 13 AS nf FROM documents
+                  WHERE doc_id % 3 = 2),
+                 unnest(range(0, nf, 2)) AS u(i)
+        """,
         "ann_lsh_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                   array_to_string(list_transform(embedding[1:8],

@@ -169,6 +169,45 @@ def minhash_dedup(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.3, n_planes: int = 6
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, cos) embedding-cosine near-duplicate pairs.
+
+    Candidate generation is sign-bit LSH bucketing (same-bucket pairs only),
+    so the pairwise join is O(sum bucket^2), not O(N^2) — the production
+    shape for embedding dedup at corpus scale; exact cosine then verifies
+    each candidate against the threshold.  Pairs straddling buckets are
+    missed by design (recall/cost tradeoff, tunable via n_planes)."""
+    from .similarity import DOT_EXPR, NORM_EXPR, sign_bucket
+
+    emb = embeddings.select(
+        "vec_id", "embedding", sign_bucket("embedding", n_planes).alias("bucket")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.withColumn(
+            "cos",
+            F.expr(DOT_EXPR.format(a="a.embedding", b="b.embedding"))
+            / (
+                F.expr(NORM_EXPR.format(a="a.embedding"))
+                * F.expr(NORM_EXPR.format(a="b.embedding"))
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            "cos",
+        )
+    )
+
+
 def simhash32(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash.  Each distinct term votes its
     tf-weight on 32 bit positions drawn from the term's md5 (first 8 hex

@@ -67,6 +67,75 @@ def sign_bucket(col: str, n_planes: int = 8):
     )
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the scale path for 100 TB embedding tables.
+
+    * Coarse quantizer: the vectors with vec_id < n_cells serve as fixed,
+      deterministic centroids (a real deployment would k-means these; fixed
+      seeds keep the operator oracle-checkable).
+    * Assignment: every vector goes to its nearest centroid by cosine
+      (broadcast centroids x corpus scan — one narrow pass, no shuffle of
+      embeddings; ties broken by ascending cell id).  At scale the
+      assignment is computed once and persisted partitioned BY cell, so a
+      probe reads only nprobe/n_cells of the corpus (partition pruning).
+    * Probe: each query scores only vectors in its nprobe nearest cells.
+      Exactness is NOT guaranteed (recall grows with nprobe).
+    """
+    cents = (
+        embeddings.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+    )
+
+    def _nearest_cells(df: DataFrame, id_col: str, emb_col: str, top: int,
+                       out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "ccos",
+            F.expr(DOT_EXPR.format(a=emb_col, b="cemb"))
+            / (
+                F.expr(NORM_EXPR.format(a=emb_col))
+                * F.expr(NORM_EXPR.format(a="cemb"))
+            ),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= top)
+            .select(id_col, emb_col, F.col("cell").alias(out))
+        )
+
+    assigned = _nearest_cells(embeddings, "vec_id", "embedding", 1, "cell")
+    probes = _nearest_cells(
+        embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        ),
+        "query_id", "qemb", nprobe, "pcell",
+    )
+    joined = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = joined.withColumn(
+        "cos",
+        F.expr(DOT_EXPR.format(a="embedding", b="qemb"))
+        / (
+            F.expr(NORM_EXPR.format(a="embedding"))
+            * F.expr(NORM_EXPR.format(a="qemb"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 8
 ) -> DataFrame:
