@@ -68,7 +68,8 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         "text",
         "lang",
     )
-    build_index(spark, pages, root, n_shards=4, n_buckets=8, tokenizer="text")
+    build_index(spark, pages, root, n_shards=4, n_buckets=8, tokenizer="text",
+                url_ordered=True)
     _INDEX_CACHE[sf_dir] = root
     return root
 

@@ -67,10 +67,17 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
 
     from rt_etl_yahoo_search_engine_spark.session import warm_python_workers
 
+    # Index layout and partitioning are DATA properties, not cluster
+    # properties: both scaling legs must run the IDENTICAL job (same shard
+    # count, same shuffle width) — only the number of task slots differs.
+    N_SHARDS = 32
+    SHUFFLE_PARTS = 64
+
     def _fresh(app):
         # fresh SparkContext per phase: a long-lived local-mode context
         # accumulates listener/shuffle state that inflates later phases
-        s = get_spark(app=app, master=f"local[{cpus}]", shuffle_partitions=cpus)
+        s = get_spark(app=app, master=f"local[{cpus}]",
+                      shuffle_partitions=SHUFFLE_PARTS)
         s.sparkContext.setLogLevel("ERROR")
         warm_python_workers(s)  # exclude worker spawn/import from timings
         return s
@@ -80,12 +87,12 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         spark = _fresh("bench-build-webtext")
         pages_path = os.path.join(tmp, "pages")
         t0 = time.time()
-        synth_pages_df(spark, n_docs, num_partitions=cpus * 2).write.parquet(pages_path)
+        synth_pages_df(spark, n_docs, num_partitions=SHUFFLE_PARTS).write.parquet(pages_path)
         timings["synth_corpus"] = time.time() - t0
         web_idx = os.path.join(tmp, "idx_web")
         t0 = time.time()
-        build_index(spark, pages_path, web_idx, n_shards=cpus, n_buckets=16,
-                    tokenizer="html")
+        build_index(spark, pages_path, web_idx, n_shards=N_SHARDS, n_buckets=16,
+                    tokenizer="html", url_ordered=True)
         build_s = time.time() - t0
         timings["build_webtext"] = build_s
         timings["build_webtext_docs_per_sec"] = n_docs / build_s
@@ -101,8 +108,8 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         )
         n_docs2 = docs.count()
         t0 = time.time()
-        build_index(spark, pages2, doc_idx, n_shards=cpus, n_buckets=8,
-                    tokenizer="text")
+        build_index(spark, pages2, doc_idx, n_shards=N_SHARDS, n_buckets=8,
+                    tokenizer="text", url_ordered=True)
         timings["build_documents"] = time.time() - t0
         timings["build_documents_docs_per_sec"] = n_docs2 / timings["build_documents"]
         spark.stop()

@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     p.add_argument("--bucket-batch", type=int, default=None,
                    help="buckets per encode commit (resume granularity)")
     p.add_argument("--tokenizer", choices=["html", "text"], default="html")
+    p.add_argument("--url-ordered", action="store_true",
+                   help="declare the pages table url-sorted with disjoint "
+                        "per-file url ranges (e.g. Iceberg write-ordered by "
+                        "url): skips the posting shuffle entirely")
     p.add_argument("--synthesize", type=int, default=None, metavar="N_DOCS",
                    help="generate a deterministic N_DOCS webtext corpus at "
                         "--pages first (demo/bench)")
@@ -49,6 +53,7 @@ def main(argv=None) -> int:
         n_buckets=args.buckets,
         bucket_batch=args.bucket_batch,
         tokenizer=args.tokenizer,
+        url_ordered=args.url_ordered,
     )
     stats = cat.read_stats()
     rows = cat.latest_status()

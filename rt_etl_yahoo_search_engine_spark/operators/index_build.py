@@ -5,16 +5,22 @@ two Arrow-batched Python stages (extraction+tokenization, block encoding):
 
   pages (url, warc_ts, html, text, lang)          [input table, input_hint]
     -> filter lang='en' AND html IS NOT NULL       [pushed to parquet scan]
-    -> mapInPandas extract+tokenize+local-tf-agg  -> tokens(url, term, tf)
-       (ONE fused Python pass; map-side partial aggregation: tf is counted
-        per document inside the Arrow batch, so the shuffle payload is
-        (url, term, tf) — never raw html/text.  This is the reference's
-        claim-check rule re-expressed: ship metadata, not payload;
-        ref: src/yahoo_search_process.py:30-33)
     -> docmap: deterministic dense doc_id by url sort (range-partitioned
-       sort + zipWithIndex — the one RDD usage in the repo: a two-pass
-       narrow op, no extra shuffle, scales to any partition count)
-    -> posting rows (term, doc_id, tf, doc_len) via shuffle join on url
+       counts + per-partition row_number — a two-pass narrow op, no global
+       sort, scales to any partition count); built FIRST so every later
+       stage ships the 8-byte doc_id, never the url string
+    -> join doc_id onto pages (n_docs-scale; broadcast at sandbox scale,
+       one shuffle join on url at 10^12 docs)
+    -> mapInPandas extract+tokenize+local-tf-agg -> tokens(doc_id, term,
+       tf, doc_len)
+       (ONE fused Python pass; map-side partial aggregation: tf is counted
+        per document inside the Arrow batch, so the staged/shuffled payload
+        is narrow posting rows — never raw html/text, never url.  This is
+        the reference's claim-check rule re-expressed: ship metadata, not
+        payload; ref: src/yahoo_search_process.py:30-33.  doc_len rides on
+        every row + a per-doc sentinel, so no doc-length shuffle exists)
+    -> posting rows: a derived VIEW (no staging — materializing the
+       largest intermediate measured slower than the whole rest)
     -> doc-range sharding: shard = doc_id * n_shards // n_docs.
        EVERY term is split across the same contiguous doc_id ranges, which
        (a) distributes head-term (stop-word) posting lists across the
@@ -64,7 +70,7 @@ from ..functions.extract import _decode, document_text
 from ..sources.catalog import Catalog
 from .codec import encode_varbyte
 
-TOKENS_SCHEMA = "url string, term string, tf int, doc_len int"
+TOKENS_SCHEMA = "doc_id long, term string, tf int, doc_len int"
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -86,19 +92,25 @@ BLOCKS_SCHEMA = T.StructType(
 
 
 def tokenize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """pages(url, html) -> (url, term, tf, doc_len).
+    """pages(doc_id, html) -> (doc_id, term, tf, doc_len).
 
     Map-side partial agg per doc; doc_len rides along on every posting row
     (it is known the moment the doc is tokenized), so NO doc-length
     groupBy/join shuffle ever happens downstream.  One sentinel row per doc
-    (term NULL, tf 0) carries doc_len for the docmap — including 0-token
-    docs."""
+    (term NULL, tf 0) carries doc_len for the corpus stats — including
+    0-token docs.
+
+    Claim-check discipline: the 8-byte doc_id is attached BEFORE extraction
+    (an n_docs-scale join), so the ~40-byte url never rides on the
+    n_postings-scale token stream — measured 3x CPU per doc through
+    Arrow/parquet when it did."""
     for pdf in batches:
-        urls: list[str] = []
+        ids: list[int] = []
         terms: list[str | None] = []
-        tfs: list[int] = []
+        tf_chunks: list[list[int]] = []
+        widths: list[int] = []
         dls: list[int] = []
-        for url, html in zip(pdf["url"], pdf["html"]):
+        for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
             if html is None:
                 continue
             text = document_text(_decode(html))
@@ -107,18 +119,28 @@ def tokenize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for tok in spec.tokenize(text):
                 counts[tok] = counts.get(tok, 0) + 1
                 n += 1
-            urls.extend([url] * (len(counts) + 1))
+            ids.append(doc_id)
             terms.extend(counts.keys())
             terms.append(None)  # sentinel: doc exists, carries doc_len
-            tfs.extend(counts.values())
-            tfs.append(0)
-            dls.extend([n] * (len(counts) + 1))
+            tf_chunks.append(list(counts.values()))
+            widths.append(len(counts) + 1)
+            dls.append(n)
+        n_rows = int(sum(widths))
+        tfs = np.zeros(n_rows, dtype=np.int32)
+        pos = 0
+        for chunk in tf_chunks:
+            tfs[pos : pos + len(chunk)] = chunk
+            pos += len(chunk) + 1  # sentinel tf stays 0
         yield pd.DataFrame(
             {
-                "url": urls,
+                "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), widths)
+                if ids
+                else np.empty(0, dtype=np.int64),
                 "term": terms,
-                "tf": pd.array(tfs, dtype="int32"),
-                "doc_len": pd.array(dls, dtype="int32"),
+                "tf": tfs,
+                "doc_len": np.repeat(np.asarray(dls, dtype=np.int32), widths)
+                if ids
+                else np.empty(0, dtype=np.int32),
             }
         )
 
@@ -129,27 +151,32 @@ def filtered_pages(pages: DataFrame, tokenizer: str) -> DataFrame:
     return pages.filter((F.col("lang") == "en") & F.col(payload).isNotNull())
 
 
-def tokens_from_pages(pages: DataFrame) -> DataFrame:
-    """pages already filtered via filtered_pages."""
-    return pages.select("url", "html").mapInPandas(tokenize_batch, schema=TOKENS_SCHEMA)
+def tokens_from_pages(pages_with_id: DataFrame) -> DataFrame:
+    """pages already filtered and carrying doc_id (see build_index)."""
+    return pages_with_id.select("doc_id", "html").mapInPandas(
+        tokenize_batch, schema=TOKENS_SCHEMA
+    )
 
 
-def tokens_from_text(pages: DataFrame) -> DataFrame:
+def tokens_from_text(pages_with_id: DataFrame) -> DataFrame:
     """Alternative JVM-only tokenizer for tables that already carry extracted
     text (e.g. the driver's `documents` table): no Python at all — tokenize
     with built-in regexp_extract_all + explode, whole-stage codegen'd.
     Same output contract as tokenize_batch (doc_len per row + sentinel)."""
-    toks = pages.select(
-        "url", F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks")
+    toks = pages_with_id.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
     )
     tf = (
-        toks.select("url", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
-        .groupBy("url", "doc_len", "term")
+        toks.select(
+            "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
+        )
+        .groupBy("doc_id", "doc_len", "term")
         .agg(F.count("*").cast("int").alias("tf"))
-        .select("url", "term", "tf", "doc_len")
+        .select("doc_id", "term", "tf", "doc_len")
     )
     sentinels = toks.select(
-        "url",
+        "doc_id",
         F.lit(None).cast("string").alias("term"),
         F.lit(0).cast("int").alias("tf"),
         F.size("toks").alias("doc_len"),
@@ -160,16 +187,19 @@ def tokens_from_text(pages: DataFrame) -> DataFrame:
 # --- stage 2: docmap ----------------------------------------------------------
 
 
-def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> DataFrame:
-    """(doc_id, url, doc_len); doc_id = dense rank by url (deterministic).
+def build_docmap(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """(doc_id, url); doc_id = dense rank by url (deterministic).
 
     Scalable zipWithIndex without leaving the JVM: range-partition by url,
     count rows per partition (one cheap job), then doc_id = partition offset
     + within-partition row_number.  The window partitions by the physical
     partition id, so no single-partition global sort ever materializes; the
     resulting ids are the global url rank regardless of how the range
-    boundaries fell.  doc_len = sum(tf) (total token count), 0 for docs with
-    no extracted text.
+    boundaries fell.
+
+    Built BEFORE tokenization so the token stream can carry the 8-byte
+    doc_id instead of the url string (claim-check: keep n_postings-scale
+    rows narrow).
     """
     from pyspark.sql import Window
 
@@ -195,18 +225,13 @@ def build_docmap(pages: DataFrame, tokens: DataFrame, num_partitions: int) -> Da
     )
     w = Window.partitionBy("pid").orderBy("url")
     docmap = urls.select(
-        (F.row_number().over(w) - 1 + offset_map[F.col("pid")]).alias("doc_id"),
+        (F.row_number().over(w) - 1 + offset_map[F.col("pid")])
+        .cast("long")
+        .alias("doc_id"),
         "url",
     )
-    # doc lengths come from the per-doc sentinel rows the tokenizer emitted —
-    # an n_docs-sized join, never an n_postings-sized shuffle
-    doc_lens = tokens.filter(F.col("term").isNull()).select("url", "doc_len")
-    out = (
-        docmap.join(doc_lens, "url", "left")
-        .select("doc_id", "url", F.coalesce("doc_len", F.lit(0)).alias("doc_len"))
-    )
-    out._graft_cached_urls = urls  # handle for the caller to unpersist
-    return out
+    docmap._graft_cached_urls = urls  # handle for the caller to unpersist
+    return docmap
 
 
 # --- stage 4: block encoder -----------------------------------------------------
@@ -222,113 +247,137 @@ def _vb_lens(v: "np.ndarray") -> "np.ndarray":
     return lens
 
 
-def _encode_sorted_frame(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
-    """Encode a frame of posting rows ALREADY sorted by (term, shard, doc_id)
-    into block rows.  Fully vectorized: group/block boundaries, per-block
-    aggregates (reduceat), and varbyte payloads are all computed over the
-    whole frame at once; the only Python loop is the final per-block byte
-    slicing."""
-    n = len(pdf)
-    if n == 0:
-        return pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in BLOCKS_SCHEMA.fields}
-        )
+def make_arrow_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
+    """mapInArrow encoder over one partition of posting rows.
+
+    The distributed sort is GONE from the physical plan: each partition is
+    buffered (partitions are sized ~15 MB by enc_parts / the 16 MB scan
+    splits), terms are dictionary-encoded in Arrow (strings never become
+    Python objects — converting 70M rows to pandas object strings was the
+    single largest flat cost of the old encoder), rows are ordered by one
+    numpy ``lexsort`` over (term-code, doc_id) int arrays, and the varbyte
+    payload column is emitted as a ZERO-COPY Arrow binary array whose
+    offsets are exactly the per-block byte boundaries of one contiguous
+    encode pass.
+
+    Works on any row order, so it serves both encode paths:
+      * url_ordered: no exchange at all (scan splits are doc-range shards);
+      * general: one hash ``repartition(term, shard)`` exchange, sort-free.
+    """
+    import pyarrow as pa
+
     k1, b = spec.K1, spec.B
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy()
-    tfs = pdf["tf"].to_numpy().astype(np.int64)
-    dls = pdf["doc_len"].to_numpy().astype(np.int64)
 
-    pos = np.arange(n)
-    group_start = np.ones(n, dtype=bool)
-    group_start[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
-    first_pos = np.maximum.accumulate(np.where(group_start, pos, 0))
-    idx_in_group = pos - first_pos
-    block_start = group_start | (idx_in_group % block_size == 0)
-    starts = np.flatnonzero(block_start)
-    ends = np.empty_like(starts)
-    ends[:-1] = starts[1:] - 1
-    ends[-1] = n - 1
+    def _bin_col(values: bytes, off: "np.ndarray", starts, n) -> "pa.Array":
+        bounds = np.append(off[starts], off[n]).astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(bounds.tobytes()), pa.py_buffer(values)],
+        )
 
-    # exact idf-free score part per posting (same op order as query side)
-    parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    max_tf = np.maximum.reduceat(tfs, starts)
-    max_part = np.maximum.reduceat(parts, starts)
+    def encode_partition(batches: "Iterator[pa.RecordBatch]"):
+        blist = [rb for rb in batches if rb.num_rows]
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        n = tbl.num_rows
+        term_arr = tbl.column("term")
+        if isinstance(term_arr, pa.ChunkedArray):
+            term_arr = term_arr.combine_chunks()
+            if isinstance(term_arr, pa.ChunkedArray):
+                term_arr = term_arr.chunk(0)
+        enc = term_arr.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        doc_ids = tbl.column("doc_id").to_numpy()
+        tfs = tbl.column("tf").to_numpy().astype(np.int64)
+        dls = tbl.column("doc_len").to_numpy().astype(np.int64)
+        shards = tbl.column("shard").to_numpy()
 
-    # delta-gap doc_ids with a reset at every block start; one varbyte pass
-    gaps = doc_ids.copy()
-    gaps[1:] -= doc_ids[:-1]
-    gaps[starts] = doc_ids[starts]
-    ids_bytes = encode_varbyte(gaps)
-    tfs_bytes = encode_varbyte(tfs)
-    dls_bytes = encode_varbyte(dls)
-    ids_off = np.zeros(n + 1, dtype=np.int64)
-    ids_off[1:] = np.cumsum(_vb_lens(gaps))
-    tfs_off = np.zeros(n + 1, dtype=np.int64)
-    tfs_off[1:] = np.cumsum(_vb_lens(tfs))
-    dls_off = np.zeros(n + 1, dtype=np.int64)
-    dls_off[1:] = np.cumsum(_vb_lens(dls))
+        order = np.lexsort((doc_ids, codes))
+        codes = codes[order]
+        doc_ids = np.ascontiguousarray(doc_ids[order])
+        tfs = tfs[order]
+        dls = dls[order]
+        shards = shards[order]
 
-    ids_mv, tfs_mv, dls_mv = memoryview(ids_bytes), memoryview(tfs_bytes), memoryview(dls_bytes)
-    return pd.DataFrame(
-        {
-            "term": terms[starts],
-            "shard": shards[starts].astype("int32"),
-            "block_id": (idx_in_group[starts] // block_size).astype("int32"),
-            "doc_count": (ends - starts + 1).astype("int32"),
-            "first_doc_id": doc_ids[starts],
-            "last_doc_id": doc_ids[ends],
-            "max_tf": max_tf.astype("int32"),
-            "block_max_part": max_part,
-            "doc_ids_vb": [
-                bytes(ids_mv[ids_off[s] : ids_off[e + 1]])
-                for s, e in zip(starts, ends)
+        pos = np.arange(n)
+        group_start = np.ones(n, dtype=bool)
+        group_start[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+        first_pos = np.maximum.accumulate(np.where(group_start, pos, 0))
+        idx_in_group = pos - first_pos
+        block_start = group_start | (idx_in_group % block_size == 0)
+        starts = np.flatnonzero(block_start)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = n - 1
+
+        # exact idf-free score part per posting (same op order as query side)
+        parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        max_tf = np.maximum.reduceat(tfs, starts)
+        max_part = np.maximum.reduceat(parts, starts)
+
+        # delta-gap doc_ids with a reset at every block start; one varbyte pass
+        gaps = doc_ids.copy()
+        gaps[1:] -= doc_ids[:-1]
+        gaps[starts] = doc_ids[starts]
+        ids_bytes = encode_varbyte(gaps)
+        tfs_bytes = encode_varbyte(tfs)
+        dls_bytes = encode_varbyte(dls)
+        ids_off = np.zeros(n + 1, dtype=np.int64)
+        ids_off[1:] = np.cumsum(_vb_lens(gaps))
+        tfs_off = np.zeros(n + 1, dtype=np.int64)
+        tfs_off[1:] = np.cumsum(_vb_lens(tfs))
+        dls_off = np.zeros(n + 1, dtype=np.int64)
+        dls_off[1:] = np.cumsum(_vb_lens(dls))
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                vocab.take(pa.array(codes[starts])),
+                pa.array(shards[starts].astype(np.int32)),
+                pa.array((idx_in_group[starts] // block_size).astype(np.int32)),
+                pa.array((ends - starts + 1).astype(np.int32)),
+                pa.array(doc_ids[starts]),
+                pa.array(doc_ids[ends]),
+                pa.array(max_tf.astype(np.int32)),
+                pa.array(max_part),
+                _bin_col(ids_bytes, ids_off, starts, n),
+                _bin_col(tfs_bytes, tfs_off, starts, n),
+                _bin_col(dls_bytes, dls_off, starts, n),
             ],
-            "tfs_vb": [
-                bytes(tfs_mv[tfs_off[s] : tfs_off[e + 1]])
-                for s, e in zip(starts, ends)
-            ],
-            "doc_lens_vb": [
-                bytes(dls_mv[dls_off[s] : dls_off[e + 1]])
-                for s, e in zip(starts, ends)
-            ],
-        }
-    )
-
-
-def make_block_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
-    """mapInPandas encoder over a partition repartitioned by (term, shard)
-    and sorted by (term, shard, doc_id).
-
-    Arrow hands the partition over as a stream of batches that can SPLIT a
-    (term, shard) group; rows of the last (possibly incomplete) group are
-    carried into the next batch so every group is encoded exactly once with
-    correct block alignment."""
-
-    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if pdf.empty:
-                carry = None
-                continue
-            terms = pdf["term"].to_numpy()
-            shards = pdf["shard"].to_numpy()
-            changed = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
-            )
-            if changed.size == 0:
-                carry = pdf  # whole batch is one (possibly continuing) group
-                continue
-            cut = int(changed[-1]) + 1  # first row of the final group
-            yield _encode_sorted_frame(pdf.iloc[:cut], avgdl, block_size)
-            carry = pdf.iloc[cut:]
-        if carry is not None and len(carry):
-            yield _encode_sorted_frame(carry, avgdl, block_size)
+            names=[f.name for f in BLOCKS_SCHEMA.fields],
+        )
 
     return encode_partition
+
+
+# --- stage 3: posting rows (derived, never staged) ---------------------------
+
+
+def posting_rows_df(
+    tokens: DataFrame,
+    n_docs: int,
+    n_shards: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Derived (term, doc_id, tf, doc_len, shard, bucket) posting rows.
+
+    A VIEW, not a staged table: the posting stream is the build's largest
+    intermediate (n_postings rows), and materializing it cost more than the
+    whole rest of the pipeline — its dynamic ``partitionBy(bucket)`` write
+    sort-spilled per task at low parallelism (measured 18x superlinear at
+    400k docs / 8 cores).  The fused pipeline computes rows once and feeds
+    them straight into the encode shuffle; the exhaustive oracle and tests
+    recompute them from the staged tokens.  No join here at all: tokens
+    already carry doc_id (attached before extraction) and doc_len."""
+    return tokens.filter(F.col("term").isNotNull()).select(
+        "term",
+        "doc_id",
+        "tf",
+        "doc_len",
+        F.floor(F.col("doc_id") * n_shards / F.lit(n_docs)).cast("int").alias("shard"),
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
 
 
 # --- full build ------------------------------------------------------------------
@@ -343,6 +392,7 @@ def build_index(
     bucket_batch: int | None = None,
     tokenizer: str = "html",
     fail_after_buckets: int | None = None,
+    url_ordered: bool = False,
 ) -> Catalog:
     """Build (or resume) the full index under index_root.
 
@@ -351,6 +401,14 @@ def build_index(
     "text" tokenizes a pre-extracted text column JVM-side.
     fail_after_buckets: test hook — raise after N bucket batches to exercise
     resume-from-manifest.
+    url_ordered: declare that the pages table is url-sorted WITHIN each file
+    and files cover disjoint url ranges (an Iceberg table write-ordered by
+    url; our deterministic corpus).  Then every tokens scan split is already
+    a contiguous doc_id range == a doc-range sub-shard, and the encode needs
+    only a LOCAL per-partition sort — the n_postings-scale shuffle (the
+    single most expensive exchange of the build) disappears.  The query-side
+    cursor verifies block doc-ranges are disjoint and fails loudly if the
+    declaration was wrong.
     """
     cat = Catalog(index_root)
     done = cat.completed_partitions()
@@ -359,31 +417,43 @@ def build_index(
     raw = spark.read.parquet(pages_path) if isinstance(pages_path, str) else pages_path
     pages = filtered_pages(raw, tokenizer)
 
+    # -- docmap (first: tokens carry doc_id, never url) ----------------------
+    if "docmap" not in done:
+        t0 = time.time()
+        dm = build_docmap(pages, par)
+        cat.write(dm, "docmap")
+        dm._graft_cached_urls.unpersist(blocking=False)
+        cat.append_manifest([_mrow("docmap", build_time_s=time.time() - t0)])
+    docmap = cat.read(spark, "docmap")
+
     # -- tokens ------------------------------------------------------------
     if "tokens" not in done:
         t0 = time.time()
-        tok = tokens_from_pages(pages) if tokenizer == "html" else tokens_from_text(pages)
+        # attach doc_id at n_docs scale: broadcast the map when it fits,
+        # else the one big shuffle join on url (10^12-doc path)
+        n_docs0 = docmap.count()
+        dmj = F.broadcast(docmap) if n_docs0 <= 20_000_000 else docmap
+        payload = "html" if tokenizer == "html" else "text"
+        pages_with_id = pages.select("url", payload).join(dmj, "url")
+        tok = (
+            tokens_from_pages(pages_with_id)
+            if tokenizer == "html"
+            else tokens_from_text(pages_with_id)
+        )
         cat.write(tok, "tokens")
         cat.append_manifest(
             [_mrow("tokens", build_time_s=time.time() - t0)]
         )
     tokens = cat.read(spark, "tokens")
 
-    # -- docmap -------------------------------------------------------------
-    if "docmap" not in done:
-        t0 = time.time()
-        dm = build_docmap(pages, tokens, par)
-        cat.write(dm, "docmap")
-        dm._graft_cached_urls.unpersist(blocking=False)
-        cat.append_manifest([_mrow("docmap", build_time_s=time.time() - t0)])
-    docmap = cat.read(spark, "docmap")
-
-    # -- stats ----------------------------------------------------------------
+    # -- stats (from the per-doc sentinel rows) -------------------------------
     if "stats" not in done:
         t0 = time.time()
-        agg = docmap.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
+        agg = (
+            tokens.filter(F.col("term").isNull())
+            .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+            .collect()[0]
+        )
         cat.write_stats(
             {
                 "n_docs": int(agg["n"]),
@@ -400,35 +470,16 @@ def build_index(
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     n_shards, n_buckets = stats["n_shards"], stats["n_buckets"]
 
-    # -- posting rows staged by bucket -----------------------------------------
-    if "posting_rows" not in done:
-        t0 = time.time()
-        # doc_id attachment: broadcast the (doc_id, url) map when it fits
-        # (sandbox scale); at 10^12 docs this becomes the one big shuffle
-        # join on url — doc_len already rides on the token rows either way.
-        dm = docmap.select("doc_id", "url")
-        if n_docs <= 20_000_000:
-            dm = F.broadcast(dm)
-        rows = (
-            tokens.filter(F.col("term").isNotNull())
-            .join(dm, "url")
-            .select(
-                "term",
-                "doc_id",
-                "tf",
-                "doc_len",
-                F.floor(F.col("doc_id") * n_shards / F.lit(n_docs))
-                .cast("int")
-                .alias("shard"),
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
-            )
-        )
-        cat.write(rows, "posting_rows", partition_by=["bucket"])
-        cat.append_manifest([_mrow("posting_rows", build_time_s=time.time() - t0)])
-    posting_rows = cat.read(spark, "posting_rows")
+    # -- posting rows: derived view, fused into the encode shuffle --------------
+    posting_rows = posting_rows_df(tokens, n_docs, n_shards, n_buckets)
 
     # -- per-bucket block encode (the resumable unit) ----------------------------
-    encoder = make_block_encoder(avgdl)
+    # Encode shuffle partition count follows the DATA (~400k rows / task,
+    # ~15 MB — small enough to sort in cache), floored at the parallelism —
+    # identical physical plan at every cluster size, no low-core sort spill,
+    # and per-task working sets that don't gang up on memory bandwidth.
+    enc_parts = max(par, min(4096, n_docs // 3_000))
+    encoder = make_arrow_encoder(avgdl)
     batch = bucket_batch or n_buckets
     batches_done = 0
     all_buckets = list(range(n_buckets))
@@ -440,11 +491,21 @@ def build_index(
         if fail_after_buckets is not None and batches_done >= fail_after_buckets:
             raise RuntimeError(f"injected failure after {batches_done} bucket batches")
         t0 = time.time()
+        src = posting_rows
+        if len(pending) < n_buckets:
+            # resuming / batched: recompute only the pending buckets' rows
+            # (a tokens re-scan — cheaper than staging the full stream)
+            src = src.filter(F.col("bucket").isin(pending))
+        if not url_ordered:
+            # co-locate each (term, shard) group; no sort — ordering is a
+            # per-partition numpy detail inside the encoder
+            src = src.repartition(max(enc_parts, len(pending)), "term", "shard")
+        # url_ordered: scan splits ARE disjoint doc ranges — no exchange at
+        # all.  A (term, shard) group split across splits yields one block
+        # run per split; block order is recovered from first_doc_id
+        # (ranges are disjoint), verified at query time.
         blocks = (
-            posting_rows.filter(F.col("bucket").isin(pending))  # partition-pruned scan
-            .repartition(max(par, len(pending)), "term", "shard")
-            .sortWithinPartitions("term", "shard", "doc_id")
-            .mapInPandas(encoder, schema=BLOCKS_SCHEMA)
+            src.mapInArrow(encoder, schema=BLOCKS_SCHEMA)
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
@@ -453,7 +514,7 @@ def build_index(
             # ~block_size x smaller than the postings), term-sorted within
             # files so query-time isin predicates prune row groups
             .repartition(max(1, len(pending)), "bucket")
-            .sortWithinPartitions("term", "shard", "block_id")
+            .sortWithinPartitions("term", "shard", "first_doc_id")
         )
         # block_max_part is idf-FREE; the query side multiplies the lexicon
         # idf in (same float op order), so no blocks x lexicon join is paid
@@ -497,11 +558,13 @@ def build_index(
         )
         batches_done += 1
 
-    # -- lexicon: df/cf/idf from posting rows + n_blocks from blocks, one job ----
+    # -- lexicon: df/cf/idf straight from tokens (one row per (url, term) —
+    # no docmap join needed) + n_blocks from blocks, one job ---------------------
     if "lexicon" not in done:
         t0 = time.time()
         lex = (
-            posting_rows.groupBy("term")
+            tokens.filter(F.col("term").isNotNull())
+            .groupBy("term")
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
             .withColumn(
                 "idf",  # Robertson idf, same formula as spec.idf

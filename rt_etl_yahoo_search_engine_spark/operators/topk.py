@@ -53,10 +53,21 @@ class _Cursor:
     )
 
     def __init__(self, idf: float, block_pdf: pd.DataFrame, avgdl: float):
-        block_pdf = block_pdf.sort_values(["shard", "block_id"])
+        # first_doc_id, not block_id, orders blocks: a (term, shard) group
+        # built from several url-ordered input splits has one block run per
+        # split (each with block_id restarting at 0) covering disjoint doc
+        # ranges
+        block_pdf = block_pdf.sort_values(["shard", "first_doc_id"])
         self.idf = idf
         self.firsts = block_pdf["first_doc_id"].to_numpy()
         self.lasts = block_pdf["last_doc_id"].to_numpy()
+        if len(self.firsts) > 1 and not (self.firsts[1:] > self.lasts[:-1]).all():
+            # overlapping block ranges ⇒ the build's url_ordered declaration
+            # was wrong; results would silently drop/duplicate docs
+            raise ValueError(
+                "posting blocks overlap in doc_id; index was built with "
+                "url_ordered=True on a non-url-sorted pages table"
+            )
         self.bmax = block_pdf["block_max_score"].to_numpy()
         self.ids_vb = list(block_pdf["doc_ids_vb"])
         self.tfs_vb = list(block_pdf["tfs_vb"])

@@ -93,9 +93,17 @@ def topk_oracle(
     mode: str = spec.MODE_DISJUNCTIVE,
     k: int = spec.TOP_K_DEFAULT,
 ) -> DataFrame:
-    """Oracle path: exhaustive scoring over staged posting rows."""
+    """Oracle path: exhaustive scoring over posting rows recomputed from the
+    staged tokens (the posting stream itself is never staged)."""
+    from ..operators.index_build import posting_rows_df
+
     cat = Catalog(index_root)
     stats = cat.read_stats()
     qmeta, terms = build_qmeta(spark, queries, mode)
-    rows = cat.read(spark, "posting_rows").select("term", "doc_id", "tf", "doc_len")
+    rows = posting_rows_df(
+        cat.read(spark, "tokens"),
+        stats["n_docs"],
+        stats["n_shards"],
+        stats["n_buckets"],
+    ).select("term", "doc_id", "tf", "doc_len")
     return exhaustive_topk(rows, qmeta, stats["n_docs"], stats["avgdl"], k)

@@ -37,6 +37,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Split parquet scans finer than the 128 MB default: the corpus is
+        # written in few, small-ish files, and the default packed the whole
+        # pages scan into a handful of tasks — the Arrow extraction stage
+        # then ran on 2-3 cores regardless of cluster size.  16 MB splits
+        # keep every scan wide enough to fill the cluster; the scan itself
+        # is still sequential I/O per row-group.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # Smaller Arrow batches: this host's memory bandwidth saturates near
+        # 8-16 concurrent heavy streams (measured: 32 parallel numpy
+        # sort+scan workers run 10x slower per task than 8).  Keeping every
+        # worker's resident batch small keeps the hot stages compute-bound.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4000")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # 8 MB row groups so the 16 MB scan splits actually land on distinct
+        # row groups (the parquet default of 128 MB makes small files
+        # one-row-group and unsplittable in practice).
+        .config("spark.hadoop.parquet.block.size", str(8 * 1024 * 1024))
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -71,16 +71,23 @@ def gen_page(i: int) -> dict:
             if m:
                 inject.extend([t] * int(r))
 
-    n_results = int(rng.integers(3, 8))
-    n_body = rng.integers(15, 40, n_results)
+    # Realistic SERP weight (a real Yahoo results page carries ~10 organic
+    # results with multi-line abstracts plus nav/footer chrome the extractor
+    # must walk and reject): 8-12 results, 40-100-word bodies, 8-14 nav
+    # items, a 60-120-word footer.  ~8-10 KB of html per page.
+    n_results = int(rng.integers(8, 13))
+    n_body = rng.integers(40, 101, n_results)
     n_title = rng.integers(3, 7, n_results)
     sites = rng.integers(0, 500, n_results)
     months = rng.integers(0, 12, n_results)
     days = rng.integers(1, 29, n_results)
     years = rng.integers(2020, 2025, n_results)
     kinds = rng.random(n_results)
-    # one zipf draw for every word on the page (bodies + titles + crumbs)
-    total = int(n_body.sum() + n_title.sum()) + 2 * n_results
+    n_nav = int(rng.integers(8, 15))
+    n_footer = int(rng.integers(60, 121))
+    # one zipf draw for every word on the page (bodies + titles + crumbs +
+    # chrome)
+    total = int(n_body.sum() + n_title.sum()) + 2 * n_results + n_nav + n_footer
     pool = vocab[(rng.zipf(1.2, total) - 1) % len(vocab)]
     pos = 0
     lis = []
@@ -114,10 +121,29 @@ def gen_page(i: int) -> dict:
             li = f"  <li>\n    <p>{body}</p>\n  </li>"
         lis.append(li)
 
+    # chrome: nav items live under <ul>/<li> like a real page — the
+    # extractor walks them, groups them, and the info_count >= 2 gate drops
+    # them (each group is a single bare link); the footer paragraphs fail
+    # the LI-gate outright.  Pure walk-and-reject work, as in production.
+    nav_items = "\n".join(
+        f"    <li><a>{w}</a></li>" for w in pool[pos : pos + n_nav]
+    )
+    pos += n_nav
+    f_words = list(pool[pos : pos + n_footer])
+    pos += n_footer
+    half = len(f_words) // 2
+    footer = (
+        f"  <p>{' '.join(f_words[:half])}</p>\n"
+        f"  <p>{' '.join(f_words[half:])}</p>"
+    )
     html = (
-        "<html><body>\n<div><h1>results</h1>\n<ol>\n"
+        "<html><head><title>search results</title></head><body>\n"
+        "<div id=\"nav\">\n  <ul>\n" + nav_items + "\n  </ul>\n</div>\n"
+        "<div><h1>results</h1>\n<ol>\n"
         + "\n".join(lis)
-        + "\n</ol>\n</div>\n</body></html>"
+        + "\n</ol>\n</div>\n<div id=\"footer\">\n"
+        + footer
+        + "\n</div>\n</body></html>"
     )
     return {
         "url": f"https://synth.example/{lang}/{i:08d}",

@@ -64,13 +64,16 @@ def bm25_upper_bound(max_tf: int, term_idf: float) -> float:
 
 # --- postings layout -----------------------------------------------------------
 BLOCK_SIZE: int = 128  # docs per compressed posting block (block-max WAND unit)
-INDEX_FORMAT_VERSION = 2  # bump when the on-disk postings schema changes
+INDEX_FORMAT_VERSION = 3  # bump when the on-disk index schema changes
 
-# Head-term salting: terms whose df exceeds this many postings are split into
-# ceil(df / SALT_TARGET) shards during the build shuffle so no single reducer
-# task owns an unboundedly large posting list (explicit skew handling per
-# north_rule).  Shards are concatenated back in doc_id order at encode time.
-SALT_TARGET: int = 250_000
+# Skew handling (north_rule "term-frequency salting of head terms"): the
+# build shuffles on (term, shard) where shard = doc_id * n_shards // n_docs —
+# i.e. EVERY term is salted by contiguous doc-id range.  This strictly
+# subsumes df-threshold head-term salting: the hottest term's reducer work is
+# bounded by df / n_shards without ever computing df first (one less pass),
+# shards concatenate back in doc_id order for free (ranges are disjoint and
+# ordered), and the result doubles as a document-sharded serving layout.
+# See operators/index_build.py for the full argument.
 
 # --- query modes ----------------------------------------------------------------
 MODE_CONJUNCTIVE = "conjunctive"  # doc must contain ALL query terms

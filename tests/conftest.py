@@ -32,5 +32,8 @@ def index_dir(tmp_path_factory, spark, corpus_dir):
     from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
 
     root = str(tmp_path_factory.mktemp("index") / "idx")
-    build_index(spark, corpus_dir, root, n_shards=4, n_buckets=8)
+    # url_ordered: the synth corpus is generated in url order (contiguous id
+    # ranges per file) — exercises the shuffle-free encode path; the resume
+    # tests keep the default shuffle path covered
+    build_index(spark, corpus_dir, root, n_shards=4, n_buckets=8, url_ordered=True)
     return root

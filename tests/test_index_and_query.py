@@ -22,6 +22,25 @@ def cat(index_dir):
     return Catalog(index_dir)
 
 
+@pytest.fixture(scope="module")
+def posting_rows(spark, cat):
+    """Recomputed posting rows (the stream is derived, never staged)."""
+    from rt_etl_yahoo_search_engine_spark.operators.index_build import (
+        posting_rows_df,
+    )
+
+    stats = cat.read_stats()
+    df = posting_rows_df(
+        cat.read(spark, "tokens"),
+        stats["n_docs"],
+        stats["n_shards"],
+        stats["n_buckets"],
+    )
+    df.persist()
+    yield df
+    df.unpersist()
+
+
 def test_stats_sane(spark, cat):
     stats = cat.read_stats()
     # 2000 docs, 2% lang=xx filtered out -> 1960 indexed
@@ -42,11 +61,11 @@ def test_docmap_dense_and_sorted(spark, cat):
     assert urls == sorted(urls)
 
 
-def test_lexicon_matches_posting_rows(spark, cat):
+def test_lexicon_matches_posting_rows(spark, cat, posting_rows):
     stats = cat.read_stats()
     lex = {r["term"]: r for r in cat.read(spark, "lexicon").collect()}
     rows = (
-        cat.read(spark, "posting_rows")
+        posting_rows
         .groupBy("term")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
         .collect()
@@ -58,13 +77,13 @@ def test_lexicon_matches_posting_rows(spark, cat):
         assert abs(e["idf"] - spec.idf(stats["n_docs"], r["df"])) < 1e-12
 
 
-def test_blocks_decode_to_posting_rows(spark, cat):
-    """Compressed blocks decode back to exactly the staged posting rows."""
+def test_blocks_decode_to_posting_rows(spark, cat, posting_rows):
+    """Compressed blocks decode back to exactly the derived posting rows."""
     sample_terms = [r["term"] for r in cat.read(spark, "lexicon")
                     .orderBy(F.desc("df")).limit(5).collect()]
     sample_terms += ["starbucks", "coffee", "rice"]
     rows = (
-        cat.read(spark, "posting_rows")
+        posting_rows
         .filter(F.col("term").isin(sample_terms))
         .collect()
     )
@@ -77,7 +96,7 @@ def test_blocks_decode_to_posting_rows(spark, cat):
         .collect()
     )
     got = {}
-    for b in sorted(blocks, key=lambda b: (b["term"], b["shard"], b["block_id"])):
+    for b in sorted(blocks, key=lambda b: (b["term"], b["shard"], b["first_doc_id"])):
         ids = decode_doc_ids(b["doc_ids_vb"])
         tfs = decode_varbyte(b["tfs_vb"])
         dls = decode_varbyte(b["doc_lens_vb"])
@@ -121,16 +140,18 @@ def test_conjunctive_queries_nonempty(spark, index_dir):
     assert qids == set(spec.REFERENCE_QUERIES)
 
 
-def test_oracle_vs_duckdb(spark, cat, index_dir):
-    """Independent cross-check: DuckDB computes BM25 from the same staged
-    posting rows; top-10 must match the Spark oracle."""
+def test_oracle_vs_duckdb(spark, cat, index_dir, posting_rows, tmp_path):
+    """Independent cross-check: DuckDB computes BM25 from the same posting
+    rows; top-10 must match the Spark oracle."""
     stats = cat.read_stats()
     n, avgdl = stats["n_docs"], stats["avgdl"]
     q = "Chicken Rice"
     terms = sorted(set(spec.tokenize(q)))
+    pr_path = str(tmp_path / "pr")
+    posting_rows.write.parquet(pr_path)
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW pr AS SELECT * FROM parquet_scan('{cat.path('posting_rows')}/*/*.parquet')"
+        f"CREATE VIEW pr AS SELECT * FROM parquet_scan('{pr_path}/*.parquet')"
     )
     tl = ",".join(f"'{t}'" for t in terms)
     ddb = con.execute(

@@ -42,13 +42,13 @@ def test_kill_and_resume_equals_fresh(spark, small_corpus, tmp_path_factory):
     # resume: must skip completed stages/buckets and finish
     build_index(spark, small_corpus, resumed_root, n_shards=2, n_buckets=4, bucket_batch=1)
     assert Catalog(resumed_root).completed_partitions() >= {
-        "tokens", "docmap", "stats", "posting_rows",
+        "tokens", "docmap", "stats",
         "bucket:0", "bucket:1", "bucket:2", "bucket:3", "lexicon",
     }
 
     # identical outputs
     for name, keys in [
-        ("docmap", ["doc_id", "url", "doc_len"]),
+        ("docmap", ["doc_id", "url"]),
         ("lexicon", ["term", "df", "cf", "n_blocks", "idf"]),
         (
             "postings",
