@@ -149,6 +149,32 @@ def _q_bm25_conj(spark, sf_dir):
     return _bm25(spark, sf_dir, spec.MODE_CONJUNCTIVE)
 
 
+def _q_bm25_serve(spark, sf_dir):
+    """Low-latency serving path (plans.serve.LocalSearcher): no Spark job
+    for the query itself — pyarrow bucket/row-group pruned reads + the same
+    block-max WAND operator.  Shares the bm25_topk_disjunctive oracle, so
+    the driver independently proves serve == SQL-exhaustive BM25."""
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
+
+    root = _index_for(spark, sf_dir)
+    pdf = LocalSearcher(root).search_batch(
+        DOC_QUERIES, mode=spec.MODE_DISJUNCTIVE, k=10
+    )
+    docmap = (
+        ds.dataset(os.path.join(root, "docmap")).to_table().to_pandas()
+    )
+    pdf = pdf.merge(docmap, on="doc_id", how="left")
+    pdf["doc_id"] = pd.to_numeric(pdf["url"])  # url = lpad(original doc_id)
+    pdf["score"] = pdf["score"].round(6)
+    return spark.createDataFrame(
+        pdf[["query_id", "rank", "doc_id", "score"]],
+        schema="query_id string, rank int, doc_id long, score double",
+    )
+
+
 def _q_scan_filter_project(spark, sf_dir):
     return (
         _read(spark, sf_dir, "orders")
@@ -369,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk_disjunctive": _q_bm25_disj,
         "bm25_topk_conjunctive": _q_bm25_conj,
+        "bm25_serve_topk": _q_bm25_serve,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -504,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_disjunctive": _bm25_sql("disjunctive"),
         "bm25_topk_conjunctive": _bm25_sql("conjunctive"),
+        "bm25_serve_topk": _bm25_sql("disjunctive"),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -149,6 +149,30 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         timings["query_p99_s"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
         spark.stop()
 
+        # --- phase 4: serving path (plans.serve) — per-query latency with no
+        # Spark job; one cold query (includes lexicon/postings pruned reads),
+        # then the reference set + the 500-query batch warm
+        from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
+
+        searcher = LocalSearcher(web_idx)
+        t0 = time.time()
+        searcher.search("Starbucks Coffee")
+        timings["serve_cold_s"] = time.time() - t0
+        slat = []
+        for qid, text in spec.REFERENCE_QUERIES.items():
+            t0 = time.time()
+            searcher.search(text, mode=spec.MODE_DISJUNCTIVE, k=10)
+            slat.append(time.time() - t0)
+        slat.sort()
+        timings["serve_p50_s"] = slat[len(slat) // 2]
+        timings["serve_p99_s"] = slat[-1]
+        t0 = time.time()
+        for text in big.values():
+            searcher.search(text, mode=spec.MODE_DISJUNCTIVE, k=10)
+        dt = time.time() - t0
+        timings["serve_batch_500"] = dt
+        timings["serve_qps_500"] = len(big) / dt
+
         total = (
             timings["build_webtext"]
             + timings["build_documents"]

@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# importable without --py-files when launched from a repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:

@@ -3,16 +3,22 @@
 
     spark-submit --py-files dist/engine.zip jobs/query_topk.py \
         --index /data/index --query "Chicken Rice" --query "Gout" \
-        [--mode conjunctive] [--k 10] [--oracle] [--out /data/results]
+        [--mode conjunctive] [--k 10] [--oracle] [--serve] [--out /data/results]
 
 --oracle runs the exhaustive DataFrame scorer instead of block-max WAND
 (rank-identical by construction; used for verification).
+--serve answers from the low-latency local searcher (plans.serve) — no
+Spark job at all; rank-identical to the distributed path.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# importable without --py-files when launched from a repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -24,6 +30,7 @@ def main(argv=None) -> int:
                    default="disjunctive")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--oracle", action="store_true")
+    p.add_argument("--serve", action="store_true")
     p.add_argument("--out", default=None, help="write results parquet here")
     args = p.parse_args(argv)
 
@@ -36,6 +43,17 @@ def main(argv=None) -> int:
         if args.query
         else spec.REFERENCE_QUERIES
     )
+    if args.serve:
+        from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
+
+        pdf = LocalSearcher(args.index).search_batch(
+            queries, mode=args.mode, k=args.k
+        )
+        if args.out:
+            pdf.to_parquet(args.out)
+        else:
+            print(pdf.sort_values(["query_id", "rank"]).to_string(index=False))
+        return 0
     spark = get_spark(app="query-topk")
     fn = topk_oracle if args.oracle else topk
     kwargs = {} if args.oracle else {"with_url": True}

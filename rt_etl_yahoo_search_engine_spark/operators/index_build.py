@@ -56,6 +56,7 @@ point-in-time jobs-ledger recovery pattern
 
 from __future__ import annotations
 
+import contextlib
 import time
 from collections.abc import Iterator
 
@@ -182,6 +183,32 @@ def tokens_from_text(pages_with_id: DataFrame) -> DataFrame:
         F.size("toks").alias("doc_len"),
     )
     return tf.unionByName(sentinels)
+
+
+@contextlib.contextmanager
+def contiguous_splits(spark):
+    """Disable small-file bin packing for scans executed inside this context.
+
+    The url_ordered fast path relies on every scan partition covering ONE
+    contiguous doc_id range.  Splits of a single file are contiguous row
+    runs, but Spark's file packing then bins multiple SMALL files into one
+    partition in size order, not range order — a partition holding files
+    {A, C} (with B elsewhere) sorts to one doc run spanning A..C, and the
+    128-doc blocks cut from it overlap the partition holding B.  (Latent at
+    larger file sizes, deterministic at small ones; caught by the query-side
+    cursor's disjointness check.)  Raising openCostInBytes above
+    maxPartitionBytes makes every file chunk its own partition: large files
+    still split into contiguous chunks, small files just stop being packed
+    together.  Cost: at most one task per input file — irrelevant for the
+    16 MB+ files any real table has.
+    """
+    key = "spark.sql.files.openCostInBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(1 << 30))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 # --- stage 2: docmap ----------------------------------------------------------
@@ -440,7 +467,14 @@ def build_index(
             if tokenizer == "html"
             else tokens_from_text(pages_with_id)
         )
-        cat.write(tok, "tokens")
+        if url_ordered:
+            # each extract task must cover one contiguous url range so the
+            # tokens files it writes are doc-contiguous (the encode below
+            # depends on it)
+            with contiguous_splits(spark):
+                cat.write(tok, "tokens")
+        else:
+            cat.write(tok, "tokens")
         cat.append_manifest(
             [_mrow("tokens", build_time_s=time.time() - t0)]
         )
@@ -520,8 +554,14 @@ def build_index(
         # idf in (same float op order), so no blocks x lexicon join is paid
         # here and the WAND bound stays an exact float upper bound.
         blocks.persist()
+        stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
         try:
-            blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
+            with stack:
+                # url_ordered: the persist materialization runs the tokens
+                # scan + encode, so the no-packing conf must cover THIS
+                # action (each encode partition = one contiguous tokens
+                # file chunk = one doc range)
+                blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
             metrics = (
                 blocks.groupBy("bucket")
                 .agg(
@@ -580,7 +620,17 @@ def build_index(
             .agg(F.count("*").cast("int").alias("n_blocks"))
         )
         cat.write(
-            lex.join(nb, "term").select("term", "df", "cf", "n_blocks", "idf"),
+            lex.join(nb, "term").select(
+                "term",
+                "df",
+                "cf",
+                "n_blocks",
+                "idf",
+                # materialized bucket id: lets non-JVM readers (the serving
+                # path) locate a term's postings partition without
+                # reimplementing Spark's xxhash64
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            ),
             "lexicon",
         )
         cat.append_manifest([_mrow("lexicon", build_time_s=time.time() - t0)])
