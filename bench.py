@@ -199,10 +199,13 @@ def _scaling(sf_dir: str) -> None:
     MINIMUM per config is reported — min is the standard noise-robust
     estimator of true cost on a contended host."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "600000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
+    pair = tuple(
+        int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
+    )
     results: dict[int, dict] = {}
     for rep in range(reps):
-        for cpus in (8, 32):
+        for cpus in pair:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SF_DIR=sf_dir,
                        SPARK_GRAFT_BENCH_DOCS=str(n_docs))
@@ -210,6 +213,12 @@ def _scaling(sf_dir: str) -> None:
                 [sys.executable, __file__], env=env, capture_output=True,
                 text=True, timeout=3600,
             )
+            if out.returncode != 0 or not out.stdout.strip():
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"scaling leg cpus={cpus} rep={rep} failed "
+                    f"(exit {out.returncode}); stderr tail above"
+                )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             prev = results.get(cpus)
@@ -217,52 +226,45 @@ def _scaling(sf_dir: str) -> None:
                                 < prev["queries"]["build_webtext"]):
                 results[cpus] = r
 
-    q8, q32 = results[8]["queries"], results[32]["queries"]
-    build_tp8 = q8["build_webtext_docs_per_sec"]
-    build_tp32 = q32["build_webtext_docs_per_sec"]
-    build_eff = (build_tp32 / build_tp8) / 4
-    qps8, qps32 = q8["qps_500"], q32["qps_500"]
-    query_eff = (qps32 / qps8) / 4
+    lo, hi = pair
+    ql, qh = results[lo]["queries"], results[hi]["queries"]
+    factor = hi / lo
+    build_lo = ql["build_webtext_docs_per_sec"]
+    build_hi = qh["build_webtext_docs_per_sec"]
+    build_eff = (build_hi / build_lo) / factor
+    qps_lo, qps_hi = ql["qps_500"], qh["qps_500"]
+    query_eff = (qps_hi / qps_lo) / factor
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured scaling (sandbox protocol)
+    with open(os.path.join(REPO, "BENCH", f"scaling_{lo}v{hi}.md"), "w") as f:
+        f.write(f"""## Measured pair local[{lo}] vs local[{hi}] ({reps}x interleaved reps, min per config)
 
-north_rule requires >=0.8 throughput scaling efficiency between N and 4N
-executors for both phases.  No real cluster exists in this sandbox
-(BASELINE.md "sandbox scaling protocol"), so the same job runs on the same
-input at `local[8]` vs `local[32]` in fresh JVMs, {reps}x interleaved
-repetitions, minimum per config reported (the host shows phantom load and
-writeback stalls; min suppresses noisy-neighbor interference).
-
-Input: {results[8]["n_webtext_docs"]} synthesized webtext pages (input_hint
+Input: {results[lo]["n_webtext_docs"]} synthesized webtext pages (input_hint
 shape); full pipeline = HTML extraction -> tokenize -> docmap -> doc-range
 shard (skew) -> compressed block postings + lexicon + manifests; query =
-block-max WAND BM25 top-10 over a 500-query generated batch (big enough
-that WAND work dominates fixed per-job driver overhead).
+block-max WAND BM25 top-10 over a 500-query generated batch.
 
-| phase | local[8] | local[32] | ratio | efficiency (ratio/4) |
+| phase | local[{lo}] | local[{hi}] | ratio | efficiency (ratio/{factor:.0f}) |
 |---|---|---|---|---|
-| index build (docs/sec) | {build_tp8:.1f} | {build_tp32:.1f} | {build_tp32/build_tp8:.2f}x | **{build_eff:.2f}** |
-| query batch (QPS, 500 queries) | {qps8:.2f} | {qps32:.2f} | {qps32/qps8:.2f}x | **{query_eff:.2f}** |
+| index build (docs/sec) | {build_lo:.1f} | {build_hi:.1f} | {build_hi/build_lo:.2f}x | **{build_eff:.2f}** |
+| query batch (QPS, 500 queries) | {qps_lo:.2f} | {qps_hi:.2f} | {qps_hi/qps_lo:.2f}x | **{query_eff:.2f}** |
 
-Raw build times: {q8["build_webtext"]:.1f}s @8 -> {q32["build_webtext"]:.1f}s @32.
-500-query batch: {q8["query_batch_500"]:.2f}s @8 -> {q32["query_batch_500"]:.2f}s @32.
-Reference-set batch QPS @32: {q32["qps_disjunctive"]:.2f} (disjunctive),
-{q32["qps_conjunctive"]:.2f} (conjunctive); per-query p50/p99 @32:
-{q32["query_p50_s"]:.2f}s / {q32["query_p99_s"]:.2f}s.
-
-Caveats: local-mode shuffles are in-process (no network), so this evidences
-algorithmic scalability (no serial bottleneck, no skewed reducer), not
-cluster-fabric behavior.  Fixed per-job driver overhead (~1-2 s/stage) is
-constant across cluster sizes and dilutes efficiency at small inputs; the
-corpus size above is chosen so per-doc work dominates.
+Raw build times: {ql["build_webtext"]:.1f}s @{lo} -> {qh["build_webtext"]:.1f}s @{hi}.
+500-query batch: {ql["query_batch_500"]:.2f}s @{lo} -> {qh["query_batch_500"]:.2f}s @{hi}.
+Reference-set batch QPS @{hi}: {qh["qps_disjunctive"]:.2f} (disjunctive),
+{qh["qps_conjunctive"]:.2f} (conjunctive); per-query p50/p99 @{hi}:
+{qh["query_p50_s"]:.2f}s / {qh["query_p99_s"]:.2f}s (Spark job per query).
+Serving path p50/p99 @{hi}: {qh.get("serve_p50_s", float("nan"))*1000:.1f}ms /
+{qh.get("serve_p99_s", float("nan"))*1000:.1f}ms (cold
+{qh.get("serve_cold_s", float("nan"))*1000:.0f}ms), single-process QPS
+{qh.get("serve_qps_500", float("nan")):.0f}.
 """)
     print(json.dumps({
+        "pair": [lo, hi],
         "build_eff": round(build_eff, 3),
         "query_eff": round(query_eff, 3),
-        "build_docs_per_sec": {"8": build_tp8, "32": build_tp32},
-        "qps_disjunctive": {"8": qps8, "32": qps32},
+        "build_docs_per_sec": {str(lo): build_lo, str(hi): build_hi},
+        "qps_500": {str(lo): qps_lo, str(hi): qps_hi},
     }))
 
 

@@ -214,8 +214,8 @@ def contiguous_splits(spark):
 # --- stage 2: docmap ----------------------------------------------------------
 
 
-def build_docmap(pages: DataFrame, num_partitions: int) -> DataFrame:
-    """(doc_id, url); doc_id = dense rank by url (deterministic).
+def build_docmap(pages: DataFrame, num_partitions: int, offset: int = 0) -> DataFrame:
+    """(doc_id, url); doc_id = offset + dense rank by url (deterministic).
 
     Scalable zipWithIndex without leaving the JVM: range-partition by url,
     count rows per partition (one cheap job), then doc_id = partition offset
@@ -252,7 +252,7 @@ def build_docmap(pages: DataFrame, num_partitions: int) -> DataFrame:
     )
     w = Window.partitionBy("pid").orderBy("url")
     docmap = urls.select(
-        (F.row_number().over(w) - 1 + offset_map[F.col("pid")])
+        (F.row_number().over(w) - 1 + offset_map[F.col("pid")] + F.lit(offset))
         .cast("long")
         .alias("doc_id"),
         "url",
@@ -485,13 +485,17 @@ def build_index(
         t0 = time.time()
         agg = (
             tokens.filter(F.col("term").isNull())
-            .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+            .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"))
             .collect()[0]
         )
+        # avgdl from the EXACT int sum (doubles are exact far beyond any
+        # realistic sum here), so incremental extensions can recompute the
+        # identical global value additively (extend_index)
         cat.write_stats(
             {
                 "n_docs": int(agg["n"]),
-                "avgdl": float(agg["avgdl"]),
+                "sum_dl": int(agg["sum_dl"]),
+                "avgdl": int(agg["sum_dl"]) / int(agg["n"]),
                 "k1": spec.K1,
                 "b": spec.B,
                 "block_size": spec.BLOCK_SIZE,
@@ -635,6 +639,194 @@ def build_index(
         )
         cat.append_manifest([_mrow("lexicon", build_time_s=time.time() - t0)])
 
+    return cat
+
+
+# --- incremental extension (segment append) ----------------------------------
+
+
+def extend_index(
+    spark: SparkSession,
+    new_pages_path,
+    index_root: str,
+    tokenizer: str = "html",
+    url_ordered: bool = False,
+) -> Catalog:
+    """Append new documents to an existing index WITHOUT rebuilding it.
+
+    Lucene-segment-style, but rank-EXACT: the result of extend answers every
+    query with scores identical to a fresh full build over the concatenated
+    corpus (asserted by tests/test_extend.py), because
+
+      * doc_ids continue from the base count (dense rank over the new urls,
+        offset by n_docs) — disjoint doc ranges by construction;
+      * the delta gets its own shard-id range (version*n_shards + local), so
+        per-(term, shard) groups stay disjoint contiguous doc ranges and the
+        query-side cursor's global block order is preserved;
+      * global stats are recomputed EXACTLY and additively (sum_dl is an
+        exact int); scores always use the CURRENT global avgdl/idf (decoded
+        tf/doc_len are stored per posting, so no score math is baked);
+      * the only baked quantity, block_max_part, depends on the avgdl at
+        encode time — per segment the registry records that avgdl, and the
+        query side multiplies old segments' bounds by
+        max(1, avgdl_now/avgdl_seg), a safe factor because the score part is
+        increasing in avgdl (plans/bm25.py) — WAND pruning stays an exact
+        upper bound across extensions in either direction of avgdl drift;
+      * the lexicon is merged at vocab scale (old lexicon ⊔ delta counts,
+        idf recomputed with the new N) — never a corpus-scale rescan;
+      * visibility is atomic: queries read the segment registry
+        (segments.json, renamed into place LAST), so a crashed extension is
+        invisible and a rerun resumes from its manifest rows.
+
+    The reference's closest analog is its append-only PIT ledger ("an update
+    is an insert", ref src/models/dto_data_classes/status_dto.py:10-15) —
+    here the whole INDEX becomes append-only at segment granularity.
+    """
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    stats = cat.read_stats()
+    n_shards, n_buckets = stats["n_shards"], stats["n_buckets"]
+    ver = reg["version"] + 1
+    pfx = f"ext{ver}:"
+    done = cat.completed_partitions()
+    par = spark.sparkContext.defaultParallelism
+
+    raw = (
+        spark.read.parquet(new_pages_path)
+        if isinstance(new_pages_path, str)
+        else new_pages_path
+    )
+    pages = filtered_pages(raw, tokenizer)
+    n_base = reg["n_docs"]
+
+    dm_name, tok_name = f"docmap_{ver}", f"tokens_{ver}"
+    post_name, lex_name = f"postings_{ver}", f"lexicon_{ver}"
+
+    if pfx + "docmap" not in done:
+        t0 = time.time()
+        dm = build_docmap(pages, par, offset=n_base)
+        cat.write(dm, dm_name)
+        dm._graft_cached_urls.unpersist(blocking=False)
+        cat.append_manifest([_mrow(pfx + "docmap", build_time_s=time.time() - t0)])
+    docmap = cat.read(spark, dm_name)
+
+    if pfx + "tokens" not in done:
+        t0 = time.time()
+        dmj = F.broadcast(docmap) if n_base <= 20_000_000 else docmap
+        payload = "html" if tokenizer == "html" else "text"
+        pages_with_id = pages.select("url", payload).join(dmj, "url")
+        tok = (
+            tokens_from_pages(pages_with_id)
+            if tokenizer == "html"
+            else tokens_from_text(pages_with_id)
+        )
+        stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
+        with stack:
+            cat.write(tok, tok_name)
+        cat.append_manifest([_mrow(pfx + "tokens", build_time_s=time.time() - t0)])
+    tokens = cat.read(spark, tok_name)
+
+    agg = (
+        tokens.filter(F.col("term").isNull())
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"))
+        .collect()[0]
+    )
+    n_delta, sum_delta = int(agg["n"]), int(agg["sum_dl"] or 0)
+    if n_delta == 0:
+        return cat
+    n_new = n_base + n_delta
+    sum_new = reg["sum_dl"] + sum_delta
+    avgdl_new = sum_new / n_new
+
+    # delta posting rows: segment-local doc-range shards, globally unique ids
+    rows = tokens.filter(F.col("term").isNotNull()).select(
+        "term",
+        "doc_id",
+        "tf",
+        "doc_len",
+        (
+            F.lit(ver * n_shards)
+            + F.floor((F.col("doc_id") - n_base) * n_shards / F.lit(n_delta))
+        ).cast("int").alias("shard"),
+    )
+    if pfx + "postings" not in done:
+        t0 = time.time()
+        enc_parts = max(par, min(4096, n_delta // 3_000))
+        src = rows if url_ordered else rows.repartition(enc_parts, "term", "shard")
+        blocks = (
+            src.mapInArrow(make_arrow_encoder(avgdl_new), schema=BLOCKS_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term", "shard", "first_doc_id")
+        )
+        stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
+        with stack:
+            blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+                cat.path(post_name)
+            )
+        cat.append_manifest(
+            [_mrow(pfx + "postings", doc_count=n_delta, build_time_s=time.time() - t0)]
+        )
+
+    if pfx + "lexicon" not in done:
+        t0 = time.time()
+        delta_lex = (
+            tokens.filter(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count("*").alias("df_d"), F.sum("tf").alias("cf_d"))
+        )
+        delta_nb = (
+            cat.read(spark, post_name)
+            .groupBy("term")
+            .agg(F.count("*").cast("int").alias("nb_d"))
+        )
+        old = cat.read(spark, reg["lexicon_dir"]).select(
+            "term", "df", "cf", "n_blocks"
+        )
+        merged = (
+            old.join(delta_lex.join(delta_nb, "term"), "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_d", F.lit(0))).alias("cf"),
+                (
+                    F.coalesce("n_blocks", F.lit(0)) + F.coalesce("nb_d", F.lit(0))
+                ).cast("int").alias("n_blocks"),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(float(n_new)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+        )
+        cat.write(merged.select("term", "df", "cf", "n_blocks", "idf", "bucket"),
+                  lex_name)
+        cat.append_manifest([_mrow(pfx + "lexicon", build_time_s=time.time() - t0)])
+
+    # atomic visibility commit: the registry rename IS the extension commit
+    reg_new = {
+        "version": ver,
+        "n_docs": n_new,
+        "sum_dl": sum_new,
+        "avgdl": avgdl_new,
+        "lexicon_dir": lex_name,
+        "segments": reg["segments"] + [{"dir": post_name, "avgdl": avgdl_new}],
+        "docmap_dirs": reg.get("docmap_dirs", ["docmap"]) + [dm_name],
+        "token_dirs": reg.get("token_dirs", ["tokens"]) + [tok_name],
+    }
+    cat.write_registry(reg_new)
+    cat.append_manifest(
+        [_mrow(pfx + "commit", doc_count=n_delta, build_time_s=0.0)]
+    )
     return cat
 
 

@@ -53,23 +53,42 @@ def topk(
 ) -> DataFrame:
     """Optimized path: compressed postings + block-max WAND."""
     cat = Catalog(index_root)
-    stats = cat.read_stats()
+    reg = cat.read_registry()
+    avgdl = reg["avgdl"]
     qmeta, terms = build_qmeta(spark, queries, mode)
     if not terms:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
 
-    lex = cat.read(spark, "lexicon").filter(F.col("term").isin(terms))
+    lex = cat.read(spark, reg["lexicon_dir"]).filter(F.col("term").isin(terms))
     q = qmeta.join(lex.select("term", "idf"), "term")  # drops out-of-corpus terms
 
-    blocks = cat.read(spark, "postings").filter(F.col("term").isin(terms))
+    # one scan per segment (extensions append segments; base-only = 1);
+    # avgdl_seg is the global avgdl the segment's block_max_part was encoded
+    # against — see the bound correction below
+    seg_dfs = [
+        cat.read(spark, seg["dir"])
+        .filter(F.col("term").isin(terms))
+        .withColumn("avgdl_seg", F.lit(float(seg["avgdl"])))
+        for seg in reg["segments"]
+    ]
+    blocks = seg_dfs[0]
+    for s in seg_dfs[1:]:
+        blocks = blocks.unionByName(s)
     # block_max_score = idf * idf-free part, multiplied HERE with the same
-    # float op order the scorer uses, so it is an exact upper bound
+    # float op order the scorer uses, so it is an exact upper bound for the
+    # segment's own avgdl; the score part is increasing in avgdl, so when
+    # the CURRENT global avgdl exceeds the segment's encode-time avgdl the
+    # factor avgdl/avgdl_seg (>= their ratio pointwise) keeps the bound
+    # exact-safe — and it is 1 whenever stats haven't drifted upward
     joined = blocks.join(F.broadcast(q), "term").withColumn(
-        "block_max_score", F.col("idf") * F.col("block_max_part")
+        "block_max_score",
+        F.col("idf")
+        * F.col("block_max_part")
+        * F.greatest(F.lit(1.0), F.lit(float(avgdl)) / F.col("avgdl_seg")),
     )
 
     partials = joined.groupBy("query_id", "shard").applyInPandas(
-        make_wand_partial(stats["avgdl"], k), schema=TOPK_PARTIAL_SCHEMA
+        make_wand_partial(avgdl, k), schema=TOPK_PARTIAL_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
@@ -78,7 +97,7 @@ def topk(
         .select("query_id", "rank", "doc_id", "score")
     )
     if with_url:
-        docmap = cat.read(spark, "docmap")
+        docmap = cat.read(spark, *reg.get("docmap_dirs", ["docmap"]))
         out = (
             docmap.join(F.broadcast(out), "doc_id")
             .select("query_id", "rank", "doc_id", "url", "score")
@@ -99,11 +118,12 @@ def topk_oracle(
 
     cat = Catalog(index_root)
     stats = cat.read_stats()
+    reg = cat.read_registry()
     qmeta, terms = build_qmeta(spark, queries, mode)
     rows = posting_rows_df(
-        cat.read(spark, "tokens"),
-        stats["n_docs"],
+        cat.read(spark, *reg.get("token_dirs", ["tokens"])),
+        reg["n_docs"],
         stats["n_shards"],
         stats["n_buckets"],
     ).select("term", "doc_id", "tf", "doc_len")
-    return exhaustive_topk(rows, qmeta, stats["n_docs"], stats["avgdl"], k)
+    return exhaustive_topk(rows, qmeta, reg["n_docs"], reg["avgdl"], k)

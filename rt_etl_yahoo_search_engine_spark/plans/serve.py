@@ -66,13 +66,20 @@ class LocalSearcher:
 
         self._ds = ds
         self.root = index_root
-        stats = Catalog(index_root).read_stats()
-        self.avgdl = float(stats["avgdl"])
-        self.n_docs = int(stats["n_docs"])
-        self._lex_ds = ds.dataset(Catalog(index_root).path("lexicon"))
-        self._post_ds = ds.dataset(
-            Catalog(index_root).path("postings"), partitioning="hive"
-        )
+        cat = Catalog(index_root)
+        reg = cat.read_registry()
+        self.avgdl = float(reg["avgdl"])
+        self.n_docs = int(reg["n_docs"])
+        self._lex_ds = ds.dataset(cat.path(reg["lexicon_dir"]))
+        # one dataset per posting segment + the bound-correction factor for
+        # blocks encoded against an older global avgdl (see plans/bm25.py)
+        self._segments = [
+            (
+                ds.dataset(cat.path(seg["dir"]), partitioning="hive"),
+                max(1.0, self.avgdl / float(seg["avgdl"])),
+            )
+            for seg in reg["segments"]
+        ]
         self._term_cache: dict[str, tuple[float, int] | None] = {}
 
     # -- lexicon ---------------------------------------------------------
@@ -106,7 +113,13 @@ class LocalSearcher:
         flt = self._ds.field("bucket").isin(buckets) & self._ds.field("term").isin(
             terms
         )
-        return self._post_ds.to_table(columns=_POSTINGS_COLS, filter=flt).to_pandas()
+        parts = []
+        for seg_ds, factor in self._segments:
+            pdf = seg_ds.to_table(columns=_POSTINGS_COLS, filter=flt).to_pandas()
+            if factor != 1.0 and len(pdf):
+                pdf["block_max_part"] = pdf["block_max_part"] * factor
+            parts.append(pdf)
+        return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
     # -- query -------------------------------------------------------------
 

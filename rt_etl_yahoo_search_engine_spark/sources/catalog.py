@@ -54,8 +54,8 @@ class Catalog:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
-    def read(self, spark, name: str):
-        return spark.read.parquet(self.path(name))
+    def read(self, spark, name: str, *more: str):
+        return spark.read.parquet(self.path(name), *[self.path(n) for n in more])
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
@@ -72,6 +72,38 @@ class Catalog:
     def read_stats(self) -> dict:
         with open(os.path.join(self.root, "stats.json")) as f:
             return json.load(f)
+
+    # --- segment registry (incremental extensions) -------------------------
+    #
+    # Mutable index state lives in ONE json file committed by atomic rename
+    # (the Iceberg version-hint analog): current corpus stats, the live
+    # lexicon directory, and the list of posting segments with the global
+    # avgdl each was encoded against (extensions shift global avgdl; the
+    # query side corrects older segments' block-max bounds — plans/bm25.py).
+    # A base-only index needs no registry; read_registry synthesizes one
+    # from stats.json, so pre-extension indexes stay readable.
+
+    REGISTRY = "segments.json"
+
+    def read_registry(self) -> dict:
+        p = os.path.join(self.root, self.REGISTRY)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        stats = self.read_stats()
+        return {
+            "version": 0,
+            "n_docs": stats["n_docs"],
+            "sum_dl": stats.get(
+                "sum_dl", int(round(stats["avgdl"] * stats["n_docs"]))
+            ),
+            "avgdl": stats["avgdl"],
+            "lexicon_dir": "lexicon",
+            "segments": [{"dir": "postings", "avgdl": stats["avgdl"]}],
+        }
+
+    def write_registry(self, reg: dict) -> None:
+        self._atomic_json(os.path.join(self.root, self.REGISTRY), reg)
 
     # --- manifest ledger (append-only, atomic) -----------------------------
 
