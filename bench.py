@@ -98,20 +98,23 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         timings["build_webtext_docs_per_sec"] = n_docs / build_s
         spark.stop()
 
+        scaling_only = bool(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ONLY"))
+
         # --- phase 2: documents-table index build (driver data continuity)
         spark = _fresh("bench-build-documents")
-        doc_idx = os.path.join(tmp, "idx_docs")
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        pages2 = docs.select(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
-            "text", "lang",
-        )
-        n_docs2 = docs.count()
-        t0 = time.time()
-        build_index(spark, pages2, doc_idx, n_shards=N_SHARDS, n_buckets=8,
-                    tokenizer="text", url_ordered=True)
-        timings["build_documents"] = time.time() - t0
-        timings["build_documents_docs_per_sec"] = n_docs2 / timings["build_documents"]
+        if not scaling_only:
+            doc_idx = os.path.join(tmp, "idx_docs")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            pages2 = docs.select(
+                F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+                "text", "lang",
+            )
+            n_docs2 = docs.count()
+            t0 = time.time()
+            build_index(spark, pages2, doc_idx, n_shards=N_SHARDS, n_buckets=8,
+                        tokenizer="text", url_ordered=True)
+            timings["build_documents"] = time.time() - t0
+            timings["build_documents_docs_per_sec"] = n_docs2 / timings["build_documents"]
         spark.stop()
 
         # --- phase 3: queries (fresh session; one warm-up batch excluded)
@@ -138,15 +141,16 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
             timings[f"qps_{mode}"] = len(spec.REFERENCE_QUERIES) / dt
 
         lat = []
-        for qid, text in spec.REFERENCE_QUERIES.items():
+        for qid, text in ({} if scaling_only else spec.REFERENCE_QUERIES).items():
             t0 = time.time()
             topk(spark, web_idx, {qid: text}, mode=spec.MODE_DISJUNCTIVE, k=10).collect()
             dt = time.time() - t0
             timings[qid] = dt
             lat.append(dt)
-        lat.sort()
-        timings["query_p50_s"] = lat[len(lat) // 2]
-        timings["query_p99_s"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+        if lat:
+            lat.sort()
+            timings["query_p50_s"] = lat[len(lat) // 2]
+            timings["query_p99_s"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
         spark.stop()
 
         # --- phase 4: serving path (plans.serve) — per-query latency with no
@@ -154,7 +158,18 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         # then the reference set + the 500-query batch warm
         from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
 
-        searcher = LocalSearcher(web_idx)
+        searcher = LocalSearcher(web_idx) if not scaling_only else None
+        if searcher is None:
+            total = timings["build_webtext"] + timings["query_batch_500"]
+            return {
+                "metric": "index_build_plus_bm25_query_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in timings.items()},
+                "sf": sf,
+                "n_webtext_docs": n_docs,
+                "cpus": cpus,
+            }
         t0 = time.time()
         searcher.search("Starbucks Coffee")
         timings["serve_cold_s"] = time.time() - t0
@@ -208,7 +223,8 @@ def _scaling(sf_dir: str) -> None:
         for cpus in pair:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SF_DIR=sf_dir,
-                       SPARK_GRAFT_BENCH_DOCS=str(n_docs))
+                       SPARK_GRAFT_BENCH_DOCS=str(n_docs),
+                       SPARK_GRAFT_BENCH_SCALING_ONLY="1")
             out = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True,
                 text=True, timeout=3600,
@@ -252,12 +268,7 @@ block-max WAND BM25 top-10 over a 500-query generated batch.
 Raw build times: {ql["build_webtext"]:.1f}s @{lo} -> {qh["build_webtext"]:.1f}s @{hi}.
 500-query batch: {ql["query_batch_500"]:.2f}s @{lo} -> {qh["query_batch_500"]:.2f}s @{hi}.
 Reference-set batch QPS @{hi}: {qh["qps_disjunctive"]:.2f} (disjunctive),
-{qh["qps_conjunctive"]:.2f} (conjunctive); per-query p50/p99 @{hi}:
-{qh["query_p50_s"]:.2f}s / {qh["query_p99_s"]:.2f}s (Spark job per query).
-Serving path p50/p99 @{hi}: {qh.get("serve_p50_s", float("nan"))*1000:.1f}ms /
-{qh.get("serve_p99_s", float("nan"))*1000:.1f}ms (cold
-{qh.get("serve_cold_s", float("nan"))*1000:.0f}ms), single-process QPS
-{qh.get("serve_qps_500", float("nan")):.0f}.
+{qh["qps_conjunctive"]:.2f} (conjunctive).
 """)
     print(json.dumps({
         "pair": [lo, hi],

@@ -81,6 +81,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("first_doc_id", T.LongType(), False),
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("tf_sum", T.LongType(), False),  # lexicon cf without a tokens rescan
         T.StructField("block_max_part", T.DoubleType(), False),  # idf-free
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs_vb", T.BinaryType(), False),
@@ -258,7 +259,66 @@ def build_docmap(pages: DataFrame, num_partitions: int, offset: int = 0) -> Data
         "url",
     )
     docmap._graft_cached_urls = urls  # handle for the caller to unpersist
+    docmap._graft_n_docs = acc  # already-known count: saves a count job
     return docmap
+
+
+def build_docmap_ordered(spark, pages: DataFrame, cat: Catalog, name: str,
+                         offset: int = 0) -> int:
+    """url_ordered docmap fast path: ZERO exchanges.
+
+    With contiguous_splits every scan partition is one contiguous url range
+    of one file (and rows within a file are url-sorted — the url_ordered
+    declaration), so the global url rank is partition offset + row index.
+    Two narrow jobs: (1) per-partition (count, min, max) — which also
+    VERIFIES the declaration: overlapping partition url ranges abort the
+    build loudly; (2) mapInArrow id assignment + write.  The general path
+    (build_docmap) pays a range exchange + window instead; this one scales
+    to any corpus with no data movement at all.  Returns the doc count.
+    """
+    from pyspark import TaskContext
+
+    with contiguous_splits(spark):
+        urls = pages.select("url")
+        meta = [
+            r
+            for r in urls.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("cnt"), F.min("url").alias("mn"),
+                 F.max("url").alias("mx"))
+            .collect()
+            if r["cnt"] > 0
+        ]
+        meta.sort(key=lambda r: r["mn"])
+        for a, b in zip(meta, meta[1:]):
+            if a["mx"] >= b["mn"]:
+                raise ValueError(
+                    "pages files have overlapping url ranges; build with "
+                    "url_ordered=False (general path) instead"
+                )
+        offsets: dict[int, int] = {}
+        acc = offset
+        for r in meta:
+            offsets[r["pid"]] = acc
+            acc += r["cnt"]
+        b_off = spark.sparkContext.broadcast(offsets)
+
+        def assign(batches):
+            import pyarrow as pa
+
+            start = b_off.value.get(TaskContext.get().partitionId(), 0)
+            seen = 0
+            for rb in batches:
+                n = rb.num_rows
+                ids = pa.array(
+                    np.arange(start + seen, start + seen + n, dtype=np.int64)
+                )
+                seen += n
+                yield pa.RecordBatch.from_arrays(
+                    [ids, rb.column(0)], names=["doc_id", "url"]
+                )
+
+        cat.write(urls.mapInArrow(assign, "doc_id long, url string"), name)
+    return acc - offset
 
 
 # --- stage 4: block encoder -----------------------------------------------------
@@ -342,6 +402,7 @@ def make_arrow_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
         # exact idf-free score part per posting (same op order as query side)
         parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         max_tf = np.maximum.reduceat(tfs, starts)
+        tf_sum = np.add.reduceat(tfs, starts)
         max_part = np.maximum.reduceat(parts, starts)
 
         # delta-gap doc_ids with a reset at every block start; one varbyte pass
@@ -367,6 +428,7 @@ def make_arrow_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
                 pa.array(doc_ids[starts]),
                 pa.array(doc_ids[ends]),
                 pa.array(max_tf.astype(np.int32)),
+                pa.array(tf_sum),
                 pa.array(max_part),
                 _bin_col(ids_bytes, ids_off, starts, n),
                 _bin_col(tfs_bytes, tfs_off, starts, n),
@@ -447,18 +509,28 @@ def build_index(
     # -- docmap (first: tokens carry doc_id, never url) ----------------------
     if "docmap" not in done:
         t0 = time.time()
-        dm = build_docmap(pages, par)
-        cat.write(dm, "docmap")
-        dm._graft_cached_urls.unpersist(blocking=False)
-        cat.append_manifest([_mrow("docmap", build_time_s=time.time() - t0)])
+        if url_ordered:
+            n0 = build_docmap_ordered(spark, pages, cat, "docmap")
+        else:
+            dm = build_docmap(pages, par)
+            cat.write(dm, "docmap")
+            dm._graft_cached_urls.unpersist(blocking=False)
+            n0 = dm._graft_n_docs
+        cat.append_manifest(
+            [_mrow("docmap", doc_count=n0, build_time_s=time.time() - t0)]
+        )
     docmap = cat.read(spark, "docmap")
 
-    # -- tokens ------------------------------------------------------------
+    # -- tokens (corpus stats ride along as observation metrics: the write
+    # job computes N and sum(doc_len) from the sentinel rows in-flight, so
+    # no separate stats job ever scans the tokens table) --------------------
     if "tokens" not in done:
+        from pyspark.sql import Observation
+
         t0 = time.time()
         # attach doc_id at n_docs scale: broadcast the map when it fits,
         # else the one big shuffle join on url (10^12-doc path)
-        n_docs0 = docmap.count()
+        n_docs0 = cat.latest_status().get("docmap", {}).get("doc_count") or docmap.count()
         dmj = F.broadcast(docmap) if n_docs0 <= 20_000_000 else docmap
         payload = "html" if tokenizer == "html" else "text"
         pages_with_id = pages.select("url", payload).join(dmj, "url")
@@ -466,6 +538,12 @@ def build_index(
             tokens_from_pages(pages_with_id)
             if tokenizer == "html"
             else tokens_from_text(pages_with_id)
+        )
+        obs = Observation("corpus-stats")
+        tok = tok.observe(
+            obs,
+            F.count(F.when(F.col("term").isNull(), 1)).alias("n"),
+            F.sum(F.when(F.col("term").isNull(), F.col("doc_len"))).alias("sum_dl"),
         )
         if url_ordered:
             # each extract task must cover one contiguous url range so the
@@ -475,12 +553,16 @@ def build_index(
                 cat.write(tok, "tokens")
         else:
             cat.write(tok, "tokens")
+        if "stats" not in done:
+            _write_stats(cat, obs.get, n_shards, n_buckets)
+            done = done | {"stats"}
+            cat.append_manifest([_mrow("stats", build_time_s=0.0)])
         cat.append_manifest(
             [_mrow("tokens", build_time_s=time.time() - t0)]
         )
     tokens = cat.read(spark, "tokens")
 
-    # -- stats (from the per-doc sentinel rows) -------------------------------
+    # -- stats fallback (resume path: tokens committed, stats lost) ----------
     if "stats" not in done:
         t0 = time.time()
         agg = (
@@ -488,21 +570,8 @@ def build_index(
             .agg(F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl"))
             .collect()[0]
         )
-        # avgdl from the EXACT int sum (doubles are exact far beyond any
-        # realistic sum here), so incremental extensions can recompute the
-        # identical global value additively (extend_index)
-        cat.write_stats(
-            {
-                "n_docs": int(agg["n"]),
-                "sum_dl": int(agg["sum_dl"]),
-                "avgdl": int(agg["sum_dl"]) / int(agg["n"]),
-                "k1": spec.K1,
-                "b": spec.B,
-                "block_size": spec.BLOCK_SIZE,
-                "n_shards": n_shards,
-                "n_buckets": n_buckets,
-            }
-        )
+        _write_stats(cat, {"n": agg["n"], "sum_dl": agg["sum_dl"]},
+                     n_shards, n_buckets)
         cat.append_manifest([_mrow("stats", build_time_s=time.time() - t0)])
     stats = cat.read_stats()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -557,44 +626,25 @@ def build_index(
         # block_max_part is idf-FREE; the query side multiplies the lexicon
         # idf in (same float op order), so no blocks x lexicon join is paid
         # here and the WAND bound stays an exact float upper bound.
-        blocks.persist()
         stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
-        try:
-            with stack:
-                # url_ordered: the persist materialization runs the tokens
-                # scan + encode, so the no-packing conf must cover THIS
-                # action (each encode partition = one contiguous tokens
-                # file chunk = one doc range)
-                blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
-            metrics = (
-                blocks.groupBy("bucket")
-                .agg(
-                    F.min("term").alias("tmin"),
-                    F.max("term").alias("tmax"),
-                    F.sum("doc_count").alias("doc_count"),
-                    F.sum(
-                        F.octet_length("doc_ids_vb")
-                        + F.octet_length("tfs_vb")
-                        + F.octet_length("doc_lens_vb")
-                    ).alias("bytes"),
-                )
-                .collect()
-            )
-        finally:
-            blocks.unpersist()
+        with stack:
+            # url_ordered: this action runs the tokens scan + encode, so the
+            # no-packing conf must cover it (each encode partition = one
+            # contiguous tokens file chunk = one doc range)
+            blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
+        # lineage metrics from the freshly written parquet FOOTERS (driver-
+        # side metadata walk; each bucket is written by exactly one batch, so
+        # pending buckets' dirs are exactly this batch's output) — no second
+        # job, no persist of the blocks table
+        by_bucket = _bucket_metrics(cat.path("postings"), pending)
         dt = time.time() - t0
-        by_bucket = {int(r["bucket"]): r for r in metrics}
         cat.append_manifest(
             [
                 _mrow(
                     f"bucket:{b}",
-                    term_range=(
-                        f"{by_bucket[b]['tmin']}..{by_bucket[b]['tmax']}"
-                        if b in by_bucket
-                        else ""
-                    ),
-                    doc_count=int(by_bucket[b]["doc_count"]) if b in by_bucket else 0,
-                    bytes=int(by_bucket[b]["bytes"]) if b in by_bucket else 0,
+                    term_range=by_bucket.get(b, {}).get("term_range", ""),
+                    doc_count=by_bucket.get(b, {}).get("doc_count", 0),
+                    bytes=by_bucket.get(b, {}).get("bytes", 0),
                     build_time_s=dt / max(1, len(pending)),
                 )
                 for b in pending
@@ -602,44 +652,88 @@ def build_index(
         )
         batches_done += 1
 
-    # -- lexicon: df/cf/idf straight from tokens (one row per (url, term) —
-    # no docmap join needed) + n_blocks from blocks, one job ---------------------
+    # -- lexicon: derived from the BLOCKS table, never a tokens rescan — the
+    # blocks table is block_size smaller than the posting stream, and it
+    # already carries df (sum of doc_count) and cf (sum of tf_sum) per term
     if "lexicon" not in done:
         t0 = time.time()
-        lex = (
-            tokens.filter(F.col("term").isNotNull())
-            .groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-            .withColumn(
-                "idf",  # Robertson idf, same formula as spec.idf
-                F.log(
-                    (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                    + 1.0
-                ),
-            )
-        )
-        nb = (
-            cat.read(spark, "postings")
-            .groupBy("term")
-            .agg(F.count("*").cast("int").alias("n_blocks"))
-        )
-        cat.write(
-            lex.join(nb, "term").select(
-                "term",
-                "df",
-                "cf",
-                "n_blocks",
-                "idf",
-                # materialized bucket id: lets non-JVM readers (the serving
-                # path) locate a term's postings partition without
-                # reimplementing Spark's xxhash64
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
-            ),
-            "lexicon",
-        )
+        cat.write(lexicon_from_blocks(cat.read(spark, "postings"), n_docs, n_buckets),
+                  "lexicon")
         cat.append_manifest([_mrow("lexicon", build_time_s=time.time() - t0)])
 
     return cat
+
+
+def lexicon_from_blocks(blocks: DataFrame, n_docs: int, n_buckets: int) -> DataFrame:
+    """(term, df, cf, n_blocks, idf, bucket) from block metadata alone."""
+    return (
+        blocks.groupBy("term")
+        .agg(
+            F.sum("doc_count").alias("df"),  # one posting per (term, doc)
+            F.sum("tf_sum").alias("cf"),
+            F.count("*").cast("int").alias("n_blocks"),
+        )
+        .withColumn(
+            "idf",  # Robertson idf, same formula as spec.idf
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            # materialized bucket id: lets non-JVM readers (the serving
+            # path) locate a term's postings partition without
+            # reimplementing Spark's xxhash64
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .select("term", "df", "cf", "n_blocks", "idf", "bucket")
+    )
+
+
+def _bucket_metrics(postings_root: str, buckets: list[int]) -> dict[int, dict]:
+    """Per-bucket lineage metrics from parquet footers (no Spark job):
+    doc_count = sum of the doc_count column (read directly — it is
+    n_blocks ints), bytes = compressed size of the three vb payload
+    columns, term_range from row-group statistics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: dict[int, dict] = {}
+    for b in buckets:
+        bdir = os.path.join(postings_root, f"bucket={b}")
+        if not os.path.isdir(bdir):
+            continue
+        docs = 0
+        nbytes = 0
+        tmin = tmax = None
+        for fname in os.listdir(bdir):
+            if not fname.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(bdir, fname))
+            t_idx = pf.schema_arrow.names.index("term")
+            docs += int(
+                pf.read(columns=["doc_count"]).column(0).to_pandas().sum()
+            )
+            for rg in range(pf.metadata.num_row_groups):
+                meta = pf.metadata.row_group(rg)
+                for ci in range(meta.num_columns):
+                    col = meta.column(ci)
+                    if col.path_in_schema.endswith("_vb"):
+                        nbytes += col.total_compressed_size
+                tstat = meta.column(t_idx).statistics
+                if tstat is not None and tstat.has_min_max:
+                    lo = tstat.min if isinstance(tstat.min, str) else tstat.min.decode()
+                    hi = tstat.max if isinstance(tstat.max, str) else tstat.max.decode()
+                    tmin = lo if tmin is None or lo < tmin else tmin
+                    tmax = hi if tmax is None or hi > tmax else tmax
+        out[b] = {
+            "doc_count": docs,
+            "bytes": nbytes,
+            "term_range": f"{tmin}..{tmax}" if tmin is not None else "",
+        }
+    return out
 
 
 # --- incremental extension (segment append) ----------------------------------
@@ -704,10 +798,16 @@ def extend_index(
 
     if pfx + "docmap" not in done:
         t0 = time.time()
-        dm = build_docmap(pages, par, offset=n_base)
-        cat.write(dm, dm_name)
-        dm._graft_cached_urls.unpersist(blocking=False)
-        cat.append_manifest([_mrow(pfx + "docmap", build_time_s=time.time() - t0)])
+        if url_ordered:
+            n0 = build_docmap_ordered(spark, pages, cat, dm_name, offset=n_base)
+        else:
+            dm = build_docmap(pages, par, offset=n_base)
+            cat.write(dm, dm_name)
+            dm._graft_cached_urls.unpersist(blocking=False)
+            n0 = dm._graft_n_docs
+        cat.append_manifest(
+            [_mrow(pfx + "docmap", doc_count=n0, build_time_s=time.time() - t0)]
+        )
     docmap = cat.read(spark, dm_name)
 
     if pfx + "tokens" not in done:
@@ -773,21 +873,22 @@ def extend_index(
 
     if pfx + "lexicon" not in done:
         t0 = time.time()
-        delta_lex = (
-            tokens.filter(F.col("term").isNotNull())
-            .groupBy("term")
-            .agg(F.count("*").alias("df_d"), F.sum("tf").alias("cf_d"))
-        )
-        delta_nb = (
+        # vocab-scale merge: old lexicon ⊔ delta counts from the delta
+        # BLOCKS table (df/cf/n_blocks all live in block metadata)
+        delta = (
             cat.read(spark, post_name)
             .groupBy("term")
-            .agg(F.count("*").cast("int").alias("nb_d"))
+            .agg(
+                F.sum("doc_count").alias("df_d"),
+                F.sum("tf_sum").alias("cf_d"),
+                F.count("*").cast("int").alias("nb_d"),
+            )
         )
         old = cat.read(spark, reg["lexicon_dir"]).select(
             "term", "df", "cf", "n_blocks"
         )
         merged = (
-            old.join(delta_lex.join(delta_nb, "term"), "term", "full_outer")
+            old.join(delta, "term", "full_outer")
             .select(
                 "term",
                 (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
@@ -828,6 +929,25 @@ def extend_index(
         [_mrow(pfx + "commit", doc_count=n_delta, build_time_s=0.0)]
     )
     return cat
+
+
+def _write_stats(cat: Catalog, agg: dict, n_shards: int, n_buckets: int) -> None:
+    """avgdl from the EXACT int sum (doubles are exact far beyond any
+    realistic sum here), so incremental extensions can recompute the
+    identical global value additively (extend_index)."""
+    n, sum_dl = int(agg["n"] or 0), int(agg["sum_dl"] or 0)
+    cat.write_stats(
+        {
+            "n_docs": n,
+            "sum_dl": sum_dl,
+            "avgdl": sum_dl / n if n else 0.0,
+            "k1": spec.K1,
+            "b": spec.B,
+            "block_size": spec.BLOCK_SIZE,
+            "n_shards": n_shards,
+            "n_buckets": n_buckets,
+        }
+    )
 
 
 def _mrow(partition_id: str, **kw) -> dict:
