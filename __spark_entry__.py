@@ -520,7 +520,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOKS_EN}))
               GROUP BY doc_id, term),
             st AS (SELECT count(*) AS n_docs FROM documents WHERE lang = 'en')
-            SELECT term, count(*) AS df, sum(tf) AS cf,
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
                    ROUND(ln((st.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0), 6)
                        AS idf
             FROM tf, st GROUP BY term, st.n_docs
@@ -572,8 +572,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
             seq AS (
-              SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS group_seq
+              SELECT *, CAST(sum(changed) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS group_seq
               FROM runs)
             SELECT user_id, group_seq, event_type,
                    min(event_id) AS run_start, max(event_id) AS run_end,
@@ -690,7 +690,7 @@ WHERE rank <= 10
         "media_meta_stats": f"""
             SELECT {mm.META_SQL["media_type"]} AS media_type,
                    count(*) AS n,
-                   sum(payload_len) AS total_bytes,
+                   CAST(sum(payload_len) AS BIGINT) AS total_bytes,
                    ROUND(avg(payload_len), 6) AS avg_bytes
             FROM (SELECT doc_id, {mm.META_SQL["payload_len"]} AS payload_len
                   FROM documents)

@@ -1,11 +1,19 @@
 """Mimics the driver: run every queries() entry at sf0.01 alongside its
-oracle_sql() in DuckDB and compare row count, column names, and values
-(order-insensitive, exact after the entries' own rounding)."""
+oracle_sql() in DuckDB and compare row count, column names, Arrow-level
+column TYPES, and exact values (order-insensitive, no rounding slack).
+
+The driver's value hash is type-sensitive: an uncast DuckDB integer sum()
+widens to HUGEINT (Arrow decimal128) and hash-mismatches a Spark BIGINT even
+when every value is equal. This gate fetches both sides through Arrow and
+compares canonicalized types so that class of bug fails locally before it
+fails at the driver (VERDICT r1 "What's wrong" #1-2).
+"""
 
 import math
 import os
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -27,44 +35,78 @@ def ddb():
     return con
 
 
+def _canon_type(t: pa.DataType) -> str:
+    """Canonical type label for hash-equivalence across Spark/DuckDB Arrow.
+
+    Equivalences that are known hash-safe (driver r1 evidence: entries with
+    these pairings hash-matched): any timestamp unit/tz, string vs
+    large_string, binary vs large_binary, list vs large_list. Everything
+    else — notably decimal128 vs int64 (the HUGEINT artifact) — must match
+    exactly.
+    """
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    return str(t)
+
+
 def _norm(v):
     if v is None:
         return None
     if isinstance(v, bool):
         return bool(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
     return v
 
 
-def _rows(cols, data):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+def _sorted_rows(tbl: pa.Table):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
     return sorted(
-        tuple(_norm(row[i]) for i in idx) for row in data
-    ), [cols[i] for i in idx]
+        tuple(_norm(data[j][i]) for j in range(len(cols)))
+        for i in range(tbl.num_rows)
+    ), cols
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
-    srows_raw = sdf.collect()
-    scols = sdf.columns
-    ora = ddb.execute(entry_mod.oracle_sql()[name])
-    ocols = [d[0] for d in ora.description]
-    orows_raw = ora.fetchall()
+    stbl = sdf.toArrow()
+    otbl = ddb.execute(entry_mod.oracle_sql()[name]).arrow()
 
-    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
-    assert len(srows_raw) == len(orows_raw), (
-        f"{name}: row count {len(srows_raw)} vs oracle {len(orows_raw)}"
+    assert sorted(stbl.column_names) == sorted(otbl.column_names), (
+        f"{name}: column names differ"
     )
-    srows, _ = _rows(scols, [[r[c] for c in scols] for r in srows_raw])
-    orows, _ = _rows(ocols, orows_raw)
-    mismatches = [
-        (a, b) for a, b in zip(srows, orows) if a != b
-    ]
+    # Type-faithful check: the driver's value hash distinguishes e.g.
+    # DuckDB HUGEINT (decimal128) from Spark BIGINT even for equal values.
+    for c in sorted(stbl.column_names):
+        st = _canon_type(stbl.schema.field(c).type)
+        ot = _canon_type(otbl.schema.field(c).type)
+        assert st == ot, (
+            f"{name}.{c}: Arrow type mismatch spark={st} oracle={ot} "
+            f"(cast the oracle SQL, e.g. CAST(sum(x) AS BIGINT))"
+        )
+    assert stbl.num_rows == otbl.num_rows, (
+        f"{name}: row count {stbl.num_rows} vs oracle {otbl.num_rows}"
+    )
+    srows, _ = _sorted_rows(stbl)
+    orows, _ = _sorted_rows(otbl)
+    mismatches = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
