@@ -6,7 +6,10 @@
 
 Segment-append (operators/index_build.py::extend_index): no rebuild, atomic
 registry commit, rank-exact vs a fresh full build over the union corpus.
-Idempotent: a crashed extension resumes from its manifest rows.
+At-least-once per source batch: a CRASHED extension resumes from its
+manifest rows (idempotent); rerunning after a successful commit is refused
+when the (path, doc count) fingerprint matches the last committed segment
+(pass --allow-duplicate to force a genuine re-append).
 """
 
 from __future__ import annotations
@@ -25,6 +28,9 @@ def main(argv=None) -> int:
     p.add_argument("--index", required=True, help="existing index root")
     p.add_argument("--tokenizer", choices=["html", "text"], default="html")
     p.add_argument("--url-ordered", action="store_true")
+    p.add_argument("--allow-duplicate", action="store_true",
+                   help="re-append even if (path, doc count) matches the "
+                        "last committed segment")
     args = p.parse_args(argv)
 
     from rt_etl_yahoo_search_engine_spark.operators.index_build import extend_index
@@ -34,6 +40,7 @@ def main(argv=None) -> int:
     cat = extend_index(
         spark, args.pages, args.index,
         tokenizer=args.tokenizer, url_ordered=args.url_ordered,
+        allow_duplicate=args.allow_duplicate,
     )
     reg = cat.read_registry()
     print(json.dumps({

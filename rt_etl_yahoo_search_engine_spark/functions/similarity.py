@@ -78,43 +78,75 @@ def ivf_cosine_topk(
 
     * Coarse quantizer: the vectors with vec_id < n_cells serve as fixed,
       deterministic centroids (a real deployment would k-means these; fixed
-      seeds keep the operator oracle-checkable).
-    * Assignment: every vector goes to its nearest centroid by cosine
-      (broadcast centroids x corpus scan — one narrow pass, no shuffle of
-      embeddings; ties broken by ascending cell id).  At scale the
-      assignment is computed once and persisted partitioned BY cell, so a
-      probe reads only nprobe/n_cells of the corpus (partition pruning).
+      seeds keep the operator oracle-checkable).  The codebook is collected
+      to the driver — n_cells rows, metadata-scale by construction (a real
+      IVF quantizer codebook lives on the driver/in every worker anyway).
+    * Assignment: every vector goes to its nearest centroid by cosine via a
+      row-local argmax over literal centroid arrays — pure whole-stage
+      codegen, ZERO exchange (ties broken by ascending cell id).  At scale
+      the assignment is computed once and persisted partitioned BY cell, so
+      a probe reads only nprobe/n_cells of the corpus (partition pruning).
     * Probe: each query scores only vectors in its nprobe nearest cells.
       Exactness is NOT guaranteed (recall grows with nprobe).
     """
-    cents = (
+    cent_rows = (
         embeddings.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+        .collect()
     )
 
-    def _nearest_cells(df: DataFrame, id_col: str, emb_col: str, top: int,
-                       out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "ccos",
-            F.expr(DOT_EXPR.format(a=emb_col, b="cemb"))
-            / (
+    def _lit_arr(vec) -> str:
+        # repr() is shortest-roundtrip: the double literal equals the value
+        # read from the table exactly, so scores are bit-identical to the
+        # join formulation (and to the DuckDB oracle).
+        return "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+
+    def _cell_argmax(emb_col: str):
+        """struct(ccos, -cell) per centroid; array_max = max cos, min cell."""
+        cands = []
+        for r in cent_rows:
+            clit = _lit_arr(r["cemb"])
+            ccos = F.expr(DOT_EXPR.format(a=emb_col, b=clit)) / (
                 F.expr(NORM_EXPR.format(a=emb_col))
-                * F.expr(NORM_EXPR.format(a="cemb"))
+                * F.expr(NORM_EXPR.format(a=clit))
+            )
+            cands.append(
+                F.struct(ccos.alias("c"), F.lit(-int(r["cell"])).alias("negcell"))
+            )
+        return (-F.array_max(F.array(*cands))["negcell"]).alias("cell")
+
+    assigned = embeddings.select("vec_id", "embedding", _cell_argmax("embedding"))
+
+    # Probe side: nprobe nearest cells per QUERY — |query_ids| rows, so the
+    # explode+window here is metadata-scale, never a corpus shuffle.
+    qdf = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.expr(_lit_arr(r["cemb"])).alias("cemb"),
+            )
+            for r in cent_rows
+        ]
+    )
+    pscored = (
+        qdf.select("query_id", "qemb", F.explode(cents).alias("c"))
+        .withColumn(
+            "ccos",
+            F.expr(DOT_EXPR.format(a="qemb", b="c.cemb"))
+            / (
+                F.expr(NORM_EXPR.format(a="qemb"))
+                * F.expr(NORM_EXPR.format(a="c.cemb"))
             ),
         )
-        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= top)
-            .select(id_col, emb_col, F.col("cell").alias(out))
-        )
-
-    assigned = _nearest_cells(embeddings, "vec_id", "embedding", 1, "cell")
-    probes = _nearest_cells(
-        embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
-        ),
-        "query_id", "qemb", nprobe, "pcell",
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("c.cell"))
+    probes = (
+        pscored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qemb", F.col("c.cell").alias("pcell"))
     )
     joined = assigned.join(
         F.broadcast(probes),

@@ -72,6 +72,12 @@ from ..sources.catalog import Catalog
 from .codec import encode_varbyte
 
 TOKENS_SCHEMA = "doc_id long, term string, tf int, doc_len int"
+
+# docmap sides at or below this row count are broadcast for the url->doc_id
+# join; above it the join is a shuffle.  url_ordered builds REQUIRE the
+# broadcast (a shuffle join would destroy the doc-contiguity of tokens files
+# that the exchange-free encoder depends on), so they fail fast past this.
+BROADCAST_DOCMAP_MAX = 20_000_000
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -295,17 +301,18 @@ def build_docmap_ordered(spark, pages: DataFrame, cat: Catalog, name: str,
                     "pages files have overlapping url ranges; build with "
                     "url_ordered=False (general path) instead"
                 )
-        offsets: dict[int, int] = {}
+        offsets: dict[int, tuple[int, int]] = {}
         acc = offset
         for r in meta:
-            offsets[r["pid"]] = acc
+            offsets[r["pid"]] = (acc, r["cnt"])
             acc += r["cnt"]
         b_off = spark.sparkContext.broadcast(offsets)
 
         def assign(batches):
             import pyarrow as pa
 
-            start = b_off.value.get(TaskContext.get().partitionId(), 0)
+            pid = TaskContext.get().partitionId()
+            start, expect = b_off.value.get(pid, (0, 0))
             seen = 0
             for rb in batches:
                 n = rb.num_rows
@@ -315,6 +322,16 @@ def build_docmap_ordered(spark, pages: DataFrame, cat: Catalog, name: str,
                 seen += n
                 yield pa.RecordBatch.from_arrays(
                     [ids, rb.column(0)], names=["doc_id", "url"]
+                )
+            # the offsets job and this job ran as two separate scans; if
+            # they ever plan differently (conf drift, file-listing order)
+            # doc_ids would silently collide or skip — abort instead
+            if seen != expect:
+                raise RuntimeError(
+                    f"docmap assignment drift: partition {pid} emitted "
+                    f"{seen} rows but the offsets pass recorded {expect}; "
+                    "the two scans planned differently — rebuild with "
+                    "url_ordered=False"
                 )
 
         cat.write(urls.mapInArrow(assign, "doc_id long, url string"), name)
@@ -531,7 +548,15 @@ def build_index(
         # attach doc_id at n_docs scale: broadcast the map when it fits,
         # else the one big shuffle join on url (10^12-doc path)
         n_docs0 = cat.latest_status().get("docmap", {}).get("doc_count") or docmap.count()
-        dmj = F.broadcast(docmap) if n_docs0 <= 20_000_000 else docmap
+        if url_ordered and n_docs0 > BROADCAST_DOCMAP_MAX:
+            raise ValueError(
+                f"url_ordered build with {n_docs0} docs exceeds the broadcast "
+                f"docmap limit ({BROADCAST_DOCMAP_MAX}): a shuffle join would "
+                "break tokens-file doc-contiguity and the exchange-free encode "
+                "would emit overlapping blocks. Build with url_ordered=False "
+                "(repartition-by-(term, shard) encode path) at this scale."
+            )
+        dmj = F.broadcast(docmap) if n_docs0 <= BROADCAST_DOCMAP_MAX else docmap
         payload = "html" if tokenizer == "html" else "text"
         pages_with_id = pages.select("url", payload).join(dmj, "url")
         tok = (
@@ -626,24 +651,39 @@ def build_index(
         # block_max_part is idf-FREE; the query side multiplies the lexicon
         # idf in (same float op order), so no blocks x lexicon join is paid
         # here and the WAND bound stays an exact float upper bound.
+        # per-bucket doc counts ride the write job as Observation metrics —
+        # computed in-flight, so the driver never re-reads data pages for
+        # lineage (pending is at most n_buckets conditional sums)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"bucket-metrics-{batches_done}")
+        blocks = blocks.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("bucket") == b, F.col("doc_count")))
+                .alias(f"d{b}")
+                for b in pending
+            ],
+        )
         stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
         with stack:
             # url_ordered: this action runs the tokens scan + encode, so the
             # no-packing conf must cover it (each encode partition = one
             # contiguous tokens file chunk = one doc range)
             blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
-        # lineage metrics from the freshly written parquet FOOTERS (driver-
-        # side metadata walk; each bucket is written by exactly one batch, so
-        # pending buckets' dirs are exactly this batch's output) — no second
-        # job, no persist of the blocks table
+        # bytes + term_range lineage from the freshly written parquet
+        # FOOTERS (metadata only — no data pages; each bucket is written by
+        # exactly one batch, so pending buckets' dirs are this batch's
+        # output) — no second job, no persist of the blocks table
         by_bucket = _bucket_metrics(cat.path("postings"), pending)
+        obs_docs = obs.get
         dt = time.time() - t0
         cat.append_manifest(
             [
                 _mrow(
                     f"bucket:{b}",
                     term_range=by_bucket.get(b, {}).get("term_range", ""),
-                    doc_count=by_bucket.get(b, {}).get("doc_count", 0),
+                    doc_count=int(obs_docs.get(f"d{b}") or 0),
                     bytes=by_bucket.get(b, {}).get("bytes", 0),
                     build_time_s=dt / max(1, len(pending)),
                 )
@@ -692,10 +732,10 @@ def lexicon_from_blocks(blocks: DataFrame, n_docs: int, n_buckets: int) -> DataF
 
 
 def _bucket_metrics(postings_root: str, buckets: list[int]) -> dict[int, dict]:
-    """Per-bucket lineage metrics from parquet footers (no Spark job):
-    doc_count = sum of the doc_count column (read directly — it is
-    n_blocks ints), bytes = compressed size of the three vb payload
-    columns, term_range from row-group statistics."""
+    """Per-bucket lineage metrics from parquet FOOTERS only (no Spark job,
+    no data pages): bytes = compressed size of the three vb payload columns,
+    term_range from row-group statistics.  doc_count comes from the write
+    job's Observation (see build_index), never from re-reading the files."""
     import os
 
     import pyarrow.parquet as pq
@@ -705,7 +745,6 @@ def _bucket_metrics(postings_root: str, buckets: list[int]) -> dict[int, dict]:
         bdir = os.path.join(postings_root, f"bucket={b}")
         if not os.path.isdir(bdir):
             continue
-        docs = 0
         nbytes = 0
         tmin = tmax = None
         for fname in os.listdir(bdir):
@@ -713,9 +752,6 @@ def _bucket_metrics(postings_root: str, buckets: list[int]) -> dict[int, dict]:
                 continue
             pf = pq.ParquetFile(os.path.join(bdir, fname))
             t_idx = pf.schema_arrow.names.index("term")
-            docs += int(
-                pf.read(columns=["doc_count"]).column(0).to_pandas().sum()
-            )
             for rg in range(pf.metadata.num_row_groups):
                 meta = pf.metadata.row_group(rg)
                 for ci in range(meta.num_columns):
@@ -729,7 +765,6 @@ def _bucket_metrics(postings_root: str, buckets: list[int]) -> dict[int, dict]:
                     tmin = lo if tmin is None or lo < tmin else tmin
                     tmax = hi if tmax is None or hi > tmax else tmax
         out[b] = {
-            "doc_count": docs,
             "bytes": nbytes,
             "term_range": f"{tmin}..{tmax}" if tmin is not None else "",
         }
@@ -745,8 +780,16 @@ def extend_index(
     index_root: str,
     tokenizer: str = "html",
     url_ordered: bool = False,
+    allow_duplicate: bool = False,
 ) -> Catalog:
     """Append new documents to an existing index WITHOUT rebuilding it.
+
+    Semantics are AT-LEAST-ONCE per source batch: a CRASHED extension
+    resumes from its manifest rows (idempotent), but rerunning after a
+    successful commit would append the same documents as a duplicate
+    segment.  To guard the common footgun, each segment records a source
+    fingerprint (pages path + doc count); a rerun whose fingerprint equals
+    the LAST committed segment's is refused unless allow_duplicate=True.
 
     Lucene-segment-style, but rank-EXACT: the result of extend answers every
     query with scores identical to a fresh full build over the concatenated
@@ -793,6 +836,20 @@ def extend_index(
     pages = filtered_pages(raw, tokenizer)
     n_base = reg["n_docs"]
 
+    # duplicate-rerun guard: cheap (path compare first; one count job only
+    # when the path matches the last committed segment's)
+    if isinstance(new_pages_path, str) and not allow_duplicate:
+        last_src = (reg["segments"][-1] or {}).get("source") or {}
+        if last_src.get("path") == new_pages_path:
+            n_now = pages.count()
+            if n_now == last_src.get("n_docs"):
+                raise ValueError(
+                    f"pages at {new_pages_path} ({n_now} docs) were already "
+                    f"committed as segment {reg['segments'][-1]['dir']}; "
+                    "rerunning would duplicate them. Pass "
+                    "allow_duplicate=True to force."
+                )
+
     dm_name, tok_name = f"docmap_{ver}", f"tokens_{ver}"
     post_name, lex_name = f"postings_{ver}", f"lexicon_{ver}"
 
@@ -812,7 +869,21 @@ def extend_index(
 
     if pfx + "tokens" not in done:
         t0 = time.time()
-        dmj = F.broadcast(docmap) if n_base <= 20_000_000 else docmap
+        # the join side is the DELTA docmap — key the broadcast decision on
+        # its size (recovered from the manifest on resume), not n_base: a
+        # small delta on a huge base must still broadcast, and a huge delta
+        # on a small base must not
+        n_delta0 = (
+            cat.latest_status().get(pfx + "docmap", {}).get("doc_count")
+            or docmap.count()
+        )
+        if url_ordered and n_delta0 > BROADCAST_DOCMAP_MAX:
+            raise ValueError(
+                f"url_ordered extend with {n_delta0} delta docs exceeds the "
+                f"broadcast docmap limit ({BROADCAST_DOCMAP_MAX}); extend with "
+                "url_ordered=False or split the delta into smaller segments."
+            )
+        dmj = F.broadcast(docmap) if n_delta0 <= BROADCAST_DOCMAP_MAX else docmap
         payload = "html" if tokenizer == "html" else "text"
         pages_with_id = pages.select("url", payload).join(dmj, "url")
         tok = (
@@ -920,7 +991,19 @@ def extend_index(
         "sum_dl": sum_new,
         "avgdl": avgdl_new,
         "lexicon_dir": lex_name,
-        "segments": reg["segments"] + [{"dir": post_name, "avgdl": avgdl_new}],
+        "segments": reg["segments"]
+        + [
+            {
+                "dir": post_name,
+                "avgdl": avgdl_new,
+                "source": {
+                    "path": new_pages_path
+                    if isinstance(new_pages_path, str)
+                    else None,
+                    "n_docs": n_delta,
+                },
+            }
+        ],
         "docmap_dirs": reg.get("docmap_dirs", ["docmap"]) + [dm_name],
         "token_dirs": reg.get("token_dirs", ["tokens"]) + [tok_name],
     }

@@ -17,12 +17,26 @@ Kafka+Postgres round trip per query; ref: src/router.py:91-127).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import spec
 from ..operators.topk import TOPK_PARTIAL_SCHEMA, exhaustive_topk, make_wand_partial
 from ..sources.catalog import Catalog
+
+
+def _bound_factor(avgdl: float, avgdl_seg: float) -> float:
+    """Upper-bound correction for blocks encoded against an older avgdl.
+
+    The BM25 score part is increasing in avgdl, so avgdl/avgdl_seg >= the
+    pointwise ratio; padded one ulp so that the float rounding of the
+    extra multiply in block_max_score can never fall below a tied true
+    score (the factor must be a TRUE float upper bound for strict-<
+    pruning to preserve rank identity)."""
+    f = max(1.0, float(avgdl) / float(avgdl_seg))
+    return f if f == 1.0 else math.nextafter(f, math.inf)
 
 
 def build_qmeta(
@@ -68,7 +82,9 @@ def topk(
     seg_dfs = [
         cat.read(spark, seg["dir"])
         .filter(F.col("term").isin(terms))
-        .withColumn("avgdl_seg", F.lit(float(seg["avgdl"])))
+        .withColumn(
+            "bound_factor", F.lit(_bound_factor(avgdl, float(seg["avgdl"])))
+        )
         for seg in reg["segments"]
     ]
     blocks = seg_dfs[0]
@@ -79,12 +95,13 @@ def topk(
     # segment's own avgdl; the score part is increasing in avgdl, so when
     # the CURRENT global avgdl exceeds the segment's encode-time avgdl the
     # factor avgdl/avgdl_seg (>= their ratio pointwise) keeps the bound
-    # exact-safe — and it is 1 whenever stats haven't drifted upward
+    # exact-safe — and it is 1 whenever stats haven't drifted upward.
+    # The factor itself is nextafter-padded (see _bound_factor) so float
+    # rounding of the extra multiply can never land 1 ulp below a tied
+    # score and break strict-< pruning's rank-identity guarantee.
     joined = blocks.join(F.broadcast(q), "term").withColumn(
         "block_max_score",
-        F.col("idf")
-        * F.col("block_max_part")
-        * F.greatest(F.lit(1.0), F.lit(float(avgdl)) / F.col("avgdl_seg")),
+        F.col("idf") * F.col("block_max_part") * F.col("bound_factor"),
     )
 
     partials = joined.groupBy("query_id", "shard").applyInPandas(

@@ -41,6 +41,7 @@ import pandas as pd
 from .. import spec
 from ..operators.topk import _Cursor, wand_topk
 from ..sources.catalog import Catalog
+from .bm25 import _bound_factor
 
 _POSTINGS_COLS = [
     "term",
@@ -72,11 +73,12 @@ class LocalSearcher:
         self.n_docs = int(reg["n_docs"])
         self._lex_ds = ds.dataset(cat.path(reg["lexicon_dir"]))
         # one dataset per posting segment + the bound-correction factor for
-        # blocks encoded against an older global avgdl (see plans/bm25.py)
+        # blocks encoded against an older global avgdl (ulp-padded true
+        # upper bound — see plans/bm25._bound_factor)
         self._segments = [
             (
                 ds.dataset(cat.path(seg["dir"]), partitioning="hive"),
-                max(1.0, self.avgdl / float(seg["avgdl"])),
+                _bound_factor(self.avgdl, float(seg["avgdl"])),
             )
             for seg in reg["segments"]
         ]

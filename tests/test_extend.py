@@ -162,3 +162,17 @@ def test_extend_resume_after_crash(spark, corpora, tmp_path, monkeypatch):
     got = _collect(topk(spark, root, spec.REFERENCE_QUERIES, k=10))
     want = _collect(topk_oracle(spark, root, spec.REFERENCE_QUERIES, k=10))
     _assert_same(got, want)
+
+
+def test_extend_duplicate_rerun_refused(spark, extended_and_fresh, corpora):
+    """A rerun whose (path, doc count) fingerprint matches the last committed
+    segment is refused (at-least-once guard); allow_duplicate forces it."""
+    ext_root, _ = extended_and_fresh
+    _, delta, _ = corpora
+    with pytest.raises(ValueError, match="already .*committed|committed as segment"):
+        extend_index(spark, delta, ext_root)
+    # a different source path (same engine, new batch) is NOT refused:
+    # exercised implicitly by fingerprint comparing path first — here just
+    # assert the registry was not advanced by the refused rerun
+    reg = Catalog(ext_root).read_registry()
+    assert reg["version"] == 1
