@@ -44,8 +44,11 @@ two Arrow-batched Python stages (extraction+tokenization, block encoding):
        upper bound of any contained doc's term score (monotone positive
        multiply) — the property block-max WAND's rank-identity rests on —
        without paying a blocks x lexicon join at build time.
-    -> write postings partitioned by term-hash bucket (partition pruning at
-       query time), rows sorted by term within files (row-group pruning).
+    -> write postings partitioned by DOC-RANGE SHARD (document-partitioned
+       layout: shard=S dirs), rows sorted by term within each shard's files
+       (row-group pruning for query terms).  The query path scores each
+       shard scan-side — posting payload bytes NEVER enter a shuffle
+       (plans/bm25.topk); term-hash buckets remain the resume/lineage unit.
 
 Resumability (north_rule): every stage and every bucket-batch commits an
 append-only manifest row through sources.catalog.Catalog; a rerun skips
@@ -642,49 +645,72 @@ def build_index(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
             )
-            # consolidate: one file per bucket per batch (the blocks table is
-            # ~block_size x smaller than the postings), term-sorted within
-            # files so query-time isin predicates prune row groups
-            .repartition(max(1, len(pending)), "bucket")
-            .sortWithinPartitions("term", "shard", "first_doc_id")
+            # consolidate: one file per DOC-RANGE SHARD per batch (the
+            # blocks table is ~block_size x smaller than the postings).
+            # Document-partitioned layout: each shard dir holds complete
+            # posting lists of EVERY term for its doc range, which is what
+            # lets the query path score whole queries scan-side with zero
+            # payload shuffle (plans/bm25.topk).  Files are term-sorted
+            # within each shard so query-time isin predicates prune row
+            # groups; the explicit shard-prefixed sort also satisfies the
+            # dynamic-partition writer's required ordering (no extra sort).
+            .repartition(max(1, min(n_shards, max(par, len(pending)))), "shard")
+            .sortWithinPartitions("shard", "term", "first_doc_id")
         )
         # block_max_part is idf-FREE; the query side multiplies the lexicon
         # idf in (same float op order), so no blocks x lexicon join is paid
         # here and the WAND bound stays an exact float upper bound.
-        # per-bucket doc counts ride the write job as Observation metrics —
-        # computed in-flight, so the driver never re-reads data pages for
-        # lineage (pending is at most n_buckets conditional sums)
+        # ALL per-bucket lineage metrics ride the write job as Observation
+        # metrics — computed in-flight, so the driver never reads the
+        # written files at all (pending is at most n_buckets groups of 4
+        # conditional aggregates)
         from pyspark.sql import Observation
 
         obs = Observation(f"bucket-metrics-{batches_done}")
-        blocks = blocks.observe(
-            obs,
-            *[
-                F.sum(F.when(F.col("bucket") == b, F.col("doc_count")))
-                .alias(f"d{b}")
-                for b in pending
-            ],
-        )
+        aggs = []
+        for b in pending:
+            cond = F.col("bucket") == b
+            aggs.extend([
+                F.sum(F.when(cond, F.col("doc_count"))).alias(f"d{b}"),
+                F.sum(
+                    F.when(
+                        cond,
+                        F.octet_length("doc_ids_vb")
+                        + F.octet_length("tfs_vb")
+                        + F.octet_length("doc_lens_vb"),
+                    )
+                ).alias(f"b{b}"),
+                F.min(F.when(cond, F.col("term"))).alias(f"lo{b}"),
+                F.max(F.when(cond, F.col("term"))).alias(f"hi{b}"),
+            ])
+        blocks = blocks.observe(obs, *aggs)
         stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
         with stack:
             # url_ordered: this action runs the tokens scan + encode, so the
             # no-packing conf must cover it (each encode partition = one
-            # contiguous tokens file chunk = one doc range)
-            blocks.write.mode("append").partitionBy("bucket").parquet(cat.path("postings"))
-        # bytes + term_range lineage from the freshly written parquet
-        # FOOTERS (metadata only — no data pages; each bucket is written by
-        # exactly one batch, so pending buckets' dirs are this batch's
-        # output) — no second job, no persist of the blocks table
-        by_bucket = _bucket_metrics(cat.path("postings"), pending)
-        obs_docs = obs.get
+            # contiguous tokens file chunk = one doc range).
+            # 8 MiB row groups: the query path reads per-shard files with a
+            # term-isin row-group filter; small groups bound the overshoot a
+            # rare term pays per shard.
+            (
+                blocks.write.mode("append")
+                .partitionBy("shard")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                .parquet(cat.path("postings"))
+            )
+        m = obs.get
         dt = time.time() - t0
         cat.append_manifest(
             [
                 _mrow(
                     f"bucket:{b}",
-                    term_range=by_bucket.get(b, {}).get("term_range", ""),
-                    doc_count=int(obs_docs.get(f"d{b}") or 0),
-                    bytes=by_bucket.get(b, {}).get("bytes", 0),
+                    term_range=(
+                        f"{m.get(f'lo{b}')}..{m.get(f'hi{b}')}"
+                        if m.get(f"lo{b}") is not None
+                        else ""
+                    ),
+                    doc_count=int(m.get(f"d{b}") or 0),
+                    bytes=int(m.get(f"b{b}") or 0),
                     build_time_s=dt / max(1, len(pending)),
                 )
                 for b in pending
@@ -729,46 +755,6 @@ def lexicon_from_blocks(blocks: DataFrame, n_docs: int, n_buckets: int) -> DataF
         )
         .select("term", "df", "cf", "n_blocks", "idf", "bucket")
     )
-
-
-def _bucket_metrics(postings_root: str, buckets: list[int]) -> dict[int, dict]:
-    """Per-bucket lineage metrics from parquet FOOTERS only (no Spark job,
-    no data pages): bytes = compressed size of the three vb payload columns,
-    term_range from row-group statistics.  doc_count comes from the write
-    job's Observation (see build_index), never from re-reading the files."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    out: dict[int, dict] = {}
-    for b in buckets:
-        bdir = os.path.join(postings_root, f"bucket={b}")
-        if not os.path.isdir(bdir):
-            continue
-        nbytes = 0
-        tmin = tmax = None
-        for fname in os.listdir(bdir):
-            if not fname.endswith(".parquet"):
-                continue
-            pf = pq.ParquetFile(os.path.join(bdir, fname))
-            t_idx = pf.schema_arrow.names.index("term")
-            for rg in range(pf.metadata.num_row_groups):
-                meta = pf.metadata.row_group(rg)
-                for ci in range(meta.num_columns):
-                    col = meta.column(ci)
-                    if col.path_in_schema.endswith("_vb"):
-                        nbytes += col.total_compressed_size
-                tstat = meta.column(t_idx).statistics
-                if tstat is not None and tstat.has_min_max:
-                    lo = tstat.min if isinstance(tstat.min, str) else tstat.min.decode()
-                    hi = tstat.max if isinstance(tstat.max, str) else tstat.max.decode()
-                    tmin = lo if tmin is None or lo < tmin else tmin
-                    tmax = hi if tmax is None or hi > tmax else tmax
-        out[b] = {
-            "bytes": nbytes,
-            "term_range": f"{tmin}..{tmax}" if tmin is not None else "",
-        }
-    return out
 
 
 # --- incremental extension (segment append) ----------------------------------
@@ -930,13 +916,16 @@ def extend_index(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
             )
-            .repartition(n_buckets, "bucket")
-            .sortWithinPartitions("term", "shard", "first_doc_id")
+            .repartition(max(1, min(n_shards, par)), "shard")
+            .sortWithinPartitions("shard", "term", "first_doc_id")
         )
         stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
         with stack:
-            blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-                cat.path(post_name)
+            (
+                blocks.write.mode("overwrite")
+                .partitionBy("shard")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                .parquet(cat.path(post_name))
             )
         cat.append_manifest(
             [_mrow(pfx + "postings", doc_count=n_delta, build_time_s=time.time() - t0)]

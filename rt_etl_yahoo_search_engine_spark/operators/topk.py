@@ -1,10 +1,12 @@
 """BM25 top-k: block-max WAND (optimized path) + exhaustive scorer (oracle).
 
-The optimized path runs per (query_id, shard) inside applyInPandas: the
-index is document-sharded (contiguous doc_id ranges — see index_build), so
-each shard holds complete posting lists of every term for its range and the
-shard-local top-k with a bounded min-heap is globally mergeable.  Only k rows
-per (query, shard) leave Python; the global merge is a window rank.
+The optimized path runs per (segment, shard) inside mapInPandas over the
+metadata-scale unit list (plans/bm25.topk): the index is document-sharded
+(contiguous doc_id ranges — see index_build), so each shard holds complete
+posting lists of every term for its range and the shard-local top-k with a
+bounded min-heap is globally mergeable.  Only k rows per (query, shard)
+leave Python; the global merge is a window rank.  Posting payload bytes are
+read by the task that scores them and never enter an exchange.
 
 Rank-identity contract (north_rule): result doc_id sequence equals the
 exhaustive oracle's under the tie-break (score DESC, doc_id ASC).  Two
@@ -49,10 +51,17 @@ class _Cursor:
 
     __slots__ = (
         "idf", "ub", "firsts", "lasts", "bmax", "ids_vb", "tfs_vb", "dls_vb",
-        "n_blocks", "bi", "docs", "tfs", "parts", "pos", "doc", "k1", "b", "avgdl",
+        "n_blocks", "bi", "docs", "parts", "pos", "doc", "k1", "b", "avgdl",
+        "cache",
     )
 
-    def __init__(self, idf: float, block_pdf: pd.DataFrame, avgdl: float):
+    def __init__(
+        self,
+        idf: float,
+        block_pdf: pd.DataFrame,
+        avgdl: float,
+        cache: dict | None = None,
+    ):
         # first_doc_id, not block_id, orders blocks: a (term, shard) group
         # built from several url-ordered input splits has one block run per
         # split (each with block_id restarting at 0) covering disjoint doc
@@ -76,6 +85,11 @@ class _Cursor:
         self.ub = float(self.bmax.max()) if self.n_blocks else 0.0
         self.avgdl = avgdl
         self.k1, self.b = spec.K1, spec.B
+        # optional decode memo shared by ALL cursors of one query batch:
+        # key -> decoded array, so a block's bytes are decoded at most once
+        # per batch no matter how many queries touch its term (the decoded
+        # arrays are read-only; cursor state is just (bi, pos))
+        self.cache = cache
         self.bi = 0
         self.docs = None
         self.pos = 0
@@ -90,13 +104,27 @@ class _Cursor:
         if self.bi >= self.n_blocks:
             self.docs = None
             return
-        self.docs = decode_doc_ids(self.ids_vb[self.bi])
-        self.tfs = decode_varbyte(self.tfs_vb[self.bi])
-        dls = decode_varbyte(self.dls_vb[self.bi])
-        # same op order as the build-side encoder (rank-identity)
-        self.parts = (self.tfs * (self.k1 + 1.0)) / (
-            self.tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
-        )
+        ib, tb, db = self.ids_vb[self.bi], self.tfs_vb[self.bi], self.dls_vb[self.bi]
+        c = self.cache
+        if c is not None and ("i", ib) in c:
+            self.docs = c[("i", ib)]
+        else:
+            self.docs = decode_doc_ids(ib)
+            if c is not None:
+                c[("i", ib)] = self.docs
+        # idf-free score parts are query-independent: cache them across the
+        # whole batch keyed by the block's (tfs, dls) bytes
+        if c is not None and ("p", tb, db) in c:
+            self.parts = c[("p", tb, db)]
+        else:
+            tfs = decode_varbyte(tb)
+            dls = decode_varbyte(db)
+            # same op order as the build-side encoder (rank-identity)
+            self.parts = (tfs * (self.k1 + 1.0)) / (
+                tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+            )
+            if c is not None:
+                c[("p", tb, db)] = self.parts
         self.pos = 0
 
     def shallow(self, target: int) -> tuple[float, int]:
@@ -242,32 +270,6 @@ def _conjunctive(cursors: list[_Cursor], k: int, n_terms: int) -> list[tuple[int
             nd = max(c.doc for c in cursors)
         d = nd
     return [(-nd, s) for s, nd in heap]
-
-
-# --- applyInPandas wrapper ----------------------------------------------------
-
-
-def make_wand_partial(avgdl: float, k: int):
-    """groupBy(query_id, shard).applyInPandas function over joined
-    (query meta x blocks) rows."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        mode = pdf["mode"].iloc[0]
-        n_terms = int(pdf["n_terms"].iloc[0])
-        cursors = []
-        for term, grp in pdf.groupby("term", sort=True):
-            cursors.append(_Cursor(float(grp["idf"].iloc[0]), grp, avgdl))
-        hits = wand_topk(cursors, k, mode, n_terms)
-        return pd.DataFrame(
-            {
-                "query_id": [qid] * len(hits),
-                "doc_id": pd.array([h[0] for h in hits], dtype="int64"),
-                "score": pd.array([h[1] for h in hits], dtype="float64"),
-            }
-        )
-
-    return fn
 
 
 # --- exhaustive oracle (independent implementation, plain DataFrame ops) -------

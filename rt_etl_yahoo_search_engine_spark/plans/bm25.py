@@ -2,29 +2,52 @@
 
 Two paths, both returning (query_id, rank, doc_id, score [, url]):
 
-  * optimized — lexicon lookup (driver-side isin pushdown: query terms are a
-    handful of literals, so the postings scan is bucket-partition-pruned AND
-    term-row-group-pruned by Catalyst/parquet), broadcast of query metadata
-    onto the block rows, block-max WAND per (query, shard) group, global
-    window merge of the k-row partials.
+  * optimized — driver-side lexicon lookup (pyarrow, term-isin row-group
+    pruned: query terms are a handful of literals against a vocab-scale
+    term-sorted table), then SCAN-SIDE scoring: one task per (segment,
+    doc-range shard) opens its own shard directory with pyarrow, reads only
+    the query terms' row groups, and runs block-max WAND for the ENTIRE
+    broadcast query batch locally — each block's bytes are read and decoded
+    AT MOST ONCE per batch (shared decode memo), and only k narrow rows per
+    (query, shard) ever leave the task.  Posting payload bytes NEVER enter
+    a Spark exchange; the only shuffles in the plan carry the metadata-scale
+    unit list and the k-row partials for the global window merge.
   * oracle — exhaustive DataFrame scoring over the staged posting rows
     (operators.topk.exhaustive_topk), used by tests and the driver gate.
 
-All queries of a batch run in ONE Spark job — the engine amortizes scan and
-shuffle across the whole query set (the reference instead paid a
+All queries of a batch run in ONE Spark job — the engine amortizes scan
+and decode across the whole query set (the reference instead paid a
 Kafka+Postgres round trip per query; ref: src/router.py:91-127).
+
+At 10^12 docs this is the classic document-partitioned search plan: unit
+count = number of shards (each a bounded doc range), every unit reads only
+its own directory (partition pruning by construction) plus the terms' row
+groups within it (parquet min/max stats on the term-sorted files).  No
+hot-term skew exists by design: a stop-word's postings are split across
+every shard, so the hottest task is bounded by df/n_shards.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import spec
-from ..operators.topk import TOPK_PARTIAL_SCHEMA, exhaustive_topk, make_wand_partial
+from ..operators.topk import TOPK_PARTIAL_SCHEMA, _Cursor, exhaustive_topk, wand_topk
 from ..sources.catalog import Catalog
+
+_POSTINGS_READ_COLS = [
+    "term",
+    "first_doc_id",
+    "last_doc_id",
+    "block_max_part",
+    "doc_ids_vb",
+    "tfs_vb",
+    "doc_lens_vb",
+]
 
 
 def _bound_factor(avgdl: float, avgdl_seg: float) -> float:
@@ -43,7 +66,7 @@ def build_qmeta(
     spark: SparkSession, queries: dict[str, str], mode: str
 ) -> tuple[DataFrame, list[str]]:
     """(query_id, term, n_terms, mode) rows — one per DISTINCT query token —
-    plus the driver-side term list (for isin pushdown)."""
+    plus the driver-side term list (for isin pushdown). Oracle-path helper."""
     rows = []
     all_terms: set[str] = set()
     for qid, text in queries.items():
@@ -57,6 +80,34 @@ def build_qmeta(
     return df, sorted(all_terms)
 
 
+def lexicon_idf(cat: Catalog, reg: dict, terms: list[str]) -> dict[str, float]:
+    """term -> idf for terms present in the corpus: a driver-side pyarrow
+    read with term-isin pushdown (vocab-scale table, term-sorted files —
+    touches a few row groups, the same lookup the serving path does)."""
+    import pyarrow.dataset as ds
+
+    lex = ds.dataset(cat.path(reg["lexicon_dir"]))
+    tbl = lex.to_table(columns=["term", "idf"], filter=ds.field("term").isin(terms))
+    return {
+        t: float(i)
+        for t, i in zip(tbl.column("term").to_pylist(), tbl.column("idf").to_pylist())
+    }
+
+
+def _shard_units(cat: Catalog, reg: dict, avgdl: float) -> list[tuple[str, float]]:
+    """(shard directory, bound factor) per (segment, shard) — metadata-scale
+    (one entry per doc-range shard; the dir list is the driver's only
+    filesystem touch on the postings)."""
+    units = []
+    for seg in reg["segments"]:
+        seg_path = cat.path(seg["dir"])
+        factor = _bound_factor(avgdl, float(seg["avgdl"]))
+        for d in sorted(os.listdir(seg_path)):
+            if d.startswith("shard="):
+                units.append((os.path.join(seg_path, d), factor))
+    return units
+
+
 def topk(
     spark: SparkSession,
     index_root: str,
@@ -65,48 +116,90 @@ def topk(
     k: int = spec.TOP_K_DEFAULT,
     with_url: bool = False,
 ) -> DataFrame:
-    """Optimized path: compressed postings + block-max WAND."""
+    """Optimized path: compressed postings + block-max WAND, scored
+    scan-side per (segment, shard) with the whole query batch broadcast."""
     cat = Catalog(index_root)
     reg = cat.read_registry()
-    avgdl = reg["avgdl"]
-    qmeta, terms = build_qmeta(spark, queries, mode)
-    if not terms:
-        return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
-
-    lex = cat.read(spark, reg["lexicon_dir"]).filter(F.col("term").isin(terms))
-    q = qmeta.join(lex.select("term", "idf"), "term")  # drops out-of-corpus terms
-
-    # one scan per segment (extensions append segments; base-only = 1);
-    # avgdl_seg is the global avgdl the segment's block_max_part was encoded
-    # against — see the bound correction below
-    seg_dfs = [
-        cat.read(spark, seg["dir"])
-        .filter(F.col("term").isin(terms))
-        .withColumn(
-            "bound_factor", F.lit(_bound_factor(avgdl, float(seg["avgdl"])))
-        )
-        for seg in reg["segments"]
-    ]
-    blocks = seg_dfs[0]
-    for s in seg_dfs[1:]:
-        blocks = blocks.unionByName(s)
-    # block_max_score = idf * idf-free part, multiplied HERE with the same
-    # float op order the scorer uses, so it is an exact upper bound for the
-    # segment's own avgdl; the score part is increasing in avgdl, so when
-    # the CURRENT global avgdl exceeds the segment's encode-time avgdl the
-    # factor avgdl/avgdl_seg (>= their ratio pointwise) keeps the bound
-    # exact-safe — and it is 1 whenever stats haven't drifted upward.
-    # The factor itself is nextafter-padded (see _bound_factor) so float
-    # rounding of the extra multiply can never land 1 ulp below a tied
-    # score and break strict-< pruning's rank-identity guarantee.
-    joined = blocks.join(F.broadcast(q), "term").withColumn(
-        "block_max_score",
-        F.col("idf") * F.col("block_max_part") * F.col("bound_factor"),
+    avgdl = float(reg["avgdl"])
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
     )
 
-    partials = joined.groupBy("query_id", "shard").applyInPandas(
-        make_wand_partial(avgdl, k), schema=TOPK_PARTIAL_SCHEMA
+    qtoks = {qid: sorted(set(spec.tokenize(text))) for qid, text in queries.items()}
+    all_terms = sorted({t for toks in qtoks.values() for t in toks})
+    if not all_terms:
+        return empty
+    idf = lexicon_idf(cat, reg, all_terms)
+    # per-query plan: n_terms counts the ORIGINAL distinct tokens, so a
+    # conjunctive query with an out-of-corpus term correctly returns nothing
+    qplan: dict[str, tuple[int, list[str]]] = {}
+    for qid, toks in qtoks.items():
+        present = [t for t in toks if t in idf]
+        if not present:
+            continue
+        if mode == spec.MODE_CONJUNCTIVE and len(present) < len(toks):
+            continue
+        qplan[qid] = (len(toks), present)
+    units = _shard_units(cat, reg, avgdl)
+    if not qplan or not units:
+        return empty
+
+    corpus_terms = sorted({t for _, ts in qplan.values() for t in ts})
+    b_plan = spark.sparkContext.broadcast((qplan, idf, corpus_terms, mode, k, avgdl))
+
+    def score_units(pdfs):
+        import pandas as pd
+        import pyarrow.dataset as pds
+
+        qplan_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
+        for updf in pdfs:
+            for path, factor in zip(updf["path"], updf["factor"]):
+                dset = pds.dataset(path)
+                tbl = dset.to_table(
+                    columns=_POSTINGS_READ_COLS,
+                    filter=pds.field("term").isin(terms_l),
+                )
+                if tbl.num_rows == 0:
+                    continue
+                bl = tbl.to_pandas()
+                if factor != 1.0:
+                    bl["block_max_part"] = bl["block_max_part"] * factor
+                bl["shard"] = 0  # constant within a unit (cursor sort key)
+                # per-term blocks prepared ONCE per unit: block_max_score =
+                # idf * (part [* factor]) — the same association the serving
+                # path uses (both are ulp-safe upper bounds)
+                prepared = {}
+                for t, g in bl.groupby("term", sort=True):
+                    prepared[t] = g.assign(block_max_score=idf_l[t] * g["block_max_part"])
+                cache: dict = {}  # shared decode memo for the whole batch
+                out_q: list[str] = []
+                out_d: list[int] = []
+                out_s: list[float] = []
+                for qid, (n_terms, terms_q) in qplan_l.items():
+                    cursors = [
+                        _Cursor(idf_l[t], prepared[t], avgdl_l, cache=cache)
+                        for t in terms_q
+                        if t in prepared
+                    ]
+                    if not cursors:
+                        continue
+                    for doc, s in wand_topk(cursors, k_l, mode_l, n_terms):
+                        out_q.append(qid)
+                        out_d.append(doc)
+                        out_s.append(s)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.array(out_q, dtype="string"),
+                        "doc_id": pd.array(out_d, dtype="int64"),
+                        "score": pd.array(out_s, dtype="float64"),
+                    }
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    units_df = spark.createDataFrame(units, "path string, factor double").repartition(
+        min(len(units), 2 * par)
     )
+    partials = units_df.mapInPandas(score_units, schema=TOPK_PARTIAL_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
         partials.withColumn("rank", F.row_number().over(w))

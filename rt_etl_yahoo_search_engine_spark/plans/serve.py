@@ -16,11 +16,12 @@ searcher-node role, runnable against any index the build wrote:
   * the lexicon row for each query term is read with parquet
     predicate pushdown (``term isin``) — touches a few row groups, not the
     table;
-  * the term's ``bucket`` column (materialized at build time) prunes the
-    postings read to one hive partition directory per term, and the
-    term-sorted data files prune to a handful of row groups via parquet
-    min/max stats — the same pruning Catalyst does, done here through
-    pyarrow.dataset against identical files;
+  * postings are document-partitioned (``shard=S`` dirs, term-sorted
+    files): the term-isin filter prunes to a handful of row groups per
+    shard via parquet min/max stats — the same pruning Catalyst does, done
+    here through pyarrow.dataset against identical files.  On a real
+    cluster each searcher process owns one shard dir and this read touches
+    ONLY local files;
   * scoring runs the SAME block-max WAND + bounded min-heap operator the
     distributed path uses (operators.topk._Cursor / wand_topk), so results
     are rank-identical by construction — asserted by tests/test_serve.py.
@@ -36,6 +37,9 @@ the same corpus in single-digit milliseconds per query.
 
 from __future__ import annotations
 
+import os
+from bisect import bisect_left
+
 import pandas as pd
 
 from .. import spec
@@ -43,9 +47,10 @@ from ..operators.topk import _Cursor, wand_topk
 from ..sources.catalog import Catalog
 from .bm25 import _bound_factor
 
-_POSTINGS_COLS = [
+# columns physically present in the postings data files (shard is the
+# hive partition, parsed from the directory name)
+_POSTINGS_FILE_COLS = [
     "term",
-    "shard",
     "first_doc_id",
     "last_doc_id",
     "block_max_part",
@@ -55,6 +60,116 @@ _POSTINGS_COLS = [
 ]
 
 
+def _stat_str(v) -> str:
+    return v if isinstance(v, str) else v.decode()
+
+
+class _SegmentReader:
+    """Pruned reader over one posting segment's shard=S directories.
+
+    At init it caches one ParquetFile handle per data file plus the term
+    min/max of every row group (footer stats only — the in-memory index a
+    real searcher node keeps).  Per query it touches ONLY the row groups
+    whose term range intersects the query terms, via read_row_groups on the
+    cached handles — no per-call dataset/scanner construction, which costs
+    tens of ms across many fragments."""
+
+    def __init__(self, seg_dir: str, factor: float):
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        self.factor = factor
+        self.files: list[tuple[object, int, list[tuple[str, str]]]] = []
+        for d in sorted(os.listdir(seg_dir)):
+            if not d.startswith("shard="):
+                continue
+            shard = int(d.split("=", 1)[1])
+            sdir = os.path.join(seg_dir, d)
+            for fname in sorted(os.listdir(sdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(sdir, fname))
+                t_idx = pf.schema_arrow.names.index("term")
+                rgs = []
+                for i in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(i).column(t_idx).statistics
+                    if st is not None and st.has_min_max:
+                        rgs.append((_stat_str(st.min), _stat_str(st.max)))
+                    else:  # no stats: never prune this row group
+                        rgs.append(("", "\U0010ffff"))
+                self.files.append((pf, shard, rgs))
+        self._pool = ThreadPoolExecutor(max_workers=min(16, max(1, len(self.files))))
+        self._loaded: list[tuple[pd.DataFrame, "object"]] | None = None
+
+    def preload(self) -> None:
+        """Load every data file into memory (term-sorted frames + a numpy
+        term key per file).  This is what a real searcher node does for ITS
+        shard at startup; queries then slice by binary search instead of
+        touching parquet.  Only sane when this process's shard set fits in
+        RAM — per-shard searcher processes at 10^12 scale, or any sandbox
+        index."""
+
+        def _load(ent):
+            pf, shard, _ = ent
+            pdf = pf.read(columns=_POSTINGS_FILE_COLS).to_pandas()
+            if self.factor != 1.0:
+                pdf["block_max_part"] = pdf["block_max_part"] * self.factor
+            pdf["shard"] = shard
+            return pdf, pdf["term"].to_numpy()  # files are term-sorted
+
+        self._loaded = list(self._pool.map(_load, self.files))
+
+    def blocks_for_loaded(self, terms_sorted: list[str]) -> list[pd.DataFrame]:
+        import numpy as np
+
+        parts = []
+        for pdf, keys in self._loaded:
+            lo = np.searchsorted(keys, terms_sorted, side="left")
+            hi = np.searchsorted(keys, terms_sorted, side="right")
+            take = [i for a, b in zip(lo, hi) if a < b for i in range(a, b)]
+            if take:
+                parts.append(pdf.iloc[take])
+        return parts
+
+    def _read_one(self, ent, terms_sorted: list[str]):
+        import pyarrow.compute as pc
+
+        pf, shard, rgs = ent
+        idxs = [
+            i
+            for i, (lo, hi) in enumerate(rgs)
+            # some query term falls inside [lo, hi]?
+            if (j := bisect_left(terms_sorted, lo)) < len(terms_sorted)
+            and terms_sorted[j] <= hi
+        ]
+        if not idxs:
+            return None
+        tbl = pf.read_row_groups(idxs, columns=_POSTINGS_FILE_COLS)
+        tbl = tbl.filter(pc.field("term").isin(terms_sorted))
+        if not tbl.num_rows:
+            return None
+        pdf = tbl.to_pandas()
+        if self.factor != 1.0:
+            pdf["block_max_part"] = pdf["block_max_part"] * self.factor
+        pdf["shard"] = shard
+        return pdf
+
+    def blocks_for(self, terms_sorted: list[str]) -> list[pd.DataFrame]:
+        # the per-file reads are the per-shard fan-out a real front end does
+        # across searcher nodes; here threads stand in (parquet decode
+        # releases the GIL)
+        if self._loaded is not None:
+            return self.blocks_for_loaded(terms_sorted)
+        if len(self.files) <= 1:
+            out = [self._read_one(e, terms_sorted) for e in self.files]
+        else:
+            out = list(
+                self._pool.map(lambda e: self._read_one(e, terms_sorted), self.files)
+            )
+        return [p for p in out if p is not None]
+
+
 class LocalSearcher:
     """Serving-path searcher over one on-disk index (no SparkSession).
 
@@ -62,7 +177,7 @@ class LocalSearcher:
     for the lifetime of the searcher (the lexicon is immutable once built).
     """
 
-    def __init__(self, index_root: str):
+    def __init__(self, index_root: str, preload: bool = False):
         import pyarrow.dataset as ds
 
         self._ds = ds
@@ -72,35 +187,47 @@ class LocalSearcher:
         self.avgdl = float(reg["avgdl"])
         self.n_docs = int(reg["n_docs"])
         self._lex_ds = ds.dataset(cat.path(reg["lexicon_dir"]))
-        # one dataset per posting segment + the bound-correction factor for
-        # blocks encoded against an older global avgdl (ulp-padded true
-        # upper bound — see plans/bm25._bound_factor)
+        # one pruned reader per posting segment; the bound-correction factor
+        # for blocks encoded against an older global avgdl (ulp-padded true
+        # upper bound — see plans/bm25._bound_factor) is applied inside
         self._segments = [
-            (
-                ds.dataset(cat.path(seg["dir"]), partitioning="hive"),
+            _SegmentReader(
+                cat.path(seg["dir"]),
                 _bound_factor(self.avgdl, float(seg["avgdl"])),
             )
             for seg in reg["segments"]
         ]
-        self._term_cache: dict[str, tuple[float, int] | None] = {}
+        if preload:
+            # searcher-node startup: pull this process's shards into memory
+            # (per-shard searcher processes at scale; whole index here)
+            for seg in self._segments:
+                seg.preload()
+        self._term_cache: dict[str, float | None] = {}
+        # hot-postings cache: term -> prepared per-term block frame (all
+        # segments, factor applied, block_max_score materialized) — what a
+        # production searcher keeps in memory for head terms.  Bounded by
+        # entry count; evicted FIFO.  The decode memo is shared across all
+        # queries for the searcher's lifetime (decoded arrays are immutable).
+        self._postings_cache: dict[str, pd.DataFrame] = {}
+        self._postings_cache_max = 50_000
+        self._decode_cache: dict = {}
 
     # -- lexicon ---------------------------------------------------------
 
-    def _lookup_terms(self, terms: list[str]) -> dict[str, tuple[float, int]]:
-        """term -> (idf, bucket) for terms present in the corpus."""
+    def _lookup_terms(self, terms: list[str]) -> dict[str, float]:
+        """term -> idf for terms present in the corpus."""
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
             tbl = self._lex_ds.to_table(
-                columns=["term", "idf", "bucket"],
+                columns=["term", "idf"],
                 filter=self._ds.field("term").isin(missing),
             )
             found = {}
-            for t, idf, bucket in zip(
+            for t, idf in zip(
                 tbl.column("term").to_pylist(),
                 tbl.column("idf").to_pylist(),
-                tbl.column("bucket").to_pylist(),
             ):
-                found[t] = (float(idf), int(bucket))
+                found[t] = float(idf)
             for t in missing:
                 self._term_cache[t] = found.get(t)
         return {
@@ -109,19 +236,39 @@ class LocalSearcher:
 
     # -- postings ---------------------------------------------------------
 
-    def _blocks_for(self, term_meta: dict[str, tuple[float, int]]) -> pd.DataFrame:
-        buckets = sorted({b for _, b in term_meta.values()})
-        terms = sorted(term_meta)
-        flt = self._ds.field("bucket").isin(buckets) & self._ds.field("term").isin(
-            terms
-        )
-        parts = []
-        for seg_ds, factor in self._segments:
-            pdf = seg_ds.to_table(columns=_POSTINGS_COLS, filter=flt).to_pandas()
-            if factor != 1.0 and len(pdf):
-                pdf["block_max_part"] = pdf["block_max_part"] * factor
-            parts.append(pdf)
-        return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    def _prepared_blocks(self, term_meta: dict[str, float]) -> dict[str, pd.DataFrame]:
+        """term -> prepared block frame, via the hot-postings cache."""
+        missing = sorted(t for t in term_meta if t not in self._postings_cache)
+        if missing:
+            parts = []
+            for seg in self._segments:
+                parts.extend(seg.blocks_for(missing))
+            pdf = (
+                parts[0]
+                if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=_POSTINGS_FILE_COLS + ["shard"])
+            )
+            while (
+                len(self._postings_cache) + len(missing) > self._postings_cache_max
+                and self._postings_cache
+            ):
+                self._postings_cache.pop(next(iter(self._postings_cache)))
+            found = set()
+            for term, grp in pdf.groupby("term", sort=False):
+                found.add(term)
+                self._postings_cache[term] = grp.assign(
+                    block_max_score=term_meta[term] * grp["block_max_part"]
+                ).reset_index(drop=True)
+            for t in missing:
+                if t not in found:  # only reachable mid-extension
+                    self._postings_cache[t] = pd.DataFrame(
+                        columns=_POSTINGS_FILE_COLS + ["shard", "block_max_score"]
+                    )
+        return {
+            t: g for t in term_meta if len(g := self._postings_cache[t])
+        }
 
     # -- query -------------------------------------------------------------
 
@@ -139,14 +286,17 @@ class LocalSearcher:
         meta = self._lookup_terms(toks)
         if not meta or (mode == spec.MODE_CONJUNCTIVE and len(meta) < n_terms):
             return []
-        blocks = self._blocks_for(meta)
-        cursors = []
-        # ascending term order == the distributed path's groupby(sort=True)
-        # cursor order -> identical float accumulation per doc
-        for term, grp in blocks.groupby("term", sort=True):
-            idf = meta[term][0]
-            grp = grp.assign(block_max_score=idf * grp["block_max_part"])
-            cursors.append(_Cursor(idf, grp, self.avgdl))
+        if len(self._decode_cache) > 500_000:  # bound decoded-array memory
+            self._decode_cache.clear()
+        prepared = self._prepared_blocks(meta)
+        # ascending term order == the distributed path's cursor order ->
+        # identical float accumulation per doc
+        cursors = [
+            _Cursor(meta[term], prepared[term], self.avgdl, cache=self._decode_cache)
+            for term in sorted(prepared)
+        ]
+        if not cursors:
+            return []
         hits = wand_topk(cursors, k, mode, n_terms)
         hits.sort(key=lambda h: (-h[1], h[0]))
         return [(r + 1, doc, score) for r, (doc, score) in enumerate(hits)]

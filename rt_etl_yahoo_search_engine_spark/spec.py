@@ -64,7 +64,7 @@ def bm25_upper_bound(max_tf: int, term_idf: float) -> float:
 
 # --- postings layout -----------------------------------------------------------
 BLOCK_SIZE: int = 128  # docs per compressed posting block (block-max WAND unit)
-INDEX_FORMAT_VERSION = 5  # bump when the on-disk index schema changes
+INDEX_FORMAT_VERSION = 6  # bump when the on-disk index schema changes
 
 # Skew handling (north_rule "term-frequency salting of head terms"): the
 # build shuffles on (term, shard) where shard = doc_id * n_shards // n_docs —
