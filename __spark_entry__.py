@@ -145,6 +145,32 @@ def _q_bm25_disj(spark, sf_dir):
     return _bm25(spark, sf_dir, spec.MODE_DISJUNCTIVE)
 
 
+def _q_bm25_fields(spark, sf_dir):
+    """Materialized result fields (reference read path: the client gets
+    url/date/body rows, not doc ids — ref
+    src/services/daos/extracted_search_results_dao.py:23-63): the k x Q hit
+    set is broadcast onto ONE scan of the fields table."""
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+
+    root = _index_for(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+        F.substring("text", 1, 160).alias("snippet"),
+    )
+    out = topk(
+        spark, root, DOC_QUERIES, mode=spec.MODE_DISJUNCTIVE, k=10, fields=fields
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "source",
+        "snippet",
+    )
+
+
 def _q_bm25_conj(spark, sf_dir):
     return _bm25(spark, sf_dir, spec.MODE_CONJUNCTIVE)
 
@@ -155,18 +181,13 @@ def _q_bm25_serve(spark, sf_dir):
     block-max WAND operator.  Shares the bm25_topk_disjunctive oracle, so
     the driver independently proves serve == SQL-exhaustive BM25."""
     import pandas as pd
-    import pyarrow.dataset as ds
 
     from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
 
     root = _index_for(spark, sf_dir)
     pdf = LocalSearcher(root).search_batch(
-        DOC_QUERIES, mode=spec.MODE_DISJUNCTIVE, k=10
+        DOC_QUERIES, mode=spec.MODE_DISJUNCTIVE, k=10, with_url=True
     )
-    docmap = (
-        ds.dataset(os.path.join(root, "docmap")).to_table().to_pandas()
-    )
-    pdf = pdf.merge(docmap, on="doc_id", how="left")
     pdf["doc_id"] = pd.to_numeric(pdf["url"])  # url = lpad(original doc_id)
     pdf["score"] = pdf["score"].round(6)
     return spark.createDataFrame(
@@ -270,9 +291,22 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_jaccard(spark, sf_dir):
-    return dd.jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2).withColumn(
+    """Exact all-pairs shingle Jaccard on a BOUNDED slice (doc_id < 200):
+    the quadratic self-join is a verification tool, never the corpus-wide
+    dedup path — that is dedup_minhash_verified (LSH-bucketed)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dd.jaccard_pairs(docs, n=3, threshold=0.2).withColumn(
         "jaccard", F.round("jaccard", 6)
     )
+
+
+def _q_dedup_minhash_verified(spark, sf_dir):
+    """The production corpus-wide dedup path: LSH (banded minhash) candidate
+    generation, then exact-Jaccard verification of candidates only — never
+    an all-pairs join."""
+    return dd.minhash_dedup(
+        _docs(spark, sf_dir), n=3, num_hashes=16, band_size=4, threshold=0.2
+    ).withColumn("jaccard", F.round("jaccard", 6))
 
 
 def _q_dedup_minhash_sig(spark, sf_dir):
@@ -343,6 +377,25 @@ def _q_media_audio_features(spark, sf_dir):
     return mm.audio_features(_media(spark, sf_dir))
 
 
+def _q_media_image_meta(spark, sf_dir):
+    """Value-checked slice of the image pipeline: n_bytes flows through the
+    real mapInPandas plumbing from actual payload buffers, and must equal
+    the closed-form payload length in doc_id — hash-gated, unlike the full
+    feature entry whose pixel stats depend on the non-SQL fake decode."""
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.image_features(_media(spark, sf_dir)).select(
+        "doc_id", F.col("n_bytes").cast("int").alias("n_bytes")
+    )
+
+
+def _q_media_audio_meta(spark, sf_dir):
+    """Value-checked slice of the audio pipeline (see _q_media_image_meta)."""
+    from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
+
+    return mm.audio_features(_media(spark, sf_dir)).select("doc_id", "n_samples")
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return sim.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=10, n_planes=8).withColumn(
@@ -395,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk_disjunctive": _q_bm25_disj,
         "bm25_topk_conjunctive": _q_bm25_conj,
+        "bm25_topk_fields": _q_bm25_fields,
         "bm25_serve_topk": _q_bm25_serve,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
@@ -405,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_agg": _q_json_extract,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_verified": _q_dedup_minhash_verified,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
         "dedup_lsh_candidates": _q_dedup_lsh_candidates,
         "dedup_simhash": _q_dedup_simhash,
@@ -416,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
+        "media_image_meta": _q_media_image_meta,
+        "media_audio_meta": _q_media_audio_meta,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
@@ -531,6 +588,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_disjunctive": _bm25_sql("disjunctive"),
         "bm25_topk_conjunctive": _bm25_sql("conjunctive"),
+        "bm25_topk_fields": f"""
+WITH hits AS ({_bm25_sql("disjunctive")})
+SELECT h.query_id, h.rank, h.doc_id, h.score,
+       d.source, substr(d.text, 1, 160) AS snippet
+FROM hits h JOIN documents d USING (doc_id)
+        """,
         "bm25_serve_topk": _bm25_sql("disjunctive"),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
@@ -589,10 +652,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": f"""
             WITH {_SHINGLES},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shs AS (SELECT * FROM sh WHERE doc_id < 200),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        """,
+        "dedup_minhash_verified": f"""
+            WITH {_SHINGLES},
+            mh AS (SELECT doc_id, h,
+                          min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+                   FROM sh, unnest(range(0, 16)) AS hh(h) GROUP BY doc_id, h),
+            bands AS (SELECT doc_id, CAST(h // 4 AS INTEGER) AS band,
+                             string_agg(minhash, '|' ORDER BY minhash) AS band_key
+                      FROM mh GROUP BY doc_id, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.band_key = b.band_key
+                          AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2)
             SELECT doc_a, doc_b,
                    ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
@@ -695,6 +785,16 @@ WHERE rank <= 10
             FROM (SELECT doc_id, {mm.META_SQL["payload_len"]} AS payload_len
                   FROM documents)
             GROUP BY 1
+        """,
+        "media_image_meta": f"""
+            SELECT doc_id,
+                   CAST({mm.META_SQL["payload_len"]} AS INTEGER) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "media_audio_meta": """
+            SELECT doc_id,
+                   CAST(256 + (doc_id % 50) * 16 AS INTEGER) AS n_samples
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "media_frame_sample": f"""
             SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,

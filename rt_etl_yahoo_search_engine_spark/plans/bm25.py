@@ -115,9 +115,17 @@ def topk(
     mode: str = spec.MODE_DISJUNCTIVE,
     k: int = spec.TOP_K_DEFAULT,
     with_url: bool = False,
+    fields: DataFrame | None = None,
 ) -> DataFrame:
     """Optimized path: compressed postings + block-max WAND, scored
-    scan-side per (segment, shard) with the whole query batch broadcast."""
+    scan-side per (segment, shard) with the whole query batch broadcast.
+
+    fields: optional url-keyed table of result fields (e.g. the
+    extracted(url, seq, link, date, body) table the reference's read path
+    returns — ref src/services/daos/extracted_search_results_dao.py:23-63).
+    The k x Q hit set is broadcast onto ONE scan of the fields table, so
+    materialization never shuffles it; a url with N field rows expands to N
+    result rows, exactly the reference's per-url row group."""
     cat = Catalog(index_root)
     reg = cat.read_registry()
     avgdl = float(reg["avgdl"])
@@ -206,11 +214,16 @@ def topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
-    if with_url:
+    if with_url or fields is not None:
         docmap = cat.read(spark, *reg.get("docmap_dirs", ["docmap"]))
         out = (
             docmap.join(F.broadcast(out), "doc_id")
             .select("query_id", "rank", "doc_id", "url", "score")
+        )
+    if fields is not None:
+        extra = [c for c in fields.columns if c != "url"]
+        out = fields.join(F.broadcast(out), "url").select(
+            "query_id", "rank", "doc_id", "url", "score", *extra
         )
     return out
 

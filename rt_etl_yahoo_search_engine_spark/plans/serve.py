@@ -187,6 +187,9 @@ class LocalSearcher:
         self.avgdl = float(reg["avgdl"])
         self.n_docs = int(reg["n_docs"])
         self._lex_ds = ds.dataset(cat.path(reg["lexicon_dir"]))
+        self._docmap_ds = [
+            ds.dataset(cat.path(d)) for d in reg.get("docmap_dirs", ["docmap"])
+        ]
         # one pruned reader per posting segment; the bound-correction factor
         # for blocks encoded against an older global avgdl (ulp-padded true
         # upper bound — see plans/bm25._bound_factor) is applied inside
@@ -301,13 +304,32 @@ class LocalSearcher:
         hits.sort(key=lambda h: (-h[1], h[0]))
         return [(r + 1, doc, score) for r, (doc, score) in enumerate(hits)]
 
+    def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id -> url via a doc_id-isin pruned docmap read (the docmap is
+        written in doc_id order, so parquet min/max stats prune to the hit
+        rows' row groups — NEVER a full docmap materialization)."""
+        out: dict[int, str] = {}
+        if not doc_ids:
+            return out
+        ids = sorted(set(doc_ids))
+        for dm in self._docmap_ds:
+            tbl = dm.to_table(
+                columns=["doc_id", "url"],
+                filter=self._ds.field("doc_id").isin(ids),
+            )
+            out.update(
+                zip(tbl.column("doc_id").to_pylist(), tbl.column("url").to_pylist())
+            )
+        return out
+
     def search_batch(
         self,
         queries: dict[str, str],
         mode: str = spec.MODE_DISJUNCTIVE,
         k: int = spec.TOP_K_DEFAULT,
+        with_url: bool = False,
     ) -> pd.DataFrame:
-        """(query_id, rank, doc_id, score) rows for a whole query dict."""
+        """(query_id, rank, doc_id[, url], score) rows for a whole query dict."""
         qids, ranks, docs, scores = [], [], [], []
         for qid, text in queries.items():
             for rank, doc_id, score in self.search(text, mode=mode, k=k):
@@ -315,11 +337,13 @@ class LocalSearcher:
                 ranks.append(rank)
                 docs.append(doc_id)
                 scores.append(score)
-        return pd.DataFrame(
-            {
-                "query_id": pd.array(qids, dtype="string"),
-                "rank": pd.array(ranks, dtype="int32"),
-                "doc_id": pd.array(docs, dtype="int64"),
-                "score": pd.array(scores, dtype="float64"),
-            }
-        )
+        cols = {
+            "query_id": pd.array(qids, dtype="string"),
+            "rank": pd.array(ranks, dtype="int32"),
+            "doc_id": pd.array(docs, dtype="int64"),
+            "score": pd.array(scores, dtype="float64"),
+        }
+        if with_url:
+            umap = self.urls_for(docs)
+            cols["url"] = pd.array([umap.get(d) for d in docs], dtype="string")
+        return pd.DataFrame(cols)

@@ -1,9 +1,18 @@
 """Table catalog: Iceberg when available, partitioned Parquet + JSON
 manifests otherwise.
 
-The design target (BASELINE.json) is an Iceberg table of web pages.  This
-sandbox has no Iceberg runtime jar and no pyiceberg (verified; SURVEY.md
-header), so the catalog degrades LOUDLY to:
+The design target (BASELINE.json) is an Iceberg table of web pages.  When a
+Spark Iceberg catalog is configured (pass ``iceberg_namespace=`` or set
+``SPARK_GRAFT_ICEBERG_NS=<catalog>.<db>``) AND the Iceberg runtime classes
+load, ``Catalog.write``/``read`` go through the DataFrameWriterV2 path
+(``df.writeTo(ns.table).using("iceberg")`` / ``spark.read.table``) — real
+snapshot commits, schema evolution, and partition-pruned reads come from
+Iceberg itself.  The posting BLOCK files stay path-addressed shard
+directories in either mode: the scan-side query path and the serving path
+read them via pyarrow by design (plans/bm25.py, plans/serve.py).
+
+This sandbox has no Iceberg runtime jar and no pyiceberg (verified;
+SURVEY.md header), so the catalog degrades LOUDLY to:
 
   * partitioned Parquet directories under a root path, and
   * an append-only manifest ledger of JSON-lines files, committed atomically
@@ -39,8 +48,11 @@ class Catalog:
 
     MANIFEST_DIR = "_manifest"
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, iceberg_namespace: str | None = None):
         self.root = root
+        self.iceberg_ns = iceberg_namespace or os.environ.get(
+            "SPARK_GRAFT_ICEBERG_NS"
+        )
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -48,13 +60,45 @@ class Catalog:
 
     # --- tables ---------------------------------------------------------
 
+    def _ident(self, name: str) -> str:
+        return f"{self.iceberg_ns}.{name.replace('/', '_')}"
+
+    def _use_iceberg(self, spark) -> bool:
+        return bool(self.iceberg_ns) and _iceberg_available(spark)
+
     def write(self, df, name: str, partition_by=None, mode: str = "overwrite"):
+        if self._use_iceberg(df.sparkSession):
+            from pyspark.sql import functions as F
+
+            w = df.writeTo(self._ident(name)).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "append":
+                # first append must create the table; CTAS-or-append keeps
+                # the call idempotent for resumed batches
+                w.createOrReplace() if not self._table_exists(
+                    df.sparkSession, name
+                ) else w.append()
+            else:
+                w.createOrReplace()
+            return
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def _table_exists(self, spark, name: str) -> bool:
+        try:
+            return bool(spark.catalog.tableExists(self._ident(name)))
+        except Exception:
+            return False
+
     def read(self, spark, name: str, *more: str):
+        if self._use_iceberg(spark):
+            df = spark.read.table(self._ident(name))
+            for n in more:
+                df = df.unionByName(spark.read.table(self._ident(n)))
+            return df
         return spark.read.parquet(self.path(name), *[self.path(n) for n in more])
 
     def exists(self, name: str) -> bool:

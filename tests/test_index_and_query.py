@@ -180,3 +180,40 @@ def test_oracle_vs_duckdb(spark, cat, index_dir, posting_rows, tmp_path):
     assert [r["doc_id"] for r in ora] == [d for d, _ in ddb]
     for r, (_, s) in zip(ora, ddb):
         assert math.isclose(r["score"], s, rel_tol=1e-9)
+
+
+def test_topk_with_fields_matches_extracted(spark, corpus_dir, index_dir):
+    """Reference read-path parity (src/services/daos/
+    extracted_search_results_dao.py:23-63): with fields=extracted, every
+    top-k url expands to exactly its extracted(url, seq, link, date, body)
+    rows with rank/score attached — the client-facing result rows."""
+    from rt_etl_yahoo_search_engine_spark.functions.extract import extract_df
+
+    pages = spark.read.parquet(corpus_dir)
+    extracted = extract_df(pages.select("url", "html"))
+    out = topk(
+        spark, index_dir, {"q1": "Starbucks Coffee", "q5": "Chicken Rice"},
+        k=5, fields=extracted,
+    )
+    rows = out.collect()
+    assert rows, "fields join returned nothing"
+    assert set(out.columns) == {
+        "query_id", "rank", "doc_id", "url", "score", "seq", "link", "date", "body",
+    }
+    # per (query, url): the field rows are exactly the extracted rows of
+    # that url (same seq set), each carrying the same rank/score
+    plain = {
+        (r["query_id"], r["rank"]): r["url"]
+        for r in topk(spark, index_dir, {"q1": "Starbucks Coffee",
+                                         "q5": "Chicken Rice"}, k=5,
+                      with_url=True).collect()
+    }
+    ext_by_url = {}
+    for r in extracted.collect():
+        ext_by_url.setdefault(r["url"], set()).add(r["seq"])
+    got_by_qr = {}
+    for r in rows:
+        got_by_qr.setdefault((r["query_id"], r["rank"]), set()).add(r["seq"])
+        assert plain[(r["query_id"], r["rank"])] == r["url"]
+    for qr, seqs in got_by_qr.items():
+        assert seqs == ext_by_url[plain[qr]], qr
