@@ -386,20 +386,39 @@ def make_arrow_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
         blist = [rb for rb in batches if rb.num_rows]
         if not blist:
             return
-        tbl = pa.Table.from_batches(blist).combine_chunks()
+        # zero-copy table view; NEVER combine_chunks() the whole table — the
+        # full-partition copy (dominated by the term strings) was the
+        # encode stage's largest memory-bandwidth cost and the reason 2->8
+        # worker scaling sagged on one box (VERDICT r1 #7).  Terms are
+        # dictionary-encoded per chunk and the dictionaries unified, so the
+        # combined string column is never materialized; int columns are
+        # concatenated once into the contiguous arrays lexsort needs.
+        tbl = pa.Table.from_batches(blist)
         n = tbl.num_rows
-        term_arr = tbl.column("term")
-        if isinstance(term_arr, pa.ChunkedArray):
-            term_arr = term_arr.combine_chunks()
-            if isinstance(term_arr, pa.ChunkedArray):
-                term_arr = term_arr.chunk(0)
-        enc = term_arr.dictionary_encode()
-        codes = enc.indices.to_numpy().astype(np.int64)
-        vocab = enc.dictionary
-        doc_ids = tbl.column("doc_id").to_numpy()
-        tfs = tbl.column("tf").to_numpy().astype(np.int64)
-        dls = tbl.column("doc_len").to_numpy().astype(np.int64)
-        shards = tbl.column("shard").to_numpy()
+        term_col = tbl.column("term")
+        encd = term_col.dictionary_encode()
+        if encd.num_chunks == 1:
+            vocab = encd.chunk(0).dictionary
+            codes = encd.chunk(0).indices.to_numpy().astype(np.int64)
+        else:
+            encd = encd.unify_dictionaries()
+            vocab = encd.chunk(0).dictionary
+            codes = np.concatenate(
+                [c.indices.to_numpy() for c in encd.chunks]
+            ).astype(np.int64)
+
+        def _np(name: str, dtype=None) -> "np.ndarray":
+            col = tbl.column(name)
+            if col.num_chunks == 1:
+                a = col.chunk(0).to_numpy()
+            else:
+                a = np.concatenate([c.to_numpy() for c in col.chunks])
+            return a if dtype is None else a.astype(dtype)
+
+        doc_ids = _np("doc_id")
+        tfs = _np("tf", np.int64)
+        dls = _np("doc_len", np.int64)
+        shards = _np("shard")
 
         order = np.lexsort((doc_ids, codes))
         codes = codes[order]
