@@ -8,7 +8,8 @@ driver's order-insensitive value-hash matches.
 
 The BM25 entries run the REAL engine: a compressed block-postings index is
 built (once per sf_dir, cached under /tmp) from the `documents` table and
-queried with block-max WAND; the oracle recomputes BM25 exhaustively in SQL.
+queried with the scan-side vectorized TAAT scorer; the oracle recomputes
+BM25 exhaustively in SQL.
 """
 
 from __future__ import annotations
@@ -178,7 +179,7 @@ def _q_bm25_conj(spark, sf_dir):
 def _q_bm25_serve(spark, sf_dir):
     """Low-latency serving path (plans.serve.LocalSearcher): no Spark job
     for the query itself — pyarrow bucket/row-group pruned reads + the same
-    block-max WAND operator.  Shares the bm25_topk_disjunctive oracle, so
+    TAAT scorer.  Shares the bm25_topk_disjunctive oracle, so
     the driver independently proves serve == SQL-exhaustive BM25."""
     import pandas as pd
 
@@ -436,7 +437,7 @@ def _q_extract_structured(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
-    block-max WAND BM25 top-10) at sf0.001."""
+    scan-side vectorized BM25 top-10) at sf0.001."""
     return _bm25(spark, "/root/testdata/sf0.001", spec.MODE_DISJUNCTIVE)
 
 

@@ -123,9 +123,13 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
 
         # large generated workload: 500 two-term queries over the synthetic
         # vocabulary (head + mid terms) — the query-phase scaling quantity,
-        # big enough that WAND work dominates per-job overhead
+        # big enough that scoring work dominates per-job overhead.  The
+        # count is overridable because the vectorized TAAT scorer made 500
+        # queries overhead-dominated at 150k docs; scaling legs use a larger
+        # batch (same 300-term union, so decode cost is count-invariant).
+        n_q = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "500"))
         big = {
-            f"g{i}": f"w{i % 50:04d} w{(i * 3) % 300:04d}" for i in range(500)
+            f"g{i}": f"w{i % 50:04d} w{(i * 3) % 300:04d}" for i in range(n_q)
         }
         t0 = time.time()
         topk(spark, web_idx, big, mode=spec.MODE_DISJUNCTIVE, k=10).collect()
@@ -226,6 +230,8 @@ def _scaling(sf_dir: str) -> None:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SF_DIR=sf_dir,
                        SPARK_GRAFT_BENCH_DOCS=str(n_docs),
+                       SPARK_GRAFT_BENCH_QUERIES=os.environ.get(
+                           "SPARK_GRAFT_SCALING_QUERIES", "10000"),
                        SPARK_GRAFT_BENCH_SCALING_ONLY="1")
             out = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True,
@@ -245,6 +251,7 @@ def _scaling(sf_dir: str) -> None:
                 results[cpus] = r
 
     lo, hi = pair
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "10000"))
     ql, qh = results[lo]["queries"], results[hi]["queries"]
     factor = hi / lo
     build_lo = ql["build_webtext_docs_per_sec"]
@@ -260,15 +267,16 @@ def _scaling(sf_dir: str) -> None:
 Input: {results[lo]["n_webtext_docs"]} synthesized webtext pages (input_hint
 shape); full pipeline = HTML extraction -> tokenize -> docmap -> doc-range
 shard (skew) -> compressed block postings + lexicon + manifests; query =
-block-max WAND BM25 top-10 over a 500-query generated batch.
+scan-side vectorized-TAAT BM25 top-10 over a {n_queries}-query generated
+batch (300-term union).
 
 | phase | local[{lo}] | local[{hi}] | ratio | efficiency (ratio/{factor:.0f}) |
 |---|---|---|---|---|
 | index build (docs/sec) | {build_lo:.1f} | {build_hi:.1f} | {build_hi/build_lo:.2f}x | **{build_eff:.2f}** |
-| query batch (QPS, 500 queries) | {qps_lo:.2f} | {qps_hi:.2f} | {qps_hi/qps_lo:.2f}x | **{query_eff:.2f}** |
+| query batch (QPS, {n_queries} queries) | {qps_lo:.2f} | {qps_hi:.2f} | {qps_hi/qps_lo:.2f}x | **{query_eff:.2f}** |
 
 Raw build times: {ql["build_webtext"]:.1f}s @{lo} -> {qh["build_webtext"]:.1f}s @{hi}.
-500-query batch: {ql["query_batch_500"]:.2f}s @{lo} -> {qh["query_batch_500"]:.2f}s @{hi}.
+{n_queries}-query batch: {ql["query_batch_500"]:.2f}s @{lo} -> {qh["query_batch_500"]:.2f}s @{hi}.
 Reference-set batch QPS @{hi}: {qh["qps_disjunctive"]:.2f} (disjunctive),
 {qh["qps_conjunctive"]:.2f} (conjunctive).
 """)

@@ -5,7 +5,7 @@
         --index /data/index --query "Chicken Rice" --query "Gout" \
         [--mode conjunctive] [--k 10] [--oracle] [--serve] [--out /data/results]
 
---oracle runs the exhaustive DataFrame scorer instead of block-max WAND
+--oracle runs the exhaustive DataFrame scorer instead of the TAAT path
 (rank-identical by construction; used for verification).
 --serve answers from the low-latency local searcher (plans.serve) — no
 Spark job at all; rank-identical to the distributed path.

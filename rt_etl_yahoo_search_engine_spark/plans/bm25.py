@@ -6,12 +6,15 @@ Two paths, both returning (query_id, rank, doc_id, score [, url]):
     pruned: query terms are a handful of literals against a vocab-scale
     term-sorted table), then SCAN-SIDE scoring: one task per (segment,
     doc-range shard) opens its own shard directory with pyarrow, reads only
-    the query terms' row groups, and runs block-max WAND for the ENTIRE
-    broadcast query batch locally — each block's bytes are read and decoded
-    AT MOST ONCE per batch (shared decode memo), and only k narrow rows per
-    (query, shard) ever leave the task.  Posting payload bytes NEVER enter
-    a Spark exchange; the only shuffles in the plan carry the metadata-scale
-    unit list and the k-row partials for the global window merge.
+    the query terms' row groups, decodes each queried term's postings ONCE,
+    and scores the ENTIRE broadcast query batch with the vectorized
+    term-at-a-time scorer (operators.topk.taat_topk) — per (query, shard)
+    the cost is a handful of numpy vector ops over the term arrays, not a
+    per-doc Python loop (block-max WAND remains the single-query latency
+    path in plans/serve).  Only k narrow rows per (query, shard) ever leave
+    the task.  Posting payload bytes NEVER enter a Spark exchange; the only
+    shuffles in the plan carry the metadata-scale unit list and the k-row
+    partials for the global window merge.
   * oracle — exhaustive DataFrame scoring over the staged posting rows
     (operators.topk.exhaustive_topk), used by tests and the driver gate.
 
@@ -36,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import spec
-from ..operators.topk import TOPK_PARTIAL_SCHEMA, _Cursor, exhaustive_topk, wand_topk
+from ..operators.topk import (
+    TOPK_PARTIAL_SCHEMA,
+    decode_term_postings,
+    exhaustive_topk,
+    taat_topk,
+)
 from ..sources.catalog import Catalog
 
 _POSTINGS_READ_COLS = [
@@ -117,8 +125,8 @@ def topk(
     with_url: bool = False,
     fields: DataFrame | None = None,
 ) -> DataFrame:
-    """Optimized path: compressed postings + block-max WAND, scored
-    scan-side per (segment, shard) with the whole query batch broadcast.
+    """Optimized path: compressed postings scored scan-side per (segment,
+    shard) with the whole query batch broadcast (vectorized TAAT).
 
     fields: optional url-keyed table of result fields (e.g. the
     extracted(url, seq, link, date, body) table the reference's read path
@@ -170,28 +178,28 @@ def topk(
                 if tbl.num_rows == 0:
                     continue
                 bl = tbl.to_pandas()
-                if factor != 1.0:
-                    bl["block_max_part"] = bl["block_max_part"] * factor
-                bl["shard"] = 0  # constant within a unit (cursor sort key)
-                # per-term blocks prepared ONCE per unit: block_max_score =
-                # idf * (part [* factor]) — the same association the serving
-                # path uses (both are ulp-safe upper bounds)
-                prepared = {}
-                for t, g in bl.groupby("term", sort=True):
-                    prepared[t] = g.assign(block_max_score=idf_l[t] * g["block_max_part"])
-                cache: dict = {}  # shared decode memo for the whole batch
+                bl["shard"] = 0  # constant within a unit (block sort key)
+                # every union term fully decoded ONCE per unit into
+                # (doc_ids, score_parts) arrays; the per-query scorer is
+                # then pure vectorized numpy (taat_topk).  The avgdl drift
+                # factor is a WAND-bound concept only — TAAT computes exact
+                # scores from tf/dl with the CURRENT corpus avgdl, so
+                # extended-segment drift needs no correction here.
+                cache: dict = {}  # block-decode memo (shared _Cursor keys)
+                tdata = {
+                    t: decode_term_postings(g, avgdl_l, cache=cache)
+                    for t, g in bl.groupby("term", sort=True)
+                }
                 out_q: list[str] = []
                 out_d: list[int] = []
                 out_s: list[float] = []
                 for qid, (n_terms, terms_q) in qplan_l.items():
-                    cursors = [
-                        _Cursor(idf_l[t], prepared[t], avgdl_l, cache=cache)
+                    postings = [
+                        (tdata[t][0], tdata[t][1], idf_l[t])
                         for t in terms_q
-                        if t in prepared
+                        if t in tdata
                     ]
-                    if not cursors:
-                        continue
-                    for doc, s in wand_topk(cursors, k_l, mode_l, n_terms):
+                    for doc, s in taat_topk(postings, k_l, mode_l, n_terms):
                         out_q.append(qid)
                         out_d.append(doc)
                         out_s.append(s)

@@ -22,13 +22,19 @@ searcher-node role, runnable against any index the build wrote:
     here through pyarrow.dataset against identical files.  On a real
     cluster each searcher process owns one shard dir and this read touches
     ONLY local files;
-  * scoring runs the SAME block-max WAND + bounded min-heap operator the
-    distributed path uses (operators.topk._Cursor / wand_topk), so results
-    are rank-identical by construction — asserted by tests/test_serve.py.
+  * scoring runs the SAME vectorized term-at-a-time scorer the distributed
+    path uses (operators.topk.decode_term_postings / taat_topk), with a
+    per-term decoded-postings hot cache (head terms decode once per
+    searcher lifetime), so results are rank-identical by construction —
+    asserted by tests/test_serve.py.  Block-max WAND (operators.topk._bmw)
+    remains available for corpora where block-max pruning beats the
+    vectorized scan; measured on the synthetic corpus the per-doc Python
+    cursor cost dominates anything pruning saves.
 
 One process here holds every shard, so the S-way merge is local; the float
 sum order per doc (ascending term order) matches the distributed path's
-``groupby("term", sort=True)`` cursor order, keeping scores bit-identical.
+``groupby("term", sort=True)`` accumulation order, keeping scores
+bit-identical.
 
 The reference answers a query in "order of seconds" end-to-end
 (ref: README.md:18-19); this path answers rank-identical BM25 top-10 over
@@ -40,10 +46,11 @@ from __future__ import annotations
 import os
 from bisect import bisect_left
 
+import numpy as np
 import pandas as pd
 
 from .. import spec
-from ..operators.topk import _Cursor, wand_topk
+from ..operators.topk import decode_term_postings, taat_topk
 from ..sources.catalog import Catalog
 from .bm25 import _bound_factor
 
@@ -206,12 +213,12 @@ class LocalSearcher:
             for seg in self._segments:
                 seg.preload()
         self._term_cache: dict[str, float | None] = {}
-        # hot-postings cache: term -> prepared per-term block frame (all
-        # segments, factor applied, block_max_score materialized) — what a
-        # production searcher keeps in memory for head terms.  Bounded by
-        # entry count; evicted FIFO.  The decode memo is shared across all
-        # queries for the searcher's lifetime (decoded arrays are immutable).
-        self._postings_cache: dict[str, pd.DataFrame] = {}
+        # hot-postings cache: term -> fully-decoded (doc_ids, score_parts)
+        # arrays across all segments — what a production searcher keeps in
+        # memory for head terms.  Bounded by entry count; evicted FIFO.  The
+        # block-decode memo is shared across all queries for the searcher's
+        # lifetime (decoded arrays are immutable).
+        self._postings_cache: dict[str, tuple] = {}
         self._postings_cache_max = 50_000
         self._decode_cache: dict = {}
 
@@ -239,8 +246,11 @@ class LocalSearcher:
 
     # -- postings ---------------------------------------------------------
 
-    def _prepared_blocks(self, term_meta: dict[str, float]) -> dict[str, pd.DataFrame]:
-        """term -> prepared block frame, via the hot-postings cache."""
+    def _decoded_postings(self, term_meta: dict[str, float]) -> dict[str, tuple]:
+        """term -> decoded (doc_ids, score_parts), via the hot-postings
+        cache.  Ordering by (shard, first_doc_id) is global doc_id order:
+        shards are contiguous doc ranges and extension segments get strictly
+        higher shard ids over strictly higher doc ranges."""
         missing = sorted(t for t in term_meta if t not in self._postings_cache)
         if missing:
             parts = []
@@ -261,16 +271,17 @@ class LocalSearcher:
             found = set()
             for term, grp in pdf.groupby("term", sort=False):
                 found.add(term)
-                self._postings_cache[term] = grp.assign(
-                    block_max_score=term_meta[term] * grp["block_max_part"]
-                ).reset_index(drop=True)
+                self._postings_cache[term] = decode_term_postings(
+                    grp, self.avgdl, cache=self._decode_cache
+                )
             for t in missing:
                 if t not in found:  # only reachable mid-extension
-                    self._postings_cache[t] = pd.DataFrame(
-                        columns=_POSTINGS_FILE_COLS + ["shard", "block_max_score"]
+                    self._postings_cache[t] = (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.float64),
                     )
         return {
-            t: g for t in term_meta if len(g := self._postings_cache[t])
+            t: d for t in term_meta if len((d := self._postings_cache[t])[0])
         }
 
     # -- query -------------------------------------------------------------
@@ -291,17 +302,13 @@ class LocalSearcher:
             return []
         if len(self._decode_cache) > 500_000:  # bound decoded-array memory
             self._decode_cache.clear()
-        prepared = self._prepared_blocks(meta)
-        # ascending term order == the distributed path's cursor order ->
-        # identical float accumulation per doc
-        cursors = [
-            _Cursor(meta[term], prepared[term], self.avgdl, cache=self._decode_cache)
-            for term in sorted(prepared)
+        decoded = self._decoded_postings(meta)
+        # ascending term order == the distributed path's accumulation order
+        # -> identical float score per doc
+        postings = [
+            (decoded[t][0], decoded[t][1], meta[t]) for t in sorted(decoded)
         ]
-        if not cursors:
-            return []
-        hits = wand_topk(cursors, k, mode, n_terms)
-        hits.sort(key=lambda h: (-h[1], h[0]))
+        hits = taat_topk(postings, k, mode, n_terms)
         return [(r + 1, doc, score) for r, (doc, score) in enumerate(hits)]
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:

@@ -12,7 +12,12 @@ from rt_etl_yahoo_search_engine_spark.operators.codec import (
     encode_doc_ids,
     encode_varbyte,
 )
-from rt_etl_yahoo_search_engine_spark.operators.topk import _Cursor, wand_topk
+from rt_etl_yahoo_search_engine_spark.operators.topk import (
+    _Cursor,
+    decode_term_postings,
+    taat_topk,
+    wand_topk,
+)
 
 
 def _make_cursor(idf, doc_ids, tfs, dls, avgdl, block_size):
@@ -103,3 +108,55 @@ def test_wand_equals_naive(c):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-12 * max(1.0, abs(ws))
+
+
+def _make_blocks_pdf(idf, doc_ids, tfs, dls, avgdl, block_size):
+    """The raw block frame (as read from a shard dir) for one term."""
+    rows = []
+    for s in range(0, len(doc_ids), block_size):
+        e = min(s + block_size, len(doc_ids))
+        ids = np.array(doc_ids[s:e])
+        t = np.array(tfs[s:e])
+        d = np.array(dls[s:e])
+        parts = (t * (spec.K1 + 1.0)) / (
+            t + spec.K1 * (1.0 - spec.B + spec.B * d / avgdl)
+        )
+        rows.append(
+            {
+                "shard": 0,
+                "first_doc_id": ids[0],
+                "last_doc_id": ids[-1],
+                "block_max_part": parts.max(),
+                "doc_ids_vb": encode_doc_ids(ids),
+                "tfs_vb": encode_varbyte(t),
+                "doc_lens_vb": encode_varbyte(d),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus())
+def test_taat_equals_naive(c):
+    """The vectorized batch scorer (production scan-side path) matches the
+    independent exhaustive reference, same generator as the WAND test."""
+    n_docs, postings, k, block_size, mode = c
+    avgdl = 25.0
+    idfs = {t: spec.idf(n_docs, len(p[0])) for t, p in postings.items()}
+    cache: dict = {}
+    decoded = [
+        (
+            *decode_term_postings(
+                _make_blocks_pdf(idfs[t], *p, avgdl=avgdl, block_size=block_size),
+                avgdl,
+                cache=cache,
+            ),
+            idfs[t],
+        )
+        for t, p in sorted(postings.items())
+    ]
+    got = taat_topk(decoded, k, mode, n_terms=len(postings))
+    want = _naive(postings, idfs, avgdl, k, mode, len(postings))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
