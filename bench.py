@@ -121,15 +121,20 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         spark = _fresh("bench-query")
         topk(spark, web_idx, {"warm": "Starbucks"}, k=10).collect()
 
-        # large generated workload: 500 two-term queries over the synthetic
+        # large generated workload: two-term queries over the synthetic
         # vocabulary (head + mid terms) — the query-phase scaling quantity,
         # big enough that scoring work dominates per-job overhead.  The
         # count is overridable because the vectorized TAAT scorer made 500
         # queries overhead-dominated at 150k docs; scaling legs use a larger
         # batch (same 300-term union, so decode cost is count-invariant).
+        # Pairs are DISTINCT combinations: the engine dedups repeated term
+        # sets, so a repeating workload would measure the dedup, not scoring.
+        from itertools import combinations, islice
+
         n_q = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "500"))
         big = {
-            f"g{i}": f"w{i % 50:04d} w{(i * 3) % 300:04d}" for i in range(n_q)
+            f"g{i}": f"w{a:04d} w{b:04d}"
+            for i, (a, b) in enumerate(islice(combinations(range(300), 2), n_q))
         }
         t0 = time.time()
         topk(spark, web_idx, big, mode=spec.MODE_DISJUNCTIVE, k=10).collect()

@@ -7,14 +7,18 @@ Two paths, both returning (query_id, rank, doc_id, score [, url]):
     term-sorted table), then SCAN-SIDE scoring: one task per (segment,
     doc-range shard) opens its own shard directory with pyarrow, reads only
     the query terms' row groups, decodes each queried term's postings ONCE,
-    and scores the ENTIRE broadcast query batch with the vectorized
-    term-at-a-time scorer (operators.topk.taat_topk) — per (query, shard)
-    the cost is a handful of numpy vector ops over the term arrays, not a
-    per-doc Python loop (block-max WAND remains the single-query latency
-    path in plans/serve).  Only k narrow rows per (query, shard) ever leave
-    the task.  Posting payload bytes NEVER enter a Spark exchange; the only
-    shuffles in the plan carry the metadata-scale unit list and the k-row
-    partials for the global window merge.
+    and scores each DISTINCT term set of the broadcast query batch with
+    the vectorized term-at-a-time scorer (operators.topk.DenseScorer:
+    scatter-add into a scratch accumulator sized to the shard's bounded
+    doc range, reused across the whole batch; sparse taat_topk fallback,
+    bit-identical) — per (set, shard) the cost is a handful of numpy
+    vector ops over the term arrays, not a per-doc Python loop.  Repeated
+    queries (real logs are head-heavy) are scored once; per-query rows are
+    expanded after the global merge by a broadcast join on the
+    metadata-scale (set_id, query_id) map.  Only k narrow rows per (set,
+    shard) ever leave the task.  Posting payload bytes NEVER enter a Spark
+    exchange; the only shuffles in the plan carry the metadata-scale unit
+    list and the k-row partials for the global window merge.
   * oracle — exhaustive DataFrame scoring over the staged posting rows
     (operators.topk.exhaustive_topk), used by tests and the driver gate.
 
@@ -40,10 +44,9 @@ from pyspark.sql import functions as F
 
 from .. import spec
 from ..operators.topk import (
-    TOPK_PARTIAL_SCHEMA,
+    DenseScorer,
     decode_term_postings,
     exhaustive_topk,
-    taat_topk,
 )
 from ..sources.catalog import Catalog
 
@@ -146,28 +149,41 @@ def topk(
     if not all_terms:
         return empty
     idf = lexicon_idf(cat, reg, all_terms)
-    # per-query plan: n_terms counts the ORIGINAL distinct tokens, so a
-    # conjunctive query with an out-of-corpus term correctly returns nothing
-    qplan: dict[str, tuple[int, list[str]]] = {}
+    # Distinct-TERM-SET planning: real query logs are head-heavy (the same
+    # hot queries repeat), and scoring depends only on the canonical present
+    # term set — so each distinct set is scored ONCE per shard and the
+    # per-query results are expanded afterwards by a broadcast join on the
+    # metadata-scale (set_id, query_id) map.  n_terms counts the ORIGINAL
+    # distinct tokens, so a conjunctive query with an out-of-corpus term
+    # correctly returns nothing (and any qualifying conjunctive query has
+    # present == its token set, making the canonical key sufficient).
+    setplan: dict[tuple[str, ...], str] = {}
+    qmap: list[tuple[str, str]] = []  # (set_id, query_id)
     for qid, toks in qtoks.items():
-        present = [t for t in toks if t in idf]
+        present = tuple(t for t in toks if t in idf)
         if not present:
             continue
         if mode == spec.MODE_CONJUNCTIVE and len(present) < len(toks):
             continue
-        qplan[qid] = (len(toks), present)
+        sid = setplan.get(present)
+        if sid is None:
+            sid = f"s{len(setplan)}"
+            setplan[present] = sid
+        qmap.append((sid, qid))
     units = _shard_units(cat, reg, avgdl)
-    if not qplan or not units:
+    if not setplan or not units:
         return empty
 
-    corpus_terms = sorted({t for _, ts in qplan.values() for t in ts})
-    b_plan = spark.sparkContext.broadcast((qplan, idf, corpus_terms, mode, k, avgdl))
+    sets = {sid: list(terms) for terms, sid in setplan.items()}
+    corpus_terms = sorted({t for terms in setplan for t in terms})
+    b_plan = spark.sparkContext.broadcast((sets, idf, corpus_terms, mode, k, avgdl))
 
     def score_units(pdfs):
         import pandas as pd
         import pyarrow.dataset as pds
 
-        qplan_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
+        sets_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
+        scorer = DenseScorer()  # scatter-add scratch reused across the batch
         for updf in pdfs:
             for path, factor in zip(updf["path"], updf["factor"]):
                 dset = pds.dataset(path)
@@ -180,8 +196,8 @@ def topk(
                 bl = tbl.to_pandas()
                 bl["shard"] = 0  # constant within a unit (block sort key)
                 # every union term fully decoded ONCE per unit into
-                # (doc_ids, score_parts) arrays; the per-query scorer is
-                # then pure vectorized numpy (taat_topk).  The avgdl drift
+                # (doc_ids, score_parts) arrays; the per-set scorer is then
+                # pure vectorized numpy (DenseScorer.topk).  The avgdl drift
                 # factor is a WAND-bound concept only — TAAT computes exact
                 # scores from tf/dl with the CURRENT corpus avgdl, so
                 # extended-segment drift needs no correction here.
@@ -193,19 +209,21 @@ def topk(
                 out_q: list[str] = []
                 out_d: list[int] = []
                 out_s: list[float] = []
-                for qid, (n_terms, terms_q) in qplan_l.items():
+                for sid, terms_q in sets_l.items():
                     postings = [
                         (tdata[t][0], tdata[t][1], idf_l[t])
                         for t in terms_q
                         if t in tdata
                     ]
-                    for doc, s in taat_topk(postings, k_l, mode_l, n_terms):
-                        out_q.append(qid)
+                    for doc, s in scorer.topk(
+                        postings, k_l, mode_l, len(terms_q)
+                    ):
+                        out_q.append(sid)
                         out_d.append(doc)
                         out_s.append(s)
                 yield pd.DataFrame(
                     {
-                        "query_id": pd.array(out_q, dtype="string"),
+                        "set_id": pd.array(out_q, dtype="string"),
                         "doc_id": pd.array(out_d, dtype="int64"),
                         "score": pd.array(out_s, dtype="float64"),
                     }
@@ -215,11 +233,15 @@ def topk(
     units_df = spark.createDataFrame(units, "path string, factor double").repartition(
         min(len(units), 2 * par)
     )
-    partials = units_df.mapInPandas(score_units, schema=TOPK_PARTIAL_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    partials = units_df.mapInPandas(
+        score_units, schema="set_id string, doc_id long, score double"
+    )
+    w = Window.partitionBy("set_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    map_df = spark.createDataFrame(qmap, "set_id string, query_id string")
     out = (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .join(F.broadcast(map_df), "set_id")
         .select("query_id", "rank", "doc_id", "score")
     )
     if with_url or fields is not None:

@@ -23,10 +23,11 @@ searcher-node role, runnable against any index the build wrote:
     cluster each searcher process owns one shard dir and this read touches
     ONLY local files;
   * scoring runs the SAME vectorized term-at-a-time scorer the distributed
-    path uses (operators.topk.decode_term_postings / taat_topk), with a
-    per-term decoded-postings hot cache (head terms decode once per
-    searcher lifetime), so results are rank-identical by construction —
-    asserted by tests/test_serve.py.  Block-max WAND (operators.topk._bmw)
+    path uses (operators.topk.decode_term_postings / DenseScorer — dense
+    scatter-add over the searcher's bounded doc range, sparse fallback for
+    rare terms, both bit-identical), with a per-term decoded-postings hot
+    cache (head terms decode once per searcher lifetime), so results are
+    rank-identical by construction — asserted by tests/test_serve.py.  Block-max WAND (operators.topk._bmw)
     remains available for corpora where block-max pruning beats the
     vectorized scan; measured on the synthetic corpus the per-doc Python
     cursor cost dominates anything pruning saves.
@@ -50,7 +51,7 @@ import numpy as np
 import pandas as pd
 
 from .. import spec
-from ..operators.topk import decode_term_postings, taat_topk
+from ..operators.topk import DenseScorer, decode_term_postings
 from ..sources.catalog import Catalog
 from .bm25 import _bound_factor
 
@@ -221,6 +222,11 @@ class LocalSearcher:
         self._postings_cache: dict[str, tuple] = {}
         self._postings_cache_max = 50_000
         self._decode_cache: dict = {}
+        # dense scatter-add scratch (operators.topk.DenseScorer): one
+        # process serves a bounded doc range (per-shard searcher at scale,
+        # whole sandbox corpus here), so the accumulator stays RAM-trivial;
+        # the scorer falls back to the sparse path for rare-term queries
+        self._scorer = DenseScorer()
 
     # -- lexicon ---------------------------------------------------------
 
@@ -308,7 +314,7 @@ class LocalSearcher:
         postings = [
             (decoded[t][0], decoded[t][1], meta[t]) for t in sorted(decoded)
         ]
-        hits = taat_topk(postings, k, mode, n_terms)
+        hits = self._scorer.topk(postings, k, mode, n_terms)
         return [(r + 1, doc, score) for r, (doc, score) in enumerate(hits)]
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:

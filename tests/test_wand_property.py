@@ -13,6 +13,7 @@ from rt_etl_yahoo_search_engine_spark.operators.codec import (
     encode_varbyte,
 )
 from rt_etl_yahoo_search_engine_spark.operators.topk import (
+    DenseScorer,
     _Cursor,
     decode_term_postings,
     taat_topk,
@@ -160,3 +161,53 @@ def test_taat_equals_naive(c):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus())
+def test_dense_equals_taat_bit_identical(c):
+    """DenseScorer (scatter-add scratch, production batch + serve scorer)
+    returns BIT-IDENTICAL (doc, score) tuples to the sparse taat_topk for
+    both modes — the float add order per doc is the same ascending-term
+    order — and the scratch reset leaves no state between calls (the same
+    scorer instance is reused across all examples via a module global)."""
+    n_docs, postings, k, block_size, mode = c
+    avgdl = 25.0
+    idfs = {t: spec.idf(n_docs, len(p[0])) for t, p in postings.items()}
+    cache: dict = {}
+    decoded = [
+        (
+            *decode_term_postings(
+                _make_blocks_pdf(idfs[t], *p, avgdl=avgdl, block_size=block_size),
+                avgdl,
+                cache=cache,
+            ),
+            idfs[t],
+        )
+        for t, p in sorted(postings.items())
+    ]
+    got = _DENSE.topk(decoded, k, mode, n_terms=len(postings))
+    want = taat_topk(decoded, k, mode, n_terms=len(postings))
+    assert got == want  # exact: doc ids AND float score bits
+
+
+_DENSE = DenseScorer()
+
+
+def test_dense_sparse_fallback_identical():
+    """A degenerate-sparse range (rare terms spread over a huge doc space)
+    must take the taat_topk fallback inside DenseScorer and still match."""
+    rng = np.random.default_rng(11)
+    ids_a = np.sort(rng.choice(10_000_000, size=20, replace=False)).astype(np.int64)
+    ids_b = np.sort(rng.choice(10_000_000, size=25, replace=False)).astype(np.int64)
+    ids_b[:5] = ids_a[:5]  # force overlap
+    ids_b = np.sort(ids_b)
+    postings = [
+        (ids_a, rng.random(20), 2.0),
+        (ids_b, rng.random(25), 1.5),
+    ]
+    d = DenseScorer()
+    for mode in (spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE):
+        assert d.topk(postings, 10, mode, 2) == taat_topk(postings, 10, mode, 2)
+    # and the buffers were never grown to the sparse range
+    assert len(d._acc) == 0
