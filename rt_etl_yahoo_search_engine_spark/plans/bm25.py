@@ -8,14 +8,14 @@ Two paths, both returning (query_id, rank, doc_id, score [, url]):
     doc-range shard) opens its own shard directory with pyarrow, reads only
     the query terms' row groups, decodes each queried term's postings ONCE,
     and scores each DISTINCT term set of the broadcast query batch with
-    the vectorized term-at-a-time scorer (operators.topk.DenseScorer:
-    scatter-add into a scratch accumulator sized to the shard's bounded
-    doc range, reused across the whole batch; sparse taat_topk fallback,
-    bit-identical) — per (set, shard) the cost is a handful of numpy
-    vector ops over the term arrays, not a per-doc Python loop.  Repeated
+    the vectorized batch scorer (operators.topk.BatchScorer: one dense
+    score vector per term hoisted over the shard's bounded doc range,
+    per-set elementwise add + top-k select; budget-gated scatter/sparse
+    fallback, bit-identical) — per (set, shard) the cost is a couple of
+    numpy passes over the range, not a per-doc Python loop.  Repeated
     queries (real logs are head-heavy) are scored once; per-query rows are
     expanded after the global merge by a broadcast join on the
-    metadata-scale (set_id, query_id) map.  Only k narrow rows per (set,
+    metadata-scale (set_idx, query_id) map.  Only k narrow rows per (set,
     shard) ever leave the task.  Posting payload bytes NEVER enter a Spark
     exchange; the only shuffles in the plan carry the metadata-scale unit
     list and the k-row partials for the global window merge.
@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .. import spec
 from ..operators.topk import (
-    DenseScorer,
+    BatchScorer,
     decode_term_postings,
     exhaustive_topk,
 )
@@ -157,33 +157,35 @@ def topk(
     # distinct tokens, so a conjunctive query with an out-of-corpus term
     # correctly returns nothing (and any qualifying conjunctive query has
     # present == its token set, making the canonical key sufficient).
-    setplan: dict[tuple[str, ...], str] = {}
-    qmap: list[tuple[str, str]] = []  # (set_id, query_id)
+    setplan: dict[tuple[str, ...], int] = {}
+    qmap: list[tuple[int, str]] = []  # (set_idx, query_id)
     for qid, toks in qtoks.items():
         present = tuple(t for t in toks if t in idf)
         if not present:
             continue
         if mode == spec.MODE_CONJUNCTIVE and len(present) < len(toks):
             continue
-        sid = setplan.get(present)
-        if sid is None:
-            sid = f"s{len(setplan)}"
-            setplan[present] = sid
+        sid = setplan.setdefault(present, len(setplan))
         qmap.append((sid, qid))
     units = _shard_units(cat, reg, avgdl)
     if not setplan or not units:
         return empty
 
-    sets = {sid: list(terms) for terms, sid in setplan.items()}
+    # sets as an ORDERED list: the shuffle key is the set's integer
+    # position (4 bytes through the exchange, int window key), mapped back
+    # to query ids by the broadcast join after the merge
+    set_terms = [list(terms) for terms in setplan]
     corpus_terms = sorted({t for terms in setplan for t in terms})
-    b_plan = spark.sparkContext.broadcast((sets, idf, corpus_terms, mode, k, avgdl))
+    b_plan = spark.sparkContext.broadcast(
+        (set_terms, idf, corpus_terms, mode, k, avgdl)
+    )
 
     def score_units(pdfs):
+        import numpy as np
         import pandas as pd
         import pyarrow.dataset as pds
 
         sets_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
-        scorer = DenseScorer()  # scatter-add scratch reused across the batch
         for updf in pdfs:
             for path, factor in zip(updf["path"], updf["factor"]):
                 dset = pds.dataset(path)
@@ -196,52 +198,55 @@ def topk(
                 bl = tbl.to_pandas()
                 bl["shard"] = 0  # constant within a unit (block sort key)
                 # every union term fully decoded ONCE per unit into
-                # (doc_ids, score_parts) arrays; the per-set scorer is then
-                # pure vectorized numpy (DenseScorer.topk).  The avgdl drift
-                # factor is a WAND-bound concept only — TAAT computes exact
-                # scores from tf/dl with the CURRENT corpus avgdl, so
-                # extended-segment drift needs no correction here.
+                # (doc_ids, score_parts) arrays; per-set scoring is then
+                # pure vectorized numpy (operators.topk.BatchScorer: dense
+                # per-term score vectors hoisted once per unit, per-set
+                # elementwise add + one top-k select; budget-gated scatter
+                # fallback, bit-identical).  The avgdl drift factor is a
+                # WAND-bound concept only — TAAT computes exact scores
+                # from tf/dl with the CURRENT corpus avgdl, so extended-
+                # segment drift needs no correction here.
                 cache: dict = {}  # block-decode memo (shared _Cursor keys)
                 tdata = {
                     t: decode_term_postings(g, avgdl_l, cache=cache)
                     for t, g in bl.groupby("term", sort=True)
                 }
-                out_q: list[str] = []
-                out_d: list[int] = []
-                out_s: list[float] = []
-                for sid, terms_q in sets_l.items():
-                    postings = [
-                        (tdata[t][0], tdata[t][1], idf_l[t])
-                        for t in terms_q
-                        if t in tdata
-                    ]
-                    for doc, s in scorer.topk(
-                        postings, k_l, mode_l, len(terms_q)
-                    ):
-                        out_q.append(sid)
-                        out_d.append(doc)
-                        out_s.append(s)
+                scorer = BatchScorer(tdata, idf_l)
+                idx_l: list[np.ndarray] = []
+                doc_l: list[np.ndarray] = []
+                sc_l: list[np.ndarray] = []
+                for i, terms_q in enumerate(sets_l):
+                    d, s = scorer.topk_set(terms_q, k_l, mode_l, len(terms_q))
+                    if len(d):
+                        idx_l.append(np.full(len(d), i, dtype=np.int32))
+                        doc_l.append(d)
+                        sc_l.append(s)
+                if not idx_l:
+                    continue
                 yield pd.DataFrame(
                     {
-                        "set_id": pd.array(out_q, dtype="string"),
-                        "doc_id": pd.array(out_d, dtype="int64"),
-                        "score": pd.array(out_s, dtype="float64"),
+                        "set_idx": np.concatenate(idx_l),
+                        "doc_id": np.concatenate(doc_l),
+                        "score": np.concatenate(sc_l),
                     }
                 )
 
-    par = spark.sparkContext.defaultParallelism
+    # one unit per task: a unit is the natural work quantum (decode once,
+    # score the whole batch); packing several per task makes the last
+    # wave a straggler tail (measured: 2 units/task left 25% of the wall
+    # on 1-2 busy cores at 8 slots)
     units_df = spark.createDataFrame(units, "path string, factor double").repartition(
-        min(len(units), 2 * par)
+        len(units)
     )
     partials = units_df.mapInPandas(
-        score_units, schema="set_id string, doc_id long, score double"
+        score_units, schema="set_idx int, doc_id long, score double"
     )
-    w = Window.partitionBy("set_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    map_df = spark.createDataFrame(qmap, "set_id string, query_id string")
+    w = Window.partitionBy("set_idx").orderBy(F.desc("score"), F.asc("doc_id"))
+    map_df = spark.createDataFrame(qmap, "set_idx int, query_id string")
     out = (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .join(F.broadcast(map_df), "set_id")
+        .join(F.broadcast(map_df), "set_idx")
         .select("query_id", "rank", "doc_id", "score")
     )
     if with_url or fields is not None:

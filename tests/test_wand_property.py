@@ -13,6 +13,7 @@ from rt_etl_yahoo_search_engine_spark.operators.codec import (
     encode_varbyte,
 )
 from rt_etl_yahoo_search_engine_spark.operators.topk import (
+    BatchScorer,
     DenseScorer,
     _Cursor,
     decode_term_postings,
@@ -211,3 +212,57 @@ def test_dense_sparse_fallback_identical():
         assert d.topk(postings, 10, mode, 2) == taat_topk(postings, 10, mode, 2)
     # and the buffers were never grown to the sparse range
     assert len(d._acc) == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(corpus())
+def test_batch_scorer_bit_identical(c):
+    """BatchScorer (dense per-term vectors, production batch path) returns
+    BIT-IDENTICAL (doc, score) results to taat_topk for both modes: the
+    per-doc float add order is the same ascending-term order (missing
+    terms contribute +0.0, exact)."""
+    n_docs, postings, k, block_size, mode = c
+    avgdl = 25.0
+    idfs = {t: spec.idf(n_docs, len(p[0])) for t, p in postings.items()}
+    cache: dict = {}
+    tdata = {
+        t: decode_term_postings(
+            _make_blocks_pdf(idfs[t], *p, avgdl=avgdl, block_size=block_size),
+            avgdl,
+            cache=cache,
+        )
+        for t, p in postings.items()
+    }
+    terms = sorted(postings)
+    decoded = [(*tdata[t], idfs[t]) for t in terms]
+    bs = BatchScorer(tdata, idfs)
+    assert bs._vec  # the tiny property corpora must take the dense path
+    d, s = bs.topk_set(terms, k, mode, n_terms=len(postings))
+    want = taat_topk(decoded, k, mode, n_terms=len(postings))
+    assert list(zip(d.tolist(), s.tolist())) == want
+
+
+def test_batch_scorer_budget_fallback_identical():
+    """Over-budget ranges must take the sparse fallback inside BatchScorer
+    (no dense table materialized) and still match taat_topk."""
+    rng = np.random.default_rng(7)
+    ids_a = np.sort(rng.choice(10_000_000, size=30, replace=False)).astype(np.int64)
+    ids_b = np.sort(rng.choice(10_000_000, size=25, replace=False)).astype(np.int64)
+    ids_b[:5] = ids_a[:5]
+    ids_b = np.sort(ids_b)
+    tdata = {
+        "a": (ids_a, rng.random(30) + 0.1),
+        "b": (ids_b, rng.random(25) + 0.1),
+    }
+    idfs = {"a": 2.0, "b": 1.5}
+    saved = BatchScorer.DENSE_BUDGET_BYTES
+    BatchScorer.DENSE_BUDGET_BYTES = 1024
+    try:
+        bs = BatchScorer(tdata, idfs)
+    finally:
+        BatchScorer.DENSE_BUDGET_BYTES = saved
+    assert not bs._vec
+    decoded = [(*tdata["a"], 2.0), (*tdata["b"], 1.5)]
+    for mode in (spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE):
+        d, s = bs.topk_set(["a", "b"], 10, mode, 2)
+        assert list(zip(d.tolist(), s.tolist())) == taat_topk(decoded, 10, mode, 2)
