@@ -87,3 +87,61 @@ def encode_tfs(tfs) -> bytes:
 
 def decode_tfs(buf: bytes) -> np.ndarray:
     return decode_varbyte(buf)
+
+
+def _decode_stream(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one concatenated varbyte byte array -> (values, terminator
+    byte positions).  bincount-based accumulation (measured ~3x faster
+    than np.add.at on gap-sized streams)."""
+    term_idx = np.flatnonzero(b & 0x80)
+    n = term_idx.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64), term_idx
+    gid = np.zeros(b.size, dtype=np.int64)
+    gid[term_idx[:-1] + 1] = 1
+    gid = np.cumsum(gid)
+    shifts = (term_idx[gid] - np.arange(b.size)) * 7
+    vals = (b & 0x7F).astype(np.int64) << shifts
+    # bincount(weights=) sums in float64: exact for values < 2^53 (doc
+    # gaps, tfs, doc lens are all far below)
+    out = np.bincount(gid, weights=vals, minlength=n).astype(np.int64)
+    return out, term_idx
+
+
+def decode_varbyte_stream(bufs) -> np.ndarray:
+    """Decode a SEQUENCE of varbyte blocks as one concatenated stream.
+
+    Varbyte is self-delimiting, so the concatenation of block encodings
+    decodes to the concatenation of their values — one vectorized pass
+    instead of ~8 numpy ops per 128-value block (the per-block call
+    overhead dominated the query path's decode cost)."""
+    buf = b"".join(bufs)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return _decode_stream(b)[0]
+
+
+def decode_doc_ids_stream(bufs) -> np.ndarray:
+    """Decode a sequence of delta-gap doc_id blocks as one stream.
+
+    Each block stores its first doc_id absolute and the rest as gaps, so
+    a plain cumsum over the concatenated gap stream carries the previous
+    block's total into the next.  The fix is vectorized: at each block's
+    first value the running cumsum is re-based to that block's absolute
+    first id (subtract the cumsum accumulated before the block)."""
+    bufs = list(bufs)
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs))
+    buf = b"".join(bufs)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    g, term_idx = _decode_stream(b)
+    c = np.cumsum(g)
+    # value index where each non-empty block starts: number of terminator
+    # bytes strictly before the block's first byte
+    byte_starts = np.cumsum(lens) - lens
+    vstarts = np.searchsorted(term_idx, byte_starts[lens > 0])
+    corr = c[vstarts] - g[vstarts]
+    counts = np.diff(np.append(vstarts, len(g)))
+    return c - np.repeat(corr, counts)

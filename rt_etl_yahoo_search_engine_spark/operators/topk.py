@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import spec
-from .codec import decode_doc_ids, decode_varbyte
+from .codec import (
+    decode_doc_ids,
+    decode_doc_ids_stream,
+    decode_varbyte,
+    decode_varbyte_stream,
+)
 
 _INF = 1 << 62
 
@@ -157,6 +162,35 @@ class _Cursor:
 
     def score_current(self) -> float:
         return self.idf * float(self.parts[self.pos])
+
+
+def decode_term_postings_stream(
+    block_pdf: pd.DataFrame, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Term-level fast decode: all of a term's blocks decoded as ONE
+    concatenated varbyte stream (codec.decode_*_stream) — one vectorized
+    pass per column instead of ~8 numpy dispatches per 128-doc block,
+    which dominated the batch path's decode cost.  The score part is the
+    SAME elementwise expression (same dtype promotion and float op order)
+    as decode_term_postings/_Cursor._load, so results are bit-identical.
+    No block memo: the batch scan path decodes every block exactly once
+    per unit, so a cache is pure write overhead there."""
+    block_pdf = block_pdf.sort_values(["shard", "first_doc_id"])
+    firsts = block_pdf["first_doc_id"].to_numpy()
+    lasts = block_pdf["last_doc_id"].to_numpy()
+    if len(firsts) > 1 and not (firsts[1:] > lasts[:-1]).all():
+        raise ValueError(
+            "posting blocks overlap in doc_id; index was built with "
+            "url_ordered=True on a non-url-sorted pages table"
+        )
+    ids = decode_doc_ids_stream(block_pdf["doc_ids_vb"])
+    if not len(ids):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    tfs = decode_varbyte_stream(block_pdf["tfs_vb"])
+    dls = decode_varbyte_stream(block_pdf["doc_lens_vb"])
+    k1, b = spec.K1, spec.B
+    parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    return ids, parts
 
 
 def decode_term_postings(

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from .. import spec
 from ..operators.topk import (
     BatchScorer,
-    decode_term_postings,
+    decode_term_postings_stream,
     exhaustive_topk,
 )
 from ..sources.catalog import Catalog
@@ -206,9 +206,8 @@ def topk(
                 # WAND-bound concept only — TAAT computes exact scores
                 # from tf/dl with the CURRENT corpus avgdl, so extended-
                 # segment drift needs no correction here.
-                cache: dict = {}  # block-decode memo (shared _Cursor keys)
                 tdata = {
-                    t: decode_term_postings(g, avgdl_l, cache=cache)
+                    t: decode_term_postings_stream(g, avgdl_l)
                     for t, g in bl.groupby("term", sort=True)
                 }
                 scorer = BatchScorer(tdata, idf_l)

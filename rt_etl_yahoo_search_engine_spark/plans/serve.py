@@ -23,7 +23,7 @@ searcher-node role, runnable against any index the build wrote:
     cluster each searcher process owns one shard dir and this read touches
     ONLY local files;
   * scoring runs the SAME vectorized term-at-a-time scorer the distributed
-    path uses (operators.topk.decode_term_postings / DenseScorer — dense
+    path uses (operators.topk.decode_term_postings_stream / DenseScorer — dense
     scatter-add over the searcher's bounded doc range, sparse fallback for
     rare terms, both bit-identical), with a per-term decoded-postings hot
     cache (head terms decode once per searcher lifetime), so results are
@@ -51,7 +51,7 @@ import numpy as np
 import pandas as pd
 
 from .. import spec
-from ..operators.topk import DenseScorer, decode_term_postings
+from ..operators.topk import DenseScorer, decode_term_postings_stream
 from ..sources.catalog import Catalog
 from .bm25 import _bound_factor
 
@@ -221,7 +221,6 @@ class LocalSearcher:
         # lifetime (decoded arrays are immutable).
         self._postings_cache: dict[str, tuple] = {}
         self._postings_cache_max = 50_000
-        self._decode_cache: dict = {}
         # dense scatter-add scratch (operators.topk.DenseScorer): one
         # process serves a bounded doc range (per-shard searcher at scale,
         # whole sandbox corpus here), so the accumulator stays RAM-trivial;
@@ -277,8 +276,10 @@ class LocalSearcher:
             found = set()
             for term, grp in pdf.groupby("term", sort=False):
                 found.add(term)
-                self._postings_cache[term] = decode_term_postings(
-                    grp, self.avgdl, cache=self._decode_cache
+                # term-level stream decode: the term cache supersedes the
+                # block memo here (each block decodes once per cached term)
+                self._postings_cache[term] = decode_term_postings_stream(
+                    grp, self.avgdl
                 )
             for t in missing:
                 if t not in found:  # only reachable mid-extension
@@ -306,8 +307,6 @@ class LocalSearcher:
         meta = self._lookup_terms(toks)
         if not meta or (mode == spec.MODE_CONJUNCTIVE and len(meta) < n_terms):
             return []
-        if len(self._decode_cache) > 500_000:  # bound decoded-array memory
-            self._decode_cache.clear()
         decoded = self._decoded_postings(meta)
         # ascending term order == the distributed path's accumulation order
         # -> identical float score per doc

@@ -17,6 +17,7 @@ from rt_etl_yahoo_search_engine_spark.operators.topk import (
     DenseScorer,
     _Cursor,
     decode_term_postings,
+    decode_term_postings_stream,
     taat_topk,
     wand_topk,
 )
@@ -220,19 +221,20 @@ def test_batch_scorer_bit_identical(c):
     """BatchScorer (dense per-term vectors, production batch path) returns
     BIT-IDENTICAL (doc, score) results to taat_topk for both modes: the
     per-doc float add order is the same ascending-term order (missing
-    terms contribute +0.0, exact)."""
+    terms contribute +0.0, exact).  Also pins the term-level stream decode
+    (production decode path) bit-identical to the per-block decode."""
     n_docs, postings, k, block_size, mode = c
     avgdl = 25.0
     idfs = {t: spec.idf(n_docs, len(p[0])) for t, p in postings.items()}
     cache: dict = {}
-    tdata = {
-        t: decode_term_postings(
-            _make_blocks_pdf(idfs[t], *p, avgdl=avgdl, block_size=block_size),
-            avgdl,
-            cache=cache,
-        )
-        for t, p in postings.items()
-    }
+    tdata = {}
+    for t, p in postings.items():
+        pdf = _make_blocks_pdf(idfs[t], *p, avgdl=avgdl, block_size=block_size)
+        ids_s, parts_s = decode_term_postings_stream(pdf, avgdl)
+        ids_b, parts_b = decode_term_postings(pdf, avgdl, cache=cache)
+        assert np.array_equal(ids_s, ids_b)
+        assert parts_s.tobytes() == parts_b.tobytes()  # bit-exact floats
+        tdata[t] = (ids_s, parts_s)
     terms = sorted(postings)
     decoded = [(*tdata[t], idfs[t]) for t in terms]
     bs = BatchScorer(tdata, idfs)
