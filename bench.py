@@ -242,7 +242,7 @@ def _scaling(sf_dir: str) -> None:
                        SPARK_GRAFT_SF_DIR=sf_dir,
                        SPARK_GRAFT_BENCH_DOCS=str(n_docs),
                        SPARK_GRAFT_BENCH_QUERIES=os.environ.get(
-                           "SPARK_GRAFT_SCALING_QUERIES", "10000"),
+                           "SPARK_GRAFT_SCALING_QUERIES", "30000"),
                        SPARK_GRAFT_BENCH_SCALING_ONLY="1")
             out = subprocess.run(
                 [sys.executable, __file__], env=env, capture_output=True,
@@ -257,12 +257,25 @@ def _scaling(sf_dir: str) -> None:
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             prev = results.get(cpus)
-            if prev is None or (r["queries"]["build_webtext"]
-                                < prev["queries"]["build_webtext"]):
+            if prev is None:
                 results[cpus] = r
+            else:
+                # min PER METRIC across reps (host noise hits phases
+                # independently; a fast-build rep can carry a slow query)
+                q, pq = r["queries"], prev["queries"]
+                for key in ("build_webtext", "query_batch_500"):
+                    if q[key] < pq[key]:
+                        pq[key] = q[key]
+                pq["build_webtext_docs_per_sec"] = max(
+                    pq["build_webtext_docs_per_sec"],
+                    q["build_webtext_docs_per_sec"],
+                )
+                pq["qps_500"] = max(pq["qps_500"], q["qps_500"])
+                for key in ("qps_disjunctive", "qps_conjunctive"):
+                    pq[key] = max(pq[key], q[key])
 
     lo, hi = pair
-    n_queries = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "10000"))
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "30000"))
     ql, qh = results[lo]["queries"], results[hi]["queries"]
     factor = hi / lo
     build_lo = ql["build_webtext_docs_per_sec"]

@@ -402,10 +402,15 @@ class BatchScorer:
     can never reach the result set.  Measured ~4x per-set over the
     scatter path on the bench workload.
 
-    Memory-gated: the dense table costs n_terms x rng x 8 bytes.  When it
-    exceeds DENSE_BUDGET_BYTES (huge shard ranges at full scale, or very
-    wide term unions), __init__ keeps no table and topk_set transparently
-    takes the per-set DenseScorer path — same results, status-quo cost.
+    Memory-gated: each dense vector costs rng x 8 bytes, built LAZILY on
+    a term's first use and charged against DENSE_BUDGET_BYTES.  Once the
+    budget is spent (huge shard ranges at full scale, or very wide term
+    unions), further terms stay sparse and any set containing one takes
+    the per-set DenseScorer path — same results, status-quo cost.  Lazy
+    build also lets a long-lived serving process (plans.serve) keep one
+    BatchScorer over its GROWING term cache: pass doc_range explicitly
+    (the searcher's corpus/shard doc-id range) since tdata fills over
+    time.
 
     Conjunctive sets additionally need per-term presence; boolean
     presence vectors are derived lazily (vec > 0) and cached per term,
@@ -413,31 +418,61 @@ class BatchScorer:
     """
 
     DENSE_BUDGET_BYTES = 1 << 29  # 512 MB of per-term dense vectors
+    _EMPTY = np.empty(0, dtype=np.float64)  # sentinel: term empty here
 
     def __init__(
         self,
         tdata: dict[str, tuple[np.ndarray, np.ndarray]],
         idf: dict[str, float],
+        doc_range: tuple[int, int] | None = None,
     ):
         self._fallback = DenseScorer()
         self._tdata = tdata
         self._idf = idf
-        self._vec: dict[str, np.ndarray] = {}
+        self._vec: dict[str, np.ndarray | None] = {}
         self._pres: dict[str, np.ndarray] = {}
-        nz = [(t, p) for t, p in tdata.items() if len(p[0])]
+        self._budget = self.DENSE_BUDGET_BYTES
+        if doc_range is not None:
+            self._base, self._rng = doc_range
+            return
+        nz = [p for p in tdata.values() if len(p[0])]
         if not nz:
             self._base, self._rng = 0, 0
             return
-        base = min(int(p[0][0]) for _, p in nz)
-        hi = max(int(p[0][-1]) for _, p in nz)
-        rng = hi - base + 1
-        self._base, self._rng = base, rng
-        if len(nz) * rng * 8 > self.DENSE_BUDGET_BYTES:
-            return  # fallback mode: no dense table
-        for t, (ids, parts) in nz:
-            v = np.zeros(rng, dtype=np.float64)
-            v[ids - base] = idf[t] * parts
-            self._vec[t] = v
+        self._base = min(int(p[0][0]) for p in nz)
+        self._rng = max(int(p[0][-1]) for p in nz) - self._base + 1
+
+    def _dense_vec(self, t: str) -> np.ndarray | None:
+        """Dense score vector for a term: cached, built on first use.
+        Returns the _EMPTY sentinel for a term with no postings here and
+        None when the budget is spent (caller falls back sparse)."""
+        v = self._vec.get(t)
+        if v is not None or t in self._vec:
+            return v
+        ids, parts = self._tdata[t]
+        if not len(ids):
+            v = self._EMPTY
+        elif self._rng <= 0 or self._rng * 8 > self._budget:
+            v = None
+        else:
+            self._budget -= self._rng * 8
+            v = np.zeros(self._rng, dtype=np.float64)
+            v[ids - self._base] = self._idf[t] * parts
+        self._vec[t] = v
+        return v
+
+    def _sparse_set(
+        self, terms: list[str], k: int, mode: str, n_terms: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        postings = [
+            (*self._tdata[t], self._idf[t]) for t in terms if t in self._tdata
+        ]
+        hits = self._fallback.topk(postings, k, mode, n_terms)
+        if not hits:
+            return empty
+        d, s = zip(*hits)
+        return np.array(d, dtype=np.int64), np.array(s, dtype=np.float64)
 
     def topk_set(
         self, terms: list[str], k: int, mode: str, n_terms: int
@@ -450,18 +485,17 @@ class BatchScorer:
         (conjunctive), exactly as the sparse paths do.
         """
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        if not self._vec:
-            postings = [
-                (*self._tdata[t], self._idf[t])
-                for t in terms
-                if t in self._tdata
-            ]
-            hits = self._fallback.topk(postings, k, mode, n_terms)
-            if not hits:
-                return empty
-            d, s = zip(*hits)
-            return np.array(d, dtype=np.int64), np.array(s, dtype=np.float64)
-        vecs = [self._vec[t] for t in terms if t in self._vec]
+        vecs = []
+        present: list[str] = []
+        for t in terms:
+            if t not in self._tdata:
+                continue
+            v = self._dense_vec(t)
+            if v is None:  # over budget: whole set via the sparse path
+                return self._sparse_set(terms, k, mode, n_terms)
+            if v is not self._EMPTY:
+                vecs.append(v)
+                present.append(t)
         if not vecs:
             return empty
         conj = mode == spec.MODE_CONJUNCTIVE
@@ -471,8 +505,8 @@ class BatchScorer:
         for w in vecs[2:]:
             v = v + w
         if conj and len(vecs) > 1:
-            m = self._presence(terms[0])
-            for t in terms[1:]:
+            m = self._presence(present[0])
+            for t in present[1:]:
                 m = m & self._presence(t)
             u = np.nonzero(m)[0]
             return self._order(u, v[u], k)

@@ -22,12 +22,14 @@ searcher-node role, runnable against any index the build wrote:
     here through pyarrow.dataset against identical files.  On a real
     cluster each searcher process owns one shard dir and this read touches
     ONLY local files;
-  * scoring runs the SAME vectorized term-at-a-time scorer the distributed
-    path uses (operators.topk.decode_term_postings_stream / DenseScorer — dense
-    scatter-add over the searcher's bounded doc range, sparse fallback for
-    rare terms, both bit-identical), with a per-term decoded-postings hot
-    cache (head terms decode once per searcher lifetime), so results are
-    rank-identical by construction — asserted by tests/test_serve.py.  Block-max WAND (operators.topk._bmw)
+  * scoring runs the SAME vectorized batch scorer the distributed path
+    uses (operators.topk.decode_term_postings_stream / BatchScorer — one
+    dense score vector per head term over the searcher's bounded doc
+    range, built on first use and kept for the process lifetime; sparse
+    fallback for rare/over-budget terms, all bit-identical), on top of a
+    per-term decoded-postings hot cache (head terms decode once per
+    searcher lifetime), so results are rank-identical by construction —
+    asserted by tests/test_serve.py.  Block-max WAND (operators.topk._bmw)
     remains available for corpora where block-max pruning beats the
     vectorized scan; measured on the synthetic corpus the per-doc Python
     cursor cost dominates anything pruning saves.
@@ -51,7 +53,7 @@ import numpy as np
 import pandas as pd
 
 from .. import spec
-from ..operators.topk import DenseScorer, decode_term_postings_stream
+from ..operators.topk import BatchScorer, decode_term_postings_stream
 from ..sources.catalog import Catalog
 from .bm25 import _bound_factor
 
@@ -221,11 +223,18 @@ class LocalSearcher:
         # lifetime (decoded arrays are immutable).
         self._postings_cache: dict[str, tuple] = {}
         self._postings_cache_max = 50_000
-        # dense scatter-add scratch (operators.topk.DenseScorer): one
-        # process serves a bounded doc range (per-shard searcher at scale,
-        # whole sandbox corpus here), so the accumulator stays RAM-trivial;
-        # the scorer falls back to the sparse path for rare-term queries
-        self._scorer = DenseScorer()
+        # long-lived batch scorer (operators.topk.BatchScorer): head terms
+        # get a dense score vector over this process's doc range built on
+        # first use (budget-capped; the corpus-wide scatter-add per query
+        # was 57% of warm serve latency), rare/over-budget terms take the
+        # sparse path.  One process serves a bounded doc range (per-shard
+        # searcher at scale, whole sandbox corpus here), so the vectors
+        # stay RAM-trivial.  tdata is the live postings cache: lazy build
+        # is what makes sharing a growing cache sound.
+        self._idf: dict[str, float] = {}
+        self._scorer = BatchScorer(
+            self._postings_cache, self._idf, doc_range=(0, self.n_docs)
+        )
 
     # -- lexicon ---------------------------------------------------------
 
@@ -243,6 +252,7 @@ class LocalSearcher:
                 tbl.column("idf").to_pylist(),
             ):
                 found[t] = float(idf)
+                self._idf[t] = float(idf)  # feeds the shared BatchScorer
             for t in missing:
                 self._term_cache[t] = found.get(t)
         return {
@@ -310,11 +320,11 @@ class LocalSearcher:
         decoded = self._decoded_postings(meta)
         # ascending term order == the distributed path's accumulation order
         # -> identical float score per doc
-        postings = [
-            (decoded[t][0], decoded[t][1], meta[t]) for t in sorted(decoded)
+        d, s = self._scorer.topk_set(sorted(decoded), k, mode, n_terms)
+        return [
+            (r + 1, doc, score)
+            for r, (doc, score) in enumerate(zip(d.tolist(), s.tolist()))
         ]
-        hits = self._scorer.topk(postings, k, mode, n_terms)
-        return [(r + 1, doc, score) for r, (doc, score) in enumerate(hits)]
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url via a doc_id-isin pruned docmap read (the docmap is

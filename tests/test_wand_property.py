@@ -238,8 +238,10 @@ def test_batch_scorer_bit_identical(c):
     terms = sorted(postings)
     decoded = [(*tdata[t], idfs[t]) for t in terms]
     bs = BatchScorer(tdata, idfs)
-    assert bs._vec  # the tiny property corpora must take the dense path
     d, s = bs.topk_set(terms, k, mode, n_terms=len(postings))
+    # the tiny property corpora must have taken the dense path (vectors
+    # are built lazily, so check after scoring)
+    assert bs._vec and all(v is not None for v in bs._vec.values())
     want = taat_topk(decoded, k, mode, n_terms=len(postings))
     assert list(zip(d.tolist(), s.tolist())) == want
 
@@ -263,8 +265,9 @@ def test_batch_scorer_budget_fallback_identical():
         bs = BatchScorer(tdata, idfs)
     finally:
         BatchScorer.DENSE_BUDGET_BYTES = saved
-    assert not bs._vec
     decoded = [(*tdata["a"], 2.0), (*tdata["b"], 1.5)]
     for mode in (spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE):
         d, s = bs.topk_set(["a", "b"], 10, mode, 2)
         assert list(zip(d.tolist(), s.tolist())) == taat_topk(decoded, 10, mode, 2)
+    # no dense vector was materialized (lazy attempts record None)
+    assert all(v is None for v in bs._vec.values())
