@@ -181,7 +181,6 @@ def topk(
     )
 
     def score_units(pdfs):
-        import numpy as np
         import pandas as pd
         import pyarrow.dataset as pds
 
@@ -198,11 +197,13 @@ def topk(
                 bl = tbl.to_pandas()
                 bl["shard"] = 0  # constant within a unit (block sort key)
                 # every union term fully decoded ONCE per unit into
-                # (doc_ids, score_parts) arrays; per-set scoring is then
-                # pure vectorized numpy (operators.topk.BatchScorer: dense
-                # per-term score vectors hoisted once per unit, per-set
-                # elementwise add + one top-k select; budget-gated scatter
-                # fallback, bit-identical).  The avgdl drift factor is a
+                # (doc_ids, score_parts) arrays; the whole distinct-set
+                # batch is then scored by chunked matrix ops
+                # (operators.topk.BatchScorer.topk_sets: dense per-term
+                # score vectors hoisted once per unit, chunk-of-sets
+                # gather-add + one argpartition/lexsort per chunk;
+                # budget-gated sparse fallback, bit-identical).  The avgdl
+                # drift factor is a
                 # WAND-bound concept only — TAAT computes exact scores
                 # from tf/dl with the CURRENT corpus avgdl, so extended-
                 # segment drift needs no correction here.
@@ -211,24 +212,10 @@ def topk(
                     for t, g in bl.groupby("term", sort=True)
                 }
                 scorer = BatchScorer(tdata, idf_l)
-                idx_l: list[np.ndarray] = []
-                doc_l: list[np.ndarray] = []
-                sc_l: list[np.ndarray] = []
-                for i, terms_q in enumerate(sets_l):
-                    d, s = scorer.topk_set(terms_q, k_l, mode_l, len(terms_q))
-                    if len(d):
-                        idx_l.append(np.full(len(d), i, dtype=np.int32))
-                        doc_l.append(d)
-                        sc_l.append(s)
-                if not idx_l:
+                si, d, s = scorer.topk_sets(sets_l, k_l, mode_l)
+                if not len(si):
                     continue
-                yield pd.DataFrame(
-                    {
-                        "set_idx": np.concatenate(idx_l),
-                        "doc_id": np.concatenate(doc_l),
-                        "score": np.concatenate(sc_l),
-                    }
-                )
+                yield pd.DataFrame({"set_idx": si, "doc_id": d, "score": s})
 
     # one unit per task: a unit is the natural work quantum (decode once,
     # score the whole batch); packing several per task makes the last

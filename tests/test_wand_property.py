@@ -271,3 +271,70 @@ def test_batch_scorer_budget_fallback_identical():
         assert list(zip(d.tolist(), s.tolist())) == taat_topk(decoded, 10, mode, 2)
     # no dense vector was materialized (lazy attempts record None)
     assert all(v is None for v in bs._vec.values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus())
+def test_topk_sets_bit_identical_to_topk_set(c):
+    """topk_sets (the chunked matrix batch path) must return BIT-IDENTICAL
+    (doc, score) slices, per set, to scalar topk_set calls — including
+    adversarial kth-boundary ties (tiny dl/tf ranges above), sets with
+    absent terms, conjunctive incompleteness, and chunk-boundary effects
+    (chunk=2 forces multi-chunk runs)."""
+    n_docs, postings, k, block_size, mode = c
+    avgdl = 25.0
+    idfs = {t: spec.idf(n_docs, len(p[0])) for t, p in postings.items()}
+    tdata = {}
+    for t, p in postings.items():
+        pdf = _make_blocks_pdf(idfs[t], *p, avgdl=avgdl, block_size=block_size)
+        tdata[t] = decode_term_postings_stream(pdf, avgdl)
+    terms = sorted(postings)
+    # every non-empty subset, plus sets containing an out-of-unit term
+    # (absent from tdata — the planner can hand those to a unit)
+    idfs["zz"] = 3.0
+    sets: list[list[str]] = []
+    for m in range(1, 1 << len(terms)):
+        sets.append([t for j, t in enumerate(terms) if m & (1 << j)])
+    sets.append([terms[0], "zz"])
+    sets.append(["zz"])
+    sets.extend(sets[:3])  # duplicates (distinct set_idx, same terms)
+
+    got = BatchScorer(tdata, idfs).topk_sets(sets, k, mode, chunk=2)
+    by_set: dict[int, list[tuple[int, float]]] = {}
+    for si, d, s in zip(*[a.tolist() for a in got]):
+        by_set.setdefault(si, []).append((d, s))
+
+    scalar = BatchScorer(tdata, idfs)
+    for i, ts in enumerate(sets):
+        d, s = scalar.topk_set(ts, k, mode, len(ts))
+        assert by_set.get(i, []) == list(zip(d.tolist(), s.tolist())), (
+            f"set {i} {ts} mismatch"
+        )
+
+
+def test_topk_sets_budget_fallback_identical():
+    """Sets touching an over-budget term must route through the sparse
+    scalar fallback inside topk_sets and still match topk_set."""
+    rng = np.random.default_rng(3)
+    ids_a = np.sort(rng.choice(10_000_000, size=30, replace=False)).astype(np.int64)
+    ids_b = np.sort(rng.choice(500, size=25, replace=False)).astype(np.int64)
+    tdata = {
+        "a": (ids_a, rng.random(30) + 0.1),  # huge range: over budget
+        "b": (ids_b, rng.random(25) + 0.1),
+    }
+    idfs = {"a": 2.0, "b": 1.5}
+    saved = BatchScorer.DENSE_BUDGET_BYTES
+    BatchScorer.DENSE_BUDGET_BYTES = 1024
+    try:
+        sets = [["a"], ["b"], ["a", "b"]]
+        for mode in (spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE):
+            got = BatchScorer(tdata, idfs).topk_sets(sets, 10, mode)
+            by_set = {}
+            for si, d, s in zip(*[a.tolist() for a in got]):
+                by_set.setdefault(si, []).append((d, s))
+            scalar = BatchScorer(tdata, idfs)
+            for i, ts in enumerate(sets):
+                d, s = scalar.topk_set(ts, 10, mode, len(ts))
+                assert by_set.get(i, []) == list(zip(d.tolist(), s.tolist()))
+    finally:
+        BatchScorer.DENSE_BUDGET_BYTES = saved
