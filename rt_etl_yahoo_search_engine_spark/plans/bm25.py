@@ -199,11 +199,11 @@ def topk(
                 # every union term fully decoded ONCE per unit into
                 # (doc_ids, score_parts) arrays; the whole distinct-set
                 # batch is then scored by chunked matrix ops
-                # (operators.topk.BatchScorer.topk_sets: dense per-term
-                # score vectors hoisted once per unit, chunk-of-sets
-                # gather-add + one argpartition/lexsort per chunk;
-                # budget-gated sparse fallback, bit-identical).  The avgdl
-                # drift factor is a
+                # (operators.topk.BatchScorer.topk_sets: union-term score
+                # matrix built once per unit, chunk-of-sets f32 gather-add
+                # with tile-max-bounded candidate selection, exact f64
+                # scores for the ~k candidates; budget-gated sparse
+                # fallback, bit-identical).  The avgdl drift factor is a
                 # WAND-bound concept only — TAAT computes exact scores
                 # from tf/dl with the CURRENT corpus avgdl, so extended-
                 # segment drift needs no correction here.
@@ -228,7 +228,16 @@ def topk(
         score_units, schema="set_idx int, doc_id long, score double"
     )
     w = Window.partitionBy("set_idx").orderBy(F.desc("score"), F.asc("doc_id"))
-    map_df = spark.createDataFrame(qmap, "set_idx int, query_id string")
+    # pandas -> Arrow path: a list-of-tuples createDataFrame walks py4j row
+    # by row (~0.7 s at 30k queries of driver-serial prep)
+    import pandas as _pd
+
+    map_df = spark.createDataFrame(
+        _pd.DataFrame(qmap, columns=["set_idx", "query_id"]).astype(
+            {"set_idx": "int32"}
+        ),
+        schema="set_idx int, query_id string",
+    )
     out = (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
