@@ -70,7 +70,17 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
     # Index layout and partitioning are DATA properties, not cluster
     # properties: both scaling legs must run the IDENTICAL job (same shard
     # count, same shuffle width) — only the number of task slots differs.
-    N_SHARDS = 32
+    # Shard count follows CORPUS SIZE (~4.5k docs/shard, power-of-two,
+    # clamped [8, 32]).  Measured on the batch scorer: per-set cost is
+    # RANGE-proportional (4.6k-doc range 33.8 us/set, 9.2k 77.9 us/set —
+    # the per-chunk f32 score block stops fitting L2), so bigger shards
+    # both slow the batch and add DRAM pressure, while at tiny corpora
+    # (<40k docs) 32 shards would make per-unit fixed cost dominate.
+    # ~4.5k docs/shard sits at the cache knee.  Scaling legs record the
+    # shard count so min-per-config never mixes differently-sharded jobs.
+    N_SHARDS = 8
+    while N_SHARDS * 2 <= min(32, max(8, n_docs // 4500)):
+        N_SHARDS *= 2
     SHUFFLE_PARTS = 64
 
     def _fresh(app):
@@ -94,6 +104,7 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
         build_index(spark, pages_path, web_idx, n_shards=N_SHARDS, n_buckets=16,
                     tokenizer="html", url_ordered=True)
         build_s = time.time() - t0
+        timings["n_shards"] = N_SHARDS
         timings["build_webtext"] = build_s
         timings["build_webtext_docs_per_sec"] = n_docs / build_s
         spark.stop()
@@ -264,6 +275,7 @@ def _scaling(sf_dir: str) -> None:
                 f.write(json.dumps({
                     "ts": round(time.time(), 1), "cpus": cpus,
                     "n_docs": n_docs, "n_queries": n_queries,
+                    "n_shards": int(q.get("n_shards", 32)),
                     "build_s": round(q["build_webtext"], 2),
                     "query_s": round(q["query_batch_500"], 3),
                     "qps_disjunctive": round(q["qps_disjunctive"], 2),
@@ -286,12 +298,19 @@ def _scaling_report(
         for line in f:
             if line.strip():
                 legs.append(json.loads(line))
+    # only legs of the IDENTICAL job aggregate: same corpus size AND same
+    # shard count (shard count is part of the job; legs recorded before the
+    # field existed were all n_shards=32)
+    cur = [e.get("n_shards", 32) for e in legs
+           if e["cpus"] in pair and e["n_docs"] == n_docs]
+    cur_shards = cur[-1] if cur else 32  # the just-appended run's job
     lo, hi = pair
     factor = hi / lo
     build, query, qps_ref = {}, {}, {}
     nb, nq = {}, {}
     for c in pair:
-        bl = [e for e in legs if e["cpus"] == c and e["n_docs"] == n_docs]
+        bl = [e for e in legs if e["cpus"] == c and e["n_docs"] == n_docs
+              and e.get("n_shards", 32) == cur_shards]
         ql = [e for e in bl if e["n_queries"] == n_queries]
         if not bl or not ql:
             raise RuntimeError(f"no recorded legs for cpus={c}")
@@ -309,7 +328,8 @@ def _scaling_report(
         f.write(f"""## Measured pair local[{lo}] vs local[{hi}] (interleaved reps, min per config)
 
 Input: {n_docs} synthesized webtext pages (input_hint
-shape); full pipeline = HTML extraction -> tokenize -> docmap -> doc-range
+shape), {cur_shards} doc-range shards; full pipeline = HTML extraction ->
+tokenize -> docmap -> doc-range
 shard (skew) -> compressed block postings + lexicon + manifests; query =
 scan-side vectorized-TAAT BM25 top-10 over a {n_queries}-query generated
 batch of distinct term sets (300-term union).
