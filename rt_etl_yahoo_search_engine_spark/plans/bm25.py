@@ -127,6 +127,7 @@ def topk(
     k: int = spec.TOP_K_DEFAULT,
     with_url: bool = False,
     fields: DataFrame | None = None,
+    _partials_only: bool = False,
 ) -> DataFrame:
     """Optimized path: compressed postings scored scan-side per (segment,
     shard) with the whole query batch broadcast (vectorized TAAT).
@@ -227,6 +228,8 @@ def topk(
     partials = units_df.mapInPandas(
         score_units, schema="set_idx int, doc_id long, score double"
     )
+    if _partials_only:  # diagnostic: scoring stage without the global merge
+        return partials
     w = Window.partitionBy("set_idx").orderBy(F.desc("score"), F.asc("doc_id"))
     # pandas -> Arrow path: a list-of-tuples createDataFrame walks py4j row
     # by row (~0.7 s at 30k queries of driver-serial prep)
