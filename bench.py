@@ -247,6 +247,7 @@ def _scaling(sf_dir: str) -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
     n_queries = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "100000"))
+    rev = _code_rev()
     pair = tuple(
         int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
     )
@@ -276,28 +277,44 @@ def _scaling(sf_dir: str) -> None:
                     "ts": round(time.time(), 1), "cpus": cpus,
                     "n_docs": n_docs, "n_queries": n_queries,
                     "n_shards": int(q.get("n_shards", 32)),
+                    "rev": rev,
                     "build_s": round(q["build_webtext"], 2),
                     "query_s": round(q["query_batch_500"], 3),
                     "qps_disjunctive": round(q["qps_disjunctive"], 2),
                     "qps_conjunctive": round(q["qps_conjunctive"], 2),
                     "load1_at_start": round(load1, 2),
                 }) + "\n")
-    _scaling_report(pair, n_docs, n_queries, hist_path)
+    _scaling_report(pair, n_docs, n_queries, hist_path, rev)
+
+
+def _code_rev() -> str:
+    """Engine code revision a leg was measured at: legs only aggregate with
+    legs of the SAME revision — mixing configs measured on different code
+    would compare different jobs."""
+    out = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    )
+    return out.stdout.strip() or "unknown"
 
 
 def _scaling_report(
-    pair: tuple[int, int], n_docs: int, n_queries: int, hist_path: str
+    pair: tuple[int, int], n_docs: int, n_queries: int, hist_path: str,
+    rev: str = "",
 ) -> None:
     """Aggregate BENCH/scaling_runs.jsonl: min time per config over EVERY
     recorded leg of the identical job (same n_docs for build, same
-    n_docs+n_queries for query).  Legs run interleaved across configs and
-    across sessions on this multi-tenant host; min-per-config is the
-    noise-robust estimator of the true job cost."""
+    n_docs+n_queries for query, same code revision when recorded).  Legs
+    run interleaved across configs and across sessions on this multi-tenant
+    host; min-per-config is the noise-robust estimator of the true job
+    cost."""
     legs = []
     with open(hist_path) as f:
         for line in f:
             if line.strip():
                 legs.append(json.loads(line))
+    if rev:  # legs recorded before the rev field measured older code
+        legs = [e for e in legs if e.get("rev") == rev]
     # only legs of the IDENTICAL job aggregate: same corpus size AND same
     # shard count (shard count is part of the job; legs recorded before the
     # field existed were all n_shards=32)

@@ -18,27 +18,35 @@ import numpy as np
 
 
 def encode_varbyte(values) -> bytes:
-    """Varbyte-encode a sequence of non-negative int64s."""
-    v = np.ascontiguousarray(values, dtype=np.int64)
+    """Varbyte-encode a sequence of non-negative ints.
+
+    int32 input is encoded WITHOUT widening (identical bytes to the int64
+    path for the same values, property-tested): the encoder's tf/doc_len
+    columns arrive int32 from the tokens table, and keeping the internal
+    temporaries at 4 bytes halves this function's memory traffic — it runs
+    once per posting column per partition in the build's hottest stage."""
+    v = np.ascontiguousarray(values)
+    if v.dtype not in (np.dtype(np.int32), np.dtype(np.int64)):
+        v = v.astype(np.int64)
     if v.size == 0:
         return b""
     if (v < 0).any():
         raise ValueError("varbyte requires non-negative values")
     # byte-length of each value (>=1)
-    lens = np.ones(v.size, dtype=np.int64)
+    lens = np.ones(v.size, dtype=v.dtype)
     tmp = v >> 7
     while (tmp > 0).any():
         lens += tmp > 0
         tmp >>= 7
-    ends = np.cumsum(lens) - 1  # index of each value's terminator byte
+    ends = np.cumsum(lens, dtype=np.int64) - 1  # each value's terminator byte
     out = np.zeros(int(lens.sum()), dtype=np.uint8)
     rem = v.copy()
-    out[ends] = (rem & 0x7F) | 0x80  # terminator byte (low 7 bits + stop bit)
+    out[ends] = ((rem & 0x7F) | 0x80).astype(np.uint8)  # low 7 bits + stop bit
     rem >>= 7
     k = 1
     active = lens > k
     while active.any():
-        out[ends[active] - k] = rem[active] & 0x7F
+        out[ends[active] - k] = (rem[active] & 0x7F).astype(np.uint8)
         rem >>= 7
         k += 1
         active = lens > k

@@ -77,9 +77,10 @@ from .codec import encode_varbyte
 TOKENS_SCHEMA = "doc_id long, term string, tf int, doc_len int"
 
 # docmap sides at or below this row count are broadcast for the url->doc_id
-# join; above it the join is a shuffle.  url_ordered builds REQUIRE the
-# broadcast (a shuffle join would destroy the doc-contiguity of tokens files
-# that the exchange-free encoder depends on), so they fail fast past this.
+# join in the GENERAL tokens path; above it the join is a shuffle.
+# url_ordered builds never join at all — they derive doc_id arithmetically
+# on the scan (_ordered_doc_id), so they have no broadcast-size ceiling.
+# Extensions key the broadcast decision on the DELTA docmap's size.
 BROADCAST_DOCMAP_MAX = 20_000_000
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -272,6 +273,120 @@ def build_docmap(pages: DataFrame, num_partitions: int, offset: int = 0) -> Data
     return docmap
 
 
+def _ordered_offsets(
+    spark, pages: DataFrame, offset: int = 0
+) -> tuple[dict[int, tuple[int, int]], int]:
+    """Job 1 of the url_ordered docmap: per-partition (count, min, max url),
+    which also VERIFIES the url_ordered declaration — overlapping partition
+    url ranges abort loudly.  Returns ({pid: (start, cnt)}, n).  The caller
+    must hold contiguous_splits so partitions are contiguous file chunks."""
+    urls = pages.select("url")
+    meta = [
+        r
+        for r in urls.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"), F.min("url").alias("mn"),
+             F.max("url").alias("mx"))
+        .collect()
+        if r["cnt"] > 0
+    ]
+    meta.sort(key=lambda r: r["mn"])
+    for a, b in zip(meta, meta[1:]):
+        if a["mx"] >= b["mn"]:
+            raise ValueError(
+                "pages files have overlapping url ranges; build with "
+                "url_ordered=False (general path) instead"
+            )
+    offsets: dict[int, tuple[int, int]] = {}
+    acc = offset
+    for r in meta:
+        offsets[r["pid"]] = (acc, r["cnt"])
+        acc += r["cnt"]
+    return offsets, acc - offset
+
+
+def _ordered_doc_id(offsets: dict[int, tuple[int, int]]):
+    """JVM-only doc_id for a scan planned IDENTICALLY to _ordered_offsets':
+
+        doc_id = offset_map[spark_partition_id()]
+                 + (monotonically_increasing_id() & (2^33 - 1))
+
+    monotonically_increasing_id's documented layout is (partition id << 33)
+    | within-partition row index, so the low 33 bits ARE the row index —
+    whole-stage codegen, no Python worker round-trip over the corpus."""
+    offset_map = F.create_map(
+        *[F.lit(x) for pid, (off, _) in offsets.items() for x in (pid, off)]
+    )
+    return (
+        offset_map[F.spark_partition_id()]
+        + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    ).cast("long")
+
+
+def _pid_check_aggs(offsets: dict[int, tuple[int, int]]) -> list:
+    """count/min/max drift aggregates for a scan that derives doc_id from
+    _ordered_doc_id, plus EXACT per-partition counts when the scan has
+    <= 256 partitions (conditional aggregates; past that, count+min+max
+    still catch any drift that shifts a boundary)."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    ]
+    if len(offsets) <= 256:
+        aggs += [
+            F.sum(
+                F.when(F.spark_partition_id() == pid, 1).otherwise(0)
+            ).alias(f"c{pid}")
+            for pid in offsets
+        ]
+    return aggs
+
+
+def _pid_check_ok(
+    m: dict, offsets: dict[int, tuple[int, int]], n: int, offset: int
+) -> bool:
+    return (
+        m["n"] == n
+        and (n == 0 or (m["mn"] == offset and m["mx"] == offset + n - 1))
+        and (
+            len(offsets) > 256
+            or all(m[f"c{pid}"] == cnt for pid, (_, cnt) in offsets.items())
+        )
+    )
+
+
+def write_docmap_ordered(
+    spark,
+    pages: DataFrame,
+    cat: Catalog,
+    name: str,
+    offsets: dict[int, tuple[int, int]],
+    n: int,
+    offset: int = 0,
+) -> None:
+    """Job 2 of the url_ordered docmap: whole-stage-codegen'd id assignment
+    + write.  Drift between this scan and the offsets scan (conf change,
+    listing-order change — they must plan identically) is caught by an
+    Observation riding the write (see _pid_check_aggs); the query-side
+    cursor's block-range disjointness check remains the downstream
+    backstop.  Caller must hold contiguous_splits."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"docmap-assign-{name}")
+    out_df = pages.select(
+        _ordered_doc_id(offsets).alias("doc_id"), "url"
+    ).observe(obs, *_pid_check_aggs(offsets))
+    cat.write(out_df, name)
+    m = obs.get
+    if not _pid_check_ok(m, offsets, n, offset):
+        raise RuntimeError(
+            f"docmap assignment drift: write observed (n={m['n']}, "
+            f"min={m['mn']}, max={m['mx']}) but the offsets pass "
+            f"recorded n={n} over [{offset}, {offset + n}); the two "
+            "scans planned differently — rebuild with url_ordered=False"
+        )
+
+
 def build_docmap_ordered(spark, pages: DataFrame, cat: Catalog, name: str,
                          offset: int = 0) -> int:
     """url_ordered docmap fast path: ZERO exchanges, ZERO Python stages.
@@ -279,92 +394,15 @@ def build_docmap_ordered(spark, pages: DataFrame, cat: Catalog, name: str,
     With contiguous_splits every scan partition is one contiguous url range
     of one file (and rows within a file are url-sorted — the url_ordered
     declaration), so the global url rank is partition offset + row index.
-    Two narrow jobs: (1) per-partition (count, min, max) — which also
-    VERIFIES the declaration: overlapping partition url ranges abort the
-    build loudly; (2) a whole-stage-codegen'd assignment + write:
-
-        doc_id = offset_map[spark_partition_id()]
-                 + (monotonically_increasing_id() & (2^33 - 1))
-
-    monotonically_increasing_id's documented layout is (partition id << 33)
-    | within-partition row index, so the low 33 bits ARE the row index —
-    the previous mapInArrow assignment paid a Python worker round-trip over
-    the whole corpus for the same arithmetic (measured ~40% of the docmap
-    stage wall).  Drift between the two scans (conf change, listing-order
-    change — they must plan identically) is caught by an Observation riding
-    the write: count/min/max must tile [offset, offset+n) exactly, plus
-    EXACT per-partition emitted counts when the scan has <= 256 partitions
-    (conditional aggregates; past that, count+min+max still catch any
-    drift that shifts a boundary).  The query-side cursor's block-range
-    disjointness check remains the downstream backstop.  The general path
-    (build_docmap) pays a range exchange + window instead; this one scales
-    to any corpus with no data movement at all.  Returns the doc count.
+    Two narrow jobs — _ordered_offsets then write_docmap_ordered.  The
+    general path (build_docmap) pays a range exchange + window instead;
+    this one scales to any corpus with no data movement at all.  Returns
+    the doc count.  (build_index overlaps the write job with the tokens
+    stage instead of calling this wrapper; extensions use it directly.)
     """
-    from pyspark.sql import Observation
-
     with contiguous_splits(spark):
-        urls = pages.select("url")
-        meta = [
-            r
-            for r in urls.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("cnt"), F.min("url").alias("mn"),
-                 F.max("url").alias("mx"))
-            .collect()
-            if r["cnt"] > 0
-        ]
-        meta.sort(key=lambda r: r["mn"])
-        for a, b in zip(meta, meta[1:]):
-            if a["mx"] >= b["mn"]:
-                raise ValueError(
-                    "pages files have overlapping url ranges; build with "
-                    "url_ordered=False (general path) instead"
-                )
-        offsets: dict[int, tuple[int, int]] = {}
-        acc = offset
-        for r in meta:
-            offsets[r["pid"]] = (acc, r["cnt"])
-            acc += r["cnt"]
-        n = acc - offset
-
-        offset_map = F.create_map(
-            *[F.lit(x) for pid, (off, _) in offsets.items() for x in (pid, off)]
-        )
-        doc_id = (
-            offset_map[F.spark_partition_id()]
-            + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-        ).cast("long").alias("doc_id")
-        obs = Observation(f"docmap-assign-{name}")
-        aggs = [
-            F.count("*").alias("n"),
-            F.min("doc_id").alias("mn"),
-            F.max("doc_id").alias("mx"),
-        ]
-        per_pid = len(offsets) <= 256
-        if per_pid:
-            aggs += [
-                F.sum(
-                    F.when(F.spark_partition_id() == pid, 1).otherwise(0)
-                ).alias(f"c{pid}")
-                for pid in offsets
-            ]
-        out_df = urls.select(doc_id, "url").observe(obs, *aggs)
-        cat.write(out_df, name)
-        m = obs.get
-        ok = (
-            m["n"] == n
-            and (n == 0 or (m["mn"] == offset and m["mx"] == offset + n - 1))
-            and (
-                not per_pid
-                or all(m[f"c{pid}"] == cnt for pid, (_, cnt) in offsets.items())
-            )
-        )
-        if not ok:
-            raise RuntimeError(
-                f"docmap assignment drift: write observed (n={m['n']}, "
-                f"min={m['mn']}, max={m['mx']}) but the offsets pass "
-                f"recorded n={n} over [{offset}, {offset + n}); the two "
-                "scans planned differently — rebuild with url_ordered=False"
-            )
+        offsets, n = _ordered_offsets(spark, pages, offset)
+        write_docmap_ordered(spark, pages, cat, name, offsets, n, offset)
     return n
 
 
@@ -443,8 +481,11 @@ def make_arrow_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
             return a if dtype is None else a.astype(dtype)
 
         doc_ids = _np("doc_id")
-        tfs = _np("tf", np.int64)
-        dls = _np("doc_len", np.int64)
+        # tf/doc_len stay int32 end-to-end (tokens schema -> Arrow -> numpy
+        # -> int32 varbyte): no widening copies, half the sort-gather and
+        # varbyte traffic; the per-block tf_sum accumulates in int64
+        tfs = _np("tf")
+        dls = _np("doc_len")
         shards = _np("shard")
 
         order = np.lexsort((doc_ids, codes))
@@ -468,7 +509,7 @@ def make_arrow_encoder(avgdl: float, block_size: int = spec.BLOCK_SIZE):
         # exact idf-free score part per posting (same op order as query side)
         parts = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         max_tf = np.maximum.reduceat(tfs, starts)
-        tf_sum = np.add.reduceat(tfs, starts)
+        tf_sum = np.add.reduceat(tfs, starts, dtype=np.int64)
         max_part = np.maximum.reduceat(parts, starts)
 
         # delta-gap doc_ids with a reset at every block start; one varbyte pass
@@ -572,39 +613,131 @@ def build_index(
     raw = spark.read.parquet(pages_path) if isinstance(pages_path, str) else pages_path
     pages = filtered_pages(raw, tokenizer)
 
-    # -- docmap (first: tokens carry doc_id, never url) ----------------------
-    if "docmap" not in done:
+    # -- docmap + tokens ------------------------------------------------------
+    # General path: docmap first (tokens joins it to carry doc_id, never url).
+    # url_ordered path: BOTH stages share one contiguous-splits window and
+    # derive doc_id with the same JVM arithmetic over identically-planned
+    # scans (_ordered_doc_id), so tokens never joins the docmap at all —
+    # there is no broadcast-size ceiling on url_ordered builds — and the
+    # docmap table write (trivial per-task work, driver-bound commit cost)
+    # runs on a BACKGROUND thread while the tokens job saturates the task
+    # slots: its fixed cost leaves the build's critical path.  Both jobs
+    # carry drift Observations (_pid_check_aggs) validated against the one
+    # offsets pass; the docmap manifest row commits only after its write is
+    # joined and validated, and always BEFORE the tokens row (resume order).
+    if url_ordered and ("docmap" not in done or "tokens" not in done):
+        import threading
+
+        with contiguous_splits(spark):
+            t_off = time.time()
+            offsets, n0 = _ordered_offsets(spark, pages)
+            t_off = time.time() - t_off
+            if "docmap" in done:
+                prev = cat.latest_status().get("docmap", {}).get("doc_count")
+                if prev is not None and prev != n0:
+                    raise RuntimeError(
+                        f"resume drift: committed docmap has {prev} docs but "
+                        f"the offsets pass now counts {n0}; the pages table "
+                        "changed since the docmap was built"
+                    )
+            dm_err: list[BaseException] = []
+            dm_wall: list[float] = [0.0]
+            dm_thread = None
+            if "docmap" not in done:
+                def _dm_write():
+                    t = time.time()
+                    try:
+                        write_docmap_ordered(
+                            spark, pages, cat, "docmap", offsets, n0
+                        )
+                    except BaseException as e:  # re-raised on join
+                        dm_err.append(e)
+                    finally:
+                        dm_wall[0] = time.time() - t
+
+                dm_thread = threading.Thread(
+                    target=_dm_write, name="docmap-write", daemon=True
+                )
+                dm_thread.start()
+
+            def _finish_docmap():
+                nonlocal dm_thread
+                if dm_thread is None:
+                    return
+                dm_thread.join()
+                dm_thread = None
+                if dm_err:
+                    raise dm_err[0]
+                # build_time_s = the stage's own wall (offsets job + the
+                # background write), NOT the overlapped window it hid behind
+                cat.append_manifest(
+                    [_mrow("docmap", doc_count=n0,
+                           build_time_s=dm_wall[0] + t_off)]
+                )
+
+            if "tokens" not in done:
+                from pyspark.sql import Observation
+
+                t0 = time.time()
+                payload = "html" if tokenizer == "html" else "text"
+                obs_id = Observation("tokens-docid")
+                # each extract task covers one contiguous url range (the
+                # enclosing contiguous_splits), so the tokens files it
+                # writes are doc-contiguous (the encode below depends on it)
+                pages_with_id = pages.select(
+                    _ordered_doc_id(offsets).alias("doc_id"), payload
+                ).observe(obs_id, *_pid_check_aggs(offsets))
+                tok = (
+                    tokens_from_pages(pages_with_id)
+                    if tokenizer == "html"
+                    else tokens_from_text(pages_with_id)
+                )
+                obs = Observation("corpus-stats")
+                tok = tok.observe(
+                    obs,
+                    F.count(F.when(F.col("term").isNull(), 1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("term").isNull(), F.col("doc_len"))
+                    ).alias("sum_dl"),
+                )
+                cat.write(tok, "tokens")
+                if not _pid_check_ok(obs_id.get, offsets, n0, 0):
+                    raise RuntimeError(
+                        "tokens doc_id drift: the tokens scan planned "
+                        "differently than the offsets pass — rebuild with "
+                        "url_ordered=False"
+                    )
+                _finish_docmap()
+                if "stats" not in done:
+                    _write_stats(cat, obs.get, n_shards, n_buckets)
+                    done = done | {"stats"}
+                    cat.append_manifest([_mrow("stats", build_time_s=0.0)])
+                cat.append_manifest(
+                    [_mrow("tokens", build_time_s=time.time() - t0)]
+                )
+            else:
+                _finish_docmap()
+    elif "docmap" not in done:
         t0 = time.time()
-        if url_ordered:
-            n0 = build_docmap_ordered(spark, pages, cat, "docmap")
-        else:
-            dm = build_docmap(pages, par)
-            cat.write(dm, "docmap")
-            dm._graft_cached_urls.unpersist(blocking=False)
-            n0 = dm._graft_n_docs
+        dm = build_docmap(pages, par)
+        cat.write(dm, "docmap")
+        dm._graft_cached_urls.unpersist(blocking=False)
+        n0 = dm._graft_n_docs
         cat.append_manifest(
             [_mrow("docmap", doc_count=n0, build_time_s=time.time() - t0)]
         )
-    docmap = cat.read(spark, "docmap")
 
-    # -- tokens (corpus stats ride along as observation metrics: the write
-    # job computes N and sum(doc_len) from the sentinel rows in-flight, so
-    # no separate stats job ever scans the tokens table) --------------------
-    if "tokens" not in done:
+    # -- tokens, general path (corpus stats ride along as observation
+    # metrics: the write job computes N and sum(doc_len) from the sentinel
+    # rows in-flight, so no separate stats job ever scans the tokens table) --
+    if "tokens" not in cat.completed_partitions():
         from pyspark.sql import Observation
 
+        docmap = cat.read(spark, "docmap")
         t0 = time.time()
         # attach doc_id at n_docs scale: broadcast the map when it fits,
         # else the one big shuffle join on url (10^12-doc path)
         n_docs0 = cat.latest_status().get("docmap", {}).get("doc_count") or docmap.count()
-        if url_ordered and n_docs0 > BROADCAST_DOCMAP_MAX:
-            raise ValueError(
-                f"url_ordered build with {n_docs0} docs exceeds the broadcast "
-                f"docmap limit ({BROADCAST_DOCMAP_MAX}): a shuffle join would "
-                "break tokens-file doc-contiguity and the exchange-free encode "
-                "would emit overlapping blocks. Build with url_ordered=False "
-                "(repartition-by-(term, shard) encode path) at this scale."
-            )
         dmj = F.broadcast(docmap) if n_docs0 <= BROADCAST_DOCMAP_MAX else docmap
         payload = "html" if tokenizer == "html" else "text"
         pages_with_id = pages.select("url", payload).join(dmj, "url")
@@ -619,14 +752,7 @@ def build_index(
             F.count(F.when(F.col("term").isNull(), 1)).alias("n"),
             F.sum(F.when(F.col("term").isNull(), F.col("doc_len"))).alias("sum_dl"),
         )
-        if url_ordered:
-            # each extract task must cover one contiguous url range so the
-            # tokens files it writes are doc-contiguous (the encode below
-            # depends on it)
-            with contiguous_splits(spark):
-                cat.write(tok, "tokens")
-        else:
-            cat.write(tok, "tokens")
+        cat.write(tok, "tokens")
         if "stats" not in done:
             _write_stats(cat, obs.get, n_shards, n_buckets)
             done = done | {"stats"}
@@ -677,6 +803,10 @@ def build_index(
             # resuming / batched: recompute only the pending buckets' rows
             # (a tokens re-scan — cheaper than staging the full stream)
             src = src.filter(F.col("bucket").isin(pending))
+        # bucket is a routing/filter column only — the encoder never reads
+        # it (the blocks table recomputes it JVM-side below), so drop it
+        # before the Arrow transfer into Python
+        src = src.drop("bucket")
         if not url_ordered:
             # co-locate each (term, shard) group; no sort — ordering is a
             # per-partition numpy detail inside the encoder
