@@ -9,8 +9,10 @@ two Arrow-batched Python stages (extraction+tokenization, block encoding):
        counts + per-partition row_number — a two-pass narrow op, no global
        sort, scales to any partition count); built FIRST so every later
        stage ships the 8-byte doc_id, never the url string
-    -> join doc_id onto pages (n_docs-scale; broadcast at sandbox scale,
-       one shuffle join on url at 10^12 docs)
+    -> attach doc_id to pages: url_ordered tables derive it arithmetically
+       on the scan (zero movement, any size — _ordered_doc_id); general
+       tables join the docmap (broadcast when it fits, one shuffle join on
+       url at 10^12 docs)
     -> mapInPandas extract+tokenize+local-tf-agg -> tokens(doc_id, term,
        tf, doc_len)
        (ONE fused Python pass; map-side partial aggregation: tf is counted
@@ -77,10 +79,10 @@ from .codec import encode_varbyte
 TOKENS_SCHEMA = "doc_id long, term string, tf int, doc_len int"
 
 # docmap sides at or below this row count are broadcast for the url->doc_id
-# join in the GENERAL tokens path; above it the join is a shuffle.
-# url_ordered builds never join at all — they derive doc_id arithmetically
-# on the scan (_ordered_doc_id), so they have no broadcast-size ceiling.
-# Extensions key the broadcast decision on the DELTA docmap's size.
+# join in the GENERAL (non-url_ordered) tokens path; above it the join is a
+# shuffle.  url_ordered builds and extensions never join at all — they
+# derive doc_id arithmetically on the scan (_ordered_doc_id), so they have
+# no broadcast-size ceiling.
 BROADCAST_DOCMAP_MAX = 20_000_000
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -1015,48 +1017,89 @@ def extend_index(
     dm_name, tok_name = f"docmap_{ver}", f"tokens_{ver}"
     post_name, lex_name = f"postings_{ver}", f"lexicon_{ver}"
 
-    if pfx + "docmap" not in done:
-        t0 = time.time()
-        if url_ordered:
-            n0 = build_docmap_ordered(spark, pages, cat, dm_name, offset=n_base)
-        else:
+    # url_ordered delta: same structure as build_index — doc_id is derived
+    # arithmetically on BOTH scans from one offsets pass (no delta-docmap
+    # join, no broadcast ceiling), drift-checked by Observations
+    if url_ordered and (pfx + "docmap" not in done or pfx + "tokens" not in done):
+        with contiguous_splits(spark):
+            t_off = time.time()
+            offsets, n0 = _ordered_offsets(spark, pages, offset=n_base)
+            t_off = time.time() - t_off
+            if pfx + "docmap" in done:
+                prev = cat.latest_status().get(pfx + "docmap", {}).get("doc_count")
+                if prev is not None and prev != n0:
+                    raise RuntimeError(
+                        f"resume drift: committed {dm_name} has {prev} docs "
+                        f"but the offsets pass now counts {n0}; the delta "
+                        "pages changed since the docmap was built"
+                    )
+            else:
+                t0 = time.time()
+                write_docmap_ordered(
+                    spark, pages, cat, dm_name, offsets, n0, offset=n_base
+                )
+                cat.append_manifest(
+                    [_mrow(pfx + "docmap", doc_count=n0,
+                           build_time_s=time.time() - t0 + t_off)]
+                )
+            if pfx + "tokens" not in done:
+                from pyspark.sql import Observation
+
+                t0 = time.time()
+                payload = "html" if tokenizer == "html" else "text"
+                obs_id = Observation(f"tokens-docid-{ver}")
+                pages_with_id = pages.select(
+                    _ordered_doc_id(offsets).alias("doc_id"), payload
+                ).observe(obs_id, *_pid_check_aggs(offsets))
+                tok = (
+                    tokens_from_pages(pages_with_id)
+                    if tokenizer == "html"
+                    else tokens_from_text(pages_with_id)
+                )
+                cat.write(tok, tok_name)
+                if not _pid_check_ok(obs_id.get, offsets, n0, n_base):
+                    raise RuntimeError(
+                        f"tokens doc_id drift in segment {ver}: the tokens "
+                        "scan planned differently than the offsets pass — "
+                        "extend with url_ordered=False"
+                    )
+                cat.append_manifest(
+                    [_mrow(pfx + "tokens", build_time_s=time.time() - t0)]
+                )
+    else:
+        if pfx + "docmap" not in done:
+            t0 = time.time()
             dm = build_docmap(pages, par, offset=n_base)
             cat.write(dm, dm_name)
             dm._graft_cached_urls.unpersist(blocking=False)
             n0 = dm._graft_n_docs
-        cat.append_manifest(
-            [_mrow(pfx + "docmap", doc_count=n0, build_time_s=time.time() - t0)]
-        )
-    docmap = cat.read(spark, dm_name)
-
-    if pfx + "tokens" not in done:
-        t0 = time.time()
-        # the join side is the DELTA docmap — key the broadcast decision on
-        # its size (recovered from the manifest on resume), not n_base: a
-        # small delta on a huge base must still broadcast, and a huge delta
-        # on a small base must not
-        n_delta0 = (
-            cat.latest_status().get(pfx + "docmap", {}).get("doc_count")
-            or docmap.count()
-        )
-        if url_ordered and n_delta0 > BROADCAST_DOCMAP_MAX:
-            raise ValueError(
-                f"url_ordered extend with {n_delta0} delta docs exceeds the "
-                f"broadcast docmap limit ({BROADCAST_DOCMAP_MAX}); extend with "
-                "url_ordered=False or split the delta into smaller segments."
+            cat.append_manifest(
+                [_mrow(pfx + "docmap", doc_count=n0,
+                       build_time_s=time.time() - t0)]
             )
-        dmj = F.broadcast(docmap) if n_delta0 <= BROADCAST_DOCMAP_MAX else docmap
-        payload = "html" if tokenizer == "html" else "text"
-        pages_with_id = pages.select("url", payload).join(dmj, "url")
-        tok = (
-            tokens_from_pages(pages_with_id)
-            if tokenizer == "html"
-            else tokens_from_text(pages_with_id)
-        )
-        stack = contiguous_splits(spark) if url_ordered else contextlib.nullcontext()
-        with stack:
+        if pfx + "tokens" not in done:
+            docmap = cat.read(spark, dm_name)
+            t0 = time.time()
+            # the join side is the DELTA docmap — key the broadcast decision
+            # on its size (recovered from the manifest on resume), not
+            # n_base: a small delta on a huge base must still broadcast,
+            # and a huge delta on a small base must not
+            n_delta0 = (
+                cat.latest_status().get(pfx + "docmap", {}).get("doc_count")
+                or docmap.count()
+            )
+            dmj = F.broadcast(docmap) if n_delta0 <= BROADCAST_DOCMAP_MAX else docmap
+            payload = "html" if tokenizer == "html" else "text"
+            pages_with_id = pages.select("url", payload).join(dmj, "url")
+            tok = (
+                tokens_from_pages(pages_with_id)
+                if tokenizer == "html"
+                else tokens_from_text(pages_with_id)
+            )
             cat.write(tok, tok_name)
-        cat.append_manifest([_mrow(pfx + "tokens", build_time_s=time.time() - t0)])
+            cat.append_manifest(
+                [_mrow(pfx + "tokens", build_time_s=time.time() - t0)]
+            )
     tokens = cat.read(spark, tok_name)
 
     agg = (
