@@ -176,26 +176,41 @@ def tokens_from_text(pages_with_id: DataFrame) -> DataFrame:
     """Alternative JVM-only tokenizer for tables that already carry extracted
     text (e.g. the driver's `documents` table): no Python at all — tokenize
     with built-in regexp_extract_all + explode, whole-stage codegen'd.
-    Same output contract as tokenize_batch (doc_len per row + sentinel)."""
-    toks = pages_with_id.select(
+    Same output contract as tokenize_batch (tf rows + one sentinel row per
+    doc carrying doc_len).
+
+    SINGLE-PASS by construction: tf rows and sentinels come from one scan
+    via grouping sets ((doc_id, doc_len, term), (doc_id, doc_len)), never a
+    tf ∪ sentinels self-union.  A union would consume the upstream subtree
+    twice — tokenizing the corpus twice, and, worse, re-evaluating upstream
+    doc_ids that the url_ordered path derives from spark_partition_id()
+    (_ordered_doc_id) in two different codegen pipelines, which breaks the
+    per-partition drift Observation riding that scan.  explode_outer keeps
+    zero-token docs, so they still emit a sentinel (doc_len 0)."""
+    ex = pages_with_id.select(
         "doc_id",
         F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
-    )
-    tf = (
-        toks.select(
-            "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
-        )
-        .groupBy("doc_id", "doc_len", "term")
-        .agg(F.count("*").cast("int").alias("tf"))
-        .select("doc_id", "term", "tf", "doc_len")
-    )
-    sentinels = toks.select(
+    ).select(
         "doc_id",
-        F.lit(None).cast("string").alias("term"),
-        F.lit(0).cast("int").alias("tf"),
         F.size("toks").alias("doc_len"),
+        F.explode_outer("toks").alias("tok"),
     )
-    return tf.unionByName(sentinels)
+    agg = ex.groupingSets(
+        [["doc_id", "doc_len", "tok"], ["doc_id", "doc_len"]],
+        "doc_id", "doc_len", "tok",
+    ).agg(
+        F.count("tok").alias("cnt"),
+        F.grouping("tok").alias("g"),
+    )
+    # g=0 detail rows with a real token are the tf rows (a null tok at the
+    # detail level is a zero-token doc — dropped); g=1 rows are sentinels.
+    return agg.where((F.col("g") == 1) | F.col("tok").isNotNull()).select(
+        "doc_id",
+        F.when(F.col("g") == 0, F.col("tok")).alias("term"),
+        F.when(F.col("g") == 0, F.col("cnt")).otherwise(F.lit(0))
+        .cast("int").alias("tf"),
+        "doc_len",
+    )
 
 
 @contextlib.contextmanager
@@ -331,6 +346,7 @@ def _pid_check_aggs(offsets: dict[int, tuple[int, int]]) -> list:
     still catch any drift that shifts a boundary)."""
     aggs = [
         F.count("*").alias("n"),
+        F.count("doc_id").alias("nn"),  # catches offset-map misses (nulls)
         F.min("doc_id").alias("mn"),
         F.max("doc_id").alias("mx"),
     ]
@@ -349,6 +365,7 @@ def _pid_check_ok(
 ) -> bool:
     return (
         m["n"] == n
+        and m["nn"] == n
         and (n == 0 or (m["mn"] == offset and m["mx"] == offset + n - 1))
         and (
             len(offsets) > 256
