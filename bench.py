@@ -290,9 +290,12 @@ def _scaling(sf_dir: str) -> None:
 def _code_rev() -> str:
     """Engine code revision a leg was measured at: legs only aggregate with
     legs of the SAME revision — mixing configs measured on different code
-    would compare different jobs."""
+    would compare different jobs.  The rev is the last commit that touched
+    the ENGINE paths (package + jobs), not HEAD, so evidence/doc-only
+    commits don't orphan previously recorded legs of identical code."""
     out = subprocess.run(
-        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        ["git", "-C", REPO, "log", "-n1", "--format=%h", "--",
+         "rt_etl_yahoo_search_engine_spark", "jobs"],
         capture_output=True, text=True,
     )
     return out.stdout.strip() or "unknown"
