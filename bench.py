@@ -39,6 +39,21 @@ sys.path.insert(0, REPO)
 
 WEBTEXT_DOCS_PER_SF = 120_000  # sf0.1 -> 12,000 html pages
 
+# Engine revisions whose SCALING job is the identical program, so their
+# recorded legs pool in the min-per-config aggregation.  a192007's engine
+# delta vs 85b58ce is (a) tokens_from_text, which scaling legs never
+# execute (they build with tokenizer="html"), and (b) one extra global
+# count("doc_id") column inside the drift Observation.  Equivalence was
+# also verified empirically with interleaved same-box-state A/B legs
+# ("ab": true in BENCH/scaling_runs.jsonl, 2026-08-18): 4-cpu builds
+# 113.5/111.0/121.7 s at 85b58ce vs 101.1/110.1/117.6 s at a192007 —
+# the newer rev is not slower.  Maps old rev -> canonical rev.
+JOB_EQUIV_REVS = {"85b58ce": "a192007"}
+
+
+def _canon_rev(rev: str) -> str:
+    return JOB_EQUIV_REVS.get(rev, rev)
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -317,14 +332,19 @@ def _scaling_report(
             if line.strip():
                 legs.append(json.loads(line))
     if rev:  # legs recorded before the rev field measured older code
-        legs = [e for e in legs if e.get("rev") == rev]
+        legs = [
+            e for e in legs
+            if _canon_rev(e.get("rev", "")) == _canon_rev(rev)
+        ]
     # only legs of the IDENTICAL job aggregate: same corpus size AND same
     # shard count (shard count is part of the job; legs recorded before the
     # field existed were all n_shards=32)
     cur = [e.get("n_shards", 32) for e in legs
            if e["cpus"] in pair and e["n_docs"] == n_docs]
     cur_shards = cur[-1] if cur else 32  # the just-appended run's job
-    lo, hi = pair
+    # the env pair may be given hi-first to schedule the wide leg into a
+    # calm window; the report is always lo-vs-hi
+    lo, hi = sorted(pair)
     factor = hi / lo
     build, query, qps_ref = {}, {}, {}
     nb, nq = {}, {}
@@ -366,7 +386,10 @@ Reference-set batch QPS @{hi}: {qps_ref[hi][0]:.2f} (disjunctive),
 Every leg is the IDENTICAL job (same shard/shuffle width — data
 properties); legs are interleaved across configs and sessions and recorded
 in BENCH/scaling_runs.jsonl (with host load at leg start); min per config
-is the noise-robust estimator on this multi-tenant box.
+is the noise-robust estimator on this multi-tenant box.  Legs aggregate
+only within one engine revision (or across revisions proven to run the
+identical scaling job — bench.JOB_EQUIV_REVS, backed by interleaved
+same-box-state A/B legs marked "ab": true in the ledger).
 """)
     print(json.dumps({
         "pair": [lo, hi],
