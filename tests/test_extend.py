@@ -176,3 +176,52 @@ def test_extend_duplicate_rerun_refused(spark, extended_and_fresh, corpora):
     # assert the registry was not advanced by the refused rerun
     reg = Catalog(ext_root).read_registry()
     assert reg["version"] == 1
+
+
+@pytest.mark.parametrize("mode", [spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE])
+def test_extend_chain_two_segments(spark, tmp_path, mode):
+    """Two successive extensions (3 segments total) still answer every
+    reference query identically to one fresh build over the whole corpus —
+    the multi-segment merge and the per-segment avgdl correction must
+    compose, not just hold for a single delta."""
+    # all slices of ONE deterministic 1100-doc generation (synth content
+    # depends on the generation size/partitioning, so slices must come from
+    # the same run — same pattern as the `corpora` fixture)
+    whole = synth_pages_df(spark, 1100, num_partitions=11)
+    cuts = ("https://synth.example/en/00000600", "https://synth.example/en/00000900")
+    paths = {}
+    for name, df in (
+        ("base", whole.filter(F.col("url") < cuts[0])),
+        ("d1", whole.filter((F.col("url") >= cuts[0]) & (F.col("url") < cuts[1]))),
+        ("d2", whole.filter(F.col("url") >= cuts[1])),
+        ("full", whole),
+    ):
+        paths[name] = str(tmp_path / name)
+        df.write.parquet(paths[name])
+
+    ext_root, full_root = str(tmp_path / "ext"), str(tmp_path / "fullidx")
+    build_index(spark, paths["base"], ext_root, n_shards=3, n_buckets=4)
+    extend_index(spark, paths["d1"], ext_root)
+    extend_index(spark, paths["d2"], ext_root)
+    build_index(spark, paths["full"], full_root, n_shards=3, n_buckets=4)
+
+    reg = Catalog(ext_root).read_registry()
+    fresh_reg = Catalog(full_root).read_registry()
+    # (n_docs < 1100: the synth corpus plants non-extractable /xx/ pages
+    # that both the fresh and the extended build must drop identically)
+    assert reg["version"] == 2 and reg["n_docs"] == fresh_reg["n_docs"]
+
+    got = _collect(topk(spark, ext_root, spec.REFERENCE_QUERIES, mode=mode, k=10))
+    want = _collect(topk(spark, full_root, spec.REFERENCE_QUERIES, mode=mode, k=10))
+    assert len(got) > 0
+    _assert_same(got, want)
+    local = LocalSearcher(ext_root).search_batch(
+        spec.REFERENCE_QUERIES, k=10, mode=mode
+    )
+    serve_map = {
+        (q, int(r)): (int(d), float(s))
+        for q, r, d, s in zip(
+            local["query_id"], local["rank"], local["doc_id"], local["score"]
+        )
+    }
+    _assert_same(serve_map, want)
