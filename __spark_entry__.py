@@ -42,6 +42,17 @@ DOC_QUERIES = {
 }
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
+# Quoted-phrase queries for the documents table: two common bigrams, two
+# sparse trigrams (present at sf >= 0.01), and a control whose second token
+# is out-of-corpus (must return nothing).
+PHRASE_QUERIES = {
+    "p1": "join column",
+    "p2": "table hash",
+    "p3": "scan slow fast",
+    "p4": "window table key",
+    "p5": "join zzznope",
+}
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -435,6 +446,24 @@ def _q_extract_structured(spark, sf_dir):
     return extract_df(synth_pages_df(spark, 120, num_partitions=4))
 
 
+def _q_phrase_topk(spark, sf_dir):
+    """Quoted-phrase top-k (plans.phrase): conjunctive candidates from the
+    index, JVM-side token-sequence containment verify, BM25 re-rank."""
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
+
+    root = _index_for(spark, sf_dir)
+    docs_text = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
+    )
+    out = phrase_topk(spark, root, PHRASE_QUERIES, docs_text, k=10, with_url=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -451,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_conj,
         "bm25_topk_fields": _q_bm25_fields,
         "bm25_serve_topk": _q_bm25_serve,
+        "phrase_topk": _q_phrase_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -508,6 +538,62 @@ def _qterms_values() -> str:
         for t in sorted(set(spec.tokenize(text))):
             rows.append(f"('{qid}', '{t}')")
     return ", ".join(rows)
+
+
+def _phrase_values() -> tuple[str, str]:
+    """(qterms VALUES rows over distinct phrase tokens, qph VALUES rows of
+    ' t1 t2 ... ' needles) for PHRASE_QUERIES."""
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_needle
+
+    trows, nrows = [], []
+    for qid, phrase in PHRASE_QUERIES.items():
+        needle = phrase_needle(phrase)
+        if needle is None:
+            continue
+        nrows.append(f"('{qid}', '{needle}')")
+        for t in sorted(set(spec.tokenize(phrase))):
+            trows.append(f"('{qid}', '{t}')")
+    return ", ".join(trows), ", ".join(nrows)
+
+
+def _phrase_sql() -> str:
+    """BM25 over docs containing the phrase as a contiguous token run:
+    the conjunctive BM25 oracle plus a token-string containment predicate
+    (tokens are maximal [a-z0-9]+ runs, so contiguous-subsequence
+    containment == substring match on the space-joined token string)."""
+    trows, nrows = _phrase_values()
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {trows}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+qph(query_id, needle) AS (VALUES {nrows}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+seqs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS seq FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score,
+         count(*) AS matched
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      JOIN qn ON s.query_id = qn.query_id
+      JOIN qph ON s.query_id = qph.query_id
+      JOIN seqs ON s.doc_id = seqs.doc_id
+      WHERE s.matched = qn.n_terms AND contains(seqs.seq, qph.needle))
+WHERE rank <= 10
+"""
 
 
 def _bm25_sql(mode: str) -> str:
@@ -596,6 +682,7 @@ SELECT h.query_id, h.rank, h.doc_id, h.score,
 FROM hits h JOIN documents d USING (doc_id)
         """,
         "bm25_serve_topk": _bm25_sql("disjunctive"),
+        "phrase_topk": _phrase_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

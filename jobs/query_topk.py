@@ -9,6 +9,9 @@
 (rank-identical by construction; used for verification).
 --serve answers from the low-latency local searcher (plans.serve) — no
 Spark job at all; rank-identical to the distributed path.
+--phrase treats each --query as a quoted phrase (contiguous token run;
+plans.phrase) and requires --pages, the (url, html|text) table whose text
+the index was built from (--tokenizer selects the column, as in the build).
 """
 
 from __future__ import annotations
@@ -31,6 +34,12 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--oracle", action="store_true")
     p.add_argument("--serve", action="store_true")
+    p.add_argument("--phrase", action="store_true",
+                   help="quoted-phrase semantics (requires --pages)")
+    p.add_argument("--pages", default=None,
+                   help="pages parquet for phrase verification")
+    p.add_argument("--tokenizer", choices=["html", "text"], default="html",
+                   help="pages payload column (phrase mode)")
     p.add_argument("--out", default=None, help="write results parquet here")
     args = p.parse_args(argv)
 
@@ -53,6 +62,28 @@ def main(argv=None) -> int:
             pdf.to_parquet(args.out)
         else:
             print(pdf.sort_values(["query_id", "rank"]).to_string(index=False))
+        return 0
+    if args.phrase:
+        if not args.pages:
+            p.error("--phrase requires --pages")
+        from rt_etl_yahoo_search_engine_spark.functions.extract import page_text_df
+        from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
+
+        spark = get_spark(app="query-phrase")
+        pages = spark.read.parquet(args.pages)
+        docs_text = (
+            page_text_df(pages) if args.tokenizer == "html"
+            else pages.select("url", "text")
+        )
+        out = phrase_topk(spark, args.index, queries, docs_text,
+                          k=args.k, with_url=True)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        else:
+            out.orderBy("query_id", "rank").show(
+                args.k * len(queries), truncate=False
+            )
+        spark.stop()
         return 0
     spark = get_spark(app="query-topk")
     fn = topk_oracle if args.oracle else topk

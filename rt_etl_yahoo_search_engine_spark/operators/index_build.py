@@ -1239,6 +1239,125 @@ def extend_index(
     return cat
 
 
+def compact_index(
+    spark: SparkSession, index_root: str, prune: bool = False
+) -> Catalog:
+    """Merge all posting segments of an extended index into ONE segment.
+
+    Extensions (extend_index) are Lucene-style segment appends: each adds a
+    posting directory, a docmap directory, and a bound-correction factor the
+    query side must apply per old segment.  Compaction rewrites the index
+    into the form a FRESH build over the concatenated corpus would produce —
+    physically: posting rows are re-derived from the staged tokens tables
+    (never re-tokenized), re-sharded by the GLOBAL doc count
+    (shard = doc_id * n_shards // n_docs, exactly posting_rows_df), and
+    re-encoded against the CURRENT global avgdl, so every block, block-max
+    bound, and lexicon row equals the fresh build's and the drift factor
+    returns to 1.0 for the whole index.  Queries before and after compaction
+    are score- and rank-identical (tests/test_compact.py), answered from
+    n_shards directories instead of version*n_shards.
+
+    Cost at scale: one scan of the tokens union + the (term, shard) encode
+    shuffle — a fresh build MINUS extraction/tokenization, which dominates
+    it; the classic segment-merge economics.  The registry rename is the
+    atomic visibility commit (crash before it leaves the multi-segment index
+    fully live; the stage manifest rows make a rerun resume, not redo).
+
+    prune=True deletes the replaced posting/lexicon/docmap directories after
+    the commit (the staged tokens tables are always kept — they are the
+    oracle/rebuild source).
+    """
+    import shutil
+
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    if len(reg["segments"]) == 1 and len(reg.get("docmap_dirs", ["docmap"])) == 1:
+        return cat  # already single-segment
+    stats = cat.read_stats()
+    n_shards, n_buckets = stats["n_shards"], stats["n_buckets"]
+    n_docs, avgdl = int(reg["n_docs"]), float(reg["avgdl"])
+    ver = reg["version"] + 1
+    pfx = f"compact{ver}:"
+    post_name, lex_name, dm_name = (
+        f"postings_c{ver}", f"lexicon_c{ver}", f"docmap_c{ver}",
+    )
+    done = cat.completed_partitions()
+    par = spark.sparkContext.defaultParallelism
+
+    if pfx + "postings" not in done:
+        t0 = time.time()
+        tokens = cat.read(spark, *reg.get("token_dirs", ["tokens"]))
+        rows = posting_rows_df(tokens, n_docs, n_shards, n_buckets).drop("bucket")
+        enc_parts = max(par, min(4096, n_docs // 3_000))
+        # always the general shuffle path: segment token files are doc-
+        # contiguous only per segment, and the re-shard boundaries (global
+        # n_docs) cross segments — co-locate each (term, shard) group
+        blocks = (
+            rows.repartition(enc_parts, "term", "shard")
+            .mapInArrow(make_arrow_encoder(avgdl), schema=BLOCKS_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(max(1, min(n_shards, par)), "shard")
+            .sortWithinPartitions("shard", "term", "first_doc_id")
+        )
+        (
+            blocks.write.mode("overwrite")
+            .partitionBy("shard")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .parquet(cat.path(post_name))
+        )
+        cat.append_manifest(
+            [_mrow(pfx + "postings", doc_count=n_docs,
+                   build_time_s=time.time() - t0)]
+        )
+
+    if pfx + "lexicon" not in done:
+        t0 = time.time()
+        cat.write(
+            lexicon_from_blocks(cat.read(spark, post_name), n_docs, n_buckets),
+            lex_name,
+        )
+        cat.append_manifest([_mrow(pfx + "lexicon", build_time_s=time.time() - t0)])
+
+    old_dm_dirs = reg.get("docmap_dirs", ["docmap"])
+    if pfx + "docmap" not in done:
+        t0 = time.time()
+        cat.write(
+            cat.read(spark, *old_dm_dirs).repartition(max(1, min(par, 32))),
+            dm_name,
+        )
+        cat.append_manifest([_mrow(pfx + "docmap", doc_count=n_docs,
+                                   build_time_s=time.time() - t0)])
+
+    old_seg_dirs = [s["dir"] for s in reg["segments"]]
+    old_lex_dir = reg["lexicon_dir"]
+    reg_new = {
+        "version": ver,
+        "n_docs": n_docs,
+        "sum_dl": reg["sum_dl"],
+        "avgdl": avgdl,
+        "lexicon_dir": lex_name,
+        "segments": [
+            {
+                "dir": post_name,
+                "avgdl": avgdl,
+                "source": {"compacted_from": old_seg_dirs},
+            }
+        ],
+        "docmap_dirs": [dm_name],
+        "token_dirs": reg.get("token_dirs", ["tokens"]),
+    }
+    cat.write_registry(reg_new)
+    cat.append_manifest([_mrow(pfx + "commit", doc_count=n_docs, build_time_s=0.0)])
+
+    if prune:
+        for d in set(old_seg_dirs + [old_lex_dir] + old_dm_dirs):
+            shutil.rmtree(cat.path(d), ignore_errors=True)
+    return cat
+
+
 def _write_stats(cat: Catalog, agg: dict, n_shards: int, n_buckets: int) -> None:
     """avgdl from the EXACT int sum (doubles are exact far beyond any
     realistic sum here), so incremental extensions can recompute the

@@ -1,0 +1,125 @@
+"""Phrase queries: BM25 top-k over documents containing an exact token phrase.
+
+The reference engine matches bag-of-words only (its Yahoo result rows are
+ranked by the upstream engine; ref src/services/yahoo_search_service.py), but
+any fulltext user of a search engine expects quoted-phrase semantics, so the
+engine exposes them as a first-class plan.  Semantics:
+
+    phrase "t1 t2 ... tm"  matches doc D  iff  tokenize(D.text) contains the
+    CONTIGUOUS subsequence [t1..tm] (spec.tokenize on both sides);
+    matching docs are ranked by the ordinary conjunctive BM25 score of the
+    phrase's distinct terms (score DESC, doc_id ASC — the engine-wide
+    tie-break contract).
+
+Plan (two phases, both relational):
+
+  1. CANDIDATES — the existing scan-side conjunctive plan (plans.bm25.topk)
+     with k = corpus size, i.e. ALL docs containing every phrase term, with
+     their exact BM25 scores.  Candidate retrieval therefore inherits the
+     document-partitioned, payload-shuffle-free index path unchanged.
+  2. VERIFY — token-sequence containment, evaluated JVM-side with zero
+     Python: because tokens are maximal [a-z0-9]+ runs, the token sequence
+     of a doc contains [t1..tm] contiguously  iff  the single-space-joined
+     token string ' t1 t2 ... ' appears in ' ' || join(tokens, ' ') || ' '.
+     The (needle, candidate) set — k' rows per query, metadata-scale — is
+     BROADCAST onto ONE scan of the (url, text) table; `contains()` runs
+     inside whole-stage codegen.  Re-rank is a window over the surviving
+     ≤ candidates rows.
+
+100 TB note: for selective phrases (the realistic case) the candidate set is
+small and phase 2 touches one pruned scan.  A phrase made ONLY of stop-words
+degenerates (candidates ~ corpus); the classic escape hatch is a positional
+postings sidecar consulted before the text scan — the verify step here is
+deliberately isolated behind `_verify_phrases` so such a sidecar can replace
+the text scan without touching candidate retrieval or ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..sources.catalog import Catalog
+from .bm25 import topk
+
+# tokens of a text column, as a JVM expression (same regex as spec.tokenize)
+_TOKENS_EXPR = r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+def phrase_needle(phrase: str) -> str | None:
+    """' t1 t2 ... tm ' for the phrase's full token sequence (order and
+    multiplicity preserved), or None for a token-free phrase."""
+    toks = spec.tokenize(phrase)
+    if not toks:
+        return None
+    return " " + " ".join(toks) + " "
+
+
+def _verify_phrases(
+    candidates: DataFrame, docs_text: DataFrame, needles: DataFrame
+) -> DataFrame:
+    """Keep candidate (query_id, doc_id) pairs whose doc token sequence
+    contains the query's phrase.  candidates carry url; docs_text is
+    (url, text); needles is (query_id, needle).  One scan of docs_text,
+    candidates broadcast, containment in codegen."""
+    cand = candidates.join(F.broadcast(needles), "query_id")
+    seq = F.concat(
+        F.lit(" "), F.array_join(F.expr(_TOKENS_EXPR), " "), F.lit(" ")
+    ).alias("seq")
+    return (
+        docs_text.select("url", seq)
+        .join(F.broadcast(cand), "url")
+        .filter(F.contains(F.col("seq"), F.col("needle")))
+        .drop("seq", "needle")
+    )
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_root: str,
+    phrases: dict[str, str],
+    docs_text: DataFrame,
+    k: int = spec.TOP_K_DEFAULT,
+    with_url: bool = False,
+) -> DataFrame:
+    """Top-k BM25 over docs containing each phrase as a contiguous token run.
+
+    docs_text: (url, text) — the SAME text the index tokenized: raw tables
+    pass themselves, HTML corpora pass functions.extract.page_text_df(pages)
+    (the byte-identical extractor output).
+    """
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+        + (", url string" if with_url else ""),
+    )
+    needle_rows = []
+    for qid, phrase in phrases.items():
+        needle = phrase_needle(phrase)
+        if needle is not None:
+            needle_rows.append((qid, needle))
+    if not needle_rows:
+        return empty
+
+    cat = Catalog(index_root)
+    n_docs = int(cat.read_registry()["n_docs"])
+    # ALL conjunctive matches (k = corpus size), exact scores, url attached
+    # for the verify join
+    candidates = topk(
+        spark,
+        index_root,
+        {qid: phrases[qid] for qid, _ in needle_rows},
+        mode=spec.MODE_CONJUNCTIVE,
+        k=max(n_docs, 1),
+        with_url=True,
+    ).drop("rank")
+    needles = spark.createDataFrame(needle_rows, "query_id string, needle string")
+    verified = _verify_phrases(candidates, docs_text, needles)
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cols = ["query_id", "rank", "doc_id", "score"] + (["url"] if with_url else [])
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*cols)
+    )
