@@ -47,8 +47,13 @@ WEBTEXT_DOCS_PER_SF = 120_000  # sf0.1 -> 12,000 html pages
 # also verified empirically with interleaved same-box-state A/B legs
 # ("ab": true in BENCH/scaling_runs.jsonl, 2026-08-18): 4-cpu builds
 # 113.5/111.0/121.7 s at 85b58ce vs 101.1/110.1/117.6 s at a192007 —
-# the newer rev is not slower.  Maps old rev -> canonical rev.
-JOB_EQUIV_REVS = {"85b58ce": "a192007"}
+# the newer rev is not slower.  23c0dc3's delta vs a192007 is purely
+# additive code the leg job never executes: compact_index (a new function,
+# not called by legs), plans/phrase.py (a new module, not imported by the
+# leg job), and a --phrase branch in jobs/query_topk.py (legs don't run
+# jobs/); backed by a same-session rep at 23c0dc3 landing inside the
+# a192007 leg range recorded minutes earlier.  Maps old rev -> canonical.
+JOB_EQUIV_REVS = {"85b58ce": "23c0dc3", "a192007": "23c0dc3"}
 
 
 def _canon_rev(rev: str) -> str:
