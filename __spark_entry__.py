@@ -455,7 +455,34 @@ def _q_phrase_topk(spark, sf_dir):
     docs_text = _docs(spark, sf_dir).select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
     )
-    out = phrase_topk(spark, root, PHRASE_QUERIES, docs_text, k=10, with_url=True)
+    out = phrase_topk(spark, root, PHRASE_QUERIES, docs_text, k=10,
+                      with_url=True, verify="text")
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_phrase_topk_positions(spark, sf_dir):
+    """Quoted-phrase top-k via the positional sidecar (operators.positions):
+    same semantics and oracle as phrase_topk, but containment is decided
+    from the phrase terms' position lists alone — no text rescan."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
+
+    root = _index_for(spark, sf_dir)
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "lang",
+    )
+    build_positions(spark, pages, root, tokenizer="text")  # resumes if built
+    out = phrase_topk(spark, root, PHRASE_QUERIES, k=10, with_url=True,
+                      verify="positions")
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
@@ -481,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_fields": _q_bm25_fields,
         "bm25_serve_topk": _q_bm25_serve,
         "phrase_topk": _q_phrase_topk,
+        "phrase_topk_positions": _q_phrase_topk_positions,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -683,6 +711,7 @@ FROM hits h JOIN documents d USING (doc_id)
         """,
         "bm25_serve_topk": _bm25_sql("disjunctive"),
         "phrase_topk": _phrase_sql(),
+        "phrase_topk_positions": _phrase_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                    help="declare the pages table url-sorted with disjoint "
                         "per-file url ranges (e.g. Iceberg write-ordered by "
                         "url): skips the posting shuffle entirely")
+    p.add_argument("--positions", action="store_true",
+                   help="also build the positional sidecar (index-only "
+                        "phrase queries; operators/positions.py)")
     p.add_argument("--synthesize", type=int, default=None, metavar="N_DOCS",
                    help="generate a deterministic N_DOCS webtext corpus at "
                         "--pages first (demo/bench)")
@@ -59,6 +62,12 @@ def main(argv=None) -> int:
         tokenizer=args.tokenizer,
         url_ordered=args.url_ordered,
     )
+    if args.positions:
+        from rt_etl_yahoo_search_engine_spark.operators.positions import (
+            build_positions,
+        )
+
+        build_positions(spark, args.pages, args.index, tokenizer=args.tokenizer)
     stats = cat.read_stats()
     rows = cat.latest_status()
     print(json.dumps({

@@ -10,8 +10,10 @@
 --serve answers from the low-latency local searcher (plans.serve) — no
 Spark job at all; rank-identical to the distributed path.
 --phrase treats each --query as a quoted phrase (contiguous token run;
-plans.phrase) and requires --pages, the (url, html|text) table whose text
-the index was built from (--tokenizer selects the column, as in the build).
+plans.phrase).  Verification uses the positional sidecar when the index has
+a fresh one (build_index.py --positions); otherwise pass --pages, the
+(url, html|text) table whose text the index was built from (--tokenizer
+selects the column, as in the build).
 """
 
 from __future__ import annotations
@@ -64,17 +66,22 @@ def main(argv=None) -> int:
             print(pdf.sort_values(["query_id", "rank"]).to_string(index=False))
         return 0
     if args.phrase:
-        if not args.pages:
-            p.error("--phrase requires --pages")
-        from rt_etl_yahoo_search_engine_spark.functions.extract import page_text_df
         from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
 
         spark = get_spark(app="query-phrase")
-        pages = spark.read.parquet(args.pages)
-        docs_text = (
-            page_text_df(pages) if args.tokenizer == "html"
-            else pages.select("url", "text")
-        )
+        docs_text = None
+        if args.pages:
+            from rt_etl_yahoo_search_engine_spark.functions.extract import (
+                page_text_df,
+            )
+
+            pages = spark.read.parquet(args.pages)
+            docs_text = (
+                page_text_df(pages) if args.tokenizer == "html"
+                else pages.select("url", "text")
+            )
+        # verify="auto": positional sidecar when fresh, else the text scan
+        # (which then requires --pages)
         out = phrase_topk(spark, args.index, queries, docs_text,
                           k=args.k, with_url=True)
         if args.out:

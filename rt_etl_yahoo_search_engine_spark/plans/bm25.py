@@ -141,9 +141,21 @@ def topk(
     cat = Catalog(index_root)
     reg = cat.read_registry()
     avgdl = float(reg["avgdl"])
-    empty = spark.createDataFrame(
-        [], "query_id string, rank int, doc_id long, score double"
+    # the no-hit early returns must carry the SAME columns as the full path
+    # (an all-out-of-vocab conjunctive batch with with_url=True otherwise
+    # breaks downstream selects, e.g. plans/phrase.py's re-rank)
+    empty_schema = "query_id string, rank int, doc_id long"
+    if with_url or fields is not None:
+        empty_schema += ", url string"
+    empty_schema += ", score double"
+    extra_fields = (
+        [c for c in fields.columns if c != "url"] if fields is not None else []
     )
+    empty = spark.createDataFrame([], empty_schema)
+    if extra_fields:
+        empty = empty.join(fields.limit(0).drop("url"), how="cross").select(
+            "query_id", "rank", "doc_id", "url", "score", *extra_fields
+        )
 
     qtoks = {qid: sorted(set(spec.tokenize(text))) for qid, text in queries.items()}
     all_terms = sorted({t for toks in qtoks.values() for t in toks})

@@ -28,10 +28,21 @@ Plan (two phases, both relational):
 
 100 TB note: for selective phrases (the realistic case) the candidate set is
 small and phase 2 touches one pruned scan.  A phrase made ONLY of stop-words
-degenerates (candidates ~ corpus); the classic escape hatch is a positional
-postings sidecar consulted before the text scan — the verify step here is
-deliberately isolated behind `_verify_phrases` so such a sidecar can replace
-the text scan without touching candidate retrieval or ranking.
+degenerates (candidates ~ corpus); the escape hatch is the POSITIONAL verify
+(verify="positions"): when the index carries the positional sidecar
+(operators/positions.py), containment is decided from the phrase terms'
+position lists alone — O(sum df(term)) bytes read, term-isin row-group
+pruned, independent of corpus text size — with zero Python:
+
+      occurrence i of the phrase contributes (occ=i, term=t_i); a doc
+      matches iff some start p has p+i in positions(t_i) for EVERY i, i.e.
+      iff after shifting each occurrence's positions by -i, some value is
+      hit by ALL occurrences: explode shifted positions -> group by
+      (query, doc, start) -> count(distinct occ) == phrase length.
+
+Both verifies implement the same contract and are asserted identical
+(tests/test_positions.py); verify="auto" picks positions when the sidecar
+exists and is fresh, else the text scan.
 """
 
 from __future__ import annotations
@@ -75,20 +86,85 @@ def _verify_phrases(
     )
 
 
+def _verify_phrases_positional(
+    spark: SparkSession,
+    index_root: str,
+    candidates: DataFrame,
+    phrases: dict[str, str],
+) -> DataFrame:
+    """Keep candidate (query_id, doc_id) pairs whose doc contains the
+    query's phrase, decided from the positional sidecar alone (module
+    docstring).  All JVM: term-pruned positions scan, the metadata-scale
+    occurrence table broadcast onto it, one explode + one aggregate.  The
+    candidate join is deliberately UNHINTED: for selective phrases AQE
+    broadcasts the k'-scale set; for a stop-word phrase (candidates ~
+    corpus — the case this sidecar exists for) it must stay a shuffle
+    join, and forcing a broadcast would OOM precisely then."""
+    from ..operators.positions import read_positions
+
+    occ_rows = []
+    n_occ: dict[str, int] = {}
+    for qid, phrase in phrases.items():
+        toks = spec.tokenize(phrase)
+        n_occ[qid] = len(toks)
+        occ_rows.extend((qid, i, t) for i, t in enumerate(toks))
+    occ = spark.createDataFrame(
+        [(q, i, t, n_occ[q]) for q, i, t in occ_rows],
+        "query_id string, occ int, term string, n_occ int",
+    )
+    terms = sorted({t for _, _, t in occ_rows})
+    pos = read_positions(spark, index_root, terms)
+    matched = (
+        pos.join(F.broadcast(occ), "term")
+        .join(candidates.select("query_id", "doc_id"),
+              ["query_id", "doc_id"])
+        .select(
+            "query_id", "doc_id", "occ", "n_occ",
+            F.explode("positions").alias("p"),
+        )
+        .withColumn("start", F.col("p") - F.col("occ"))
+        .groupBy("query_id", "doc_id", "start", "n_occ")
+        .agg(F.count_distinct("occ").alias("hit"))
+        .filter(F.col("hit") == F.col("n_occ"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return candidates.join(matched, ["query_id", "doc_id"])
+
+
 def phrase_topk(
     spark: SparkSession,
     index_root: str,
     phrases: dict[str, str],
-    docs_text: DataFrame,
+    docs_text: DataFrame | None = None,
     k: int = spec.TOP_K_DEFAULT,
     with_url: bool = False,
+    verify: str = "auto",
 ) -> DataFrame:
     """Top-k BM25 over docs containing each phrase as a contiguous token run.
 
     docs_text: (url, text) — the SAME text the index tokenized: raw tables
     pass themselves, HTML corpora pass functions.extract.page_text_df(pages)
-    (the byte-identical extractor output).
+    (the byte-identical extractor output).  Only consulted by the text
+    verify; pass None when the index carries a positional sidecar.
+
+    verify: "positions" (sidecar required; never touches text), "text"
+    (docs_text required), or "auto" — positions when the sidecar exists and
+    covers the current corpus, else text.
     """
+    if verify == "auto":
+        reg = Catalog(index_root).read_registry()
+        verify = (
+            "positions"
+            if reg.get("positions_dir")
+            and int(reg.get("positions_n_docs", -1)) == int(reg["n_docs"])
+            else "text"
+        )
+    if verify == "text" and docs_text is None:
+        raise ValueError(
+            "phrase verify needs docs_text (no fresh positional sidecar on "
+            "this index; build one with build_positions)"
+        )
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, score double"
         + (", url string" if with_url else ""),
@@ -113,8 +189,14 @@ def phrase_topk(
         k=max(n_docs, 1),
         with_url=True,
     ).drop("rank")
-    needles = spark.createDataFrame(needle_rows, "query_id string, needle string")
-    verified = _verify_phrases(candidates, docs_text, needles)
+    live = {qid: phrases[qid] for qid, _ in needle_rows}
+    if verify == "positions":
+        verified = _verify_phrases_positional(spark, index_root, candidates, live)
+    else:
+        needles = spark.createDataFrame(
+            needle_rows, "query_id string, needle string"
+        )
+        verified = _verify_phrases(candidates, docs_text, needles)
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cols = ["query_id", "rank", "doc_id", "score"] + (["url"] if with_url else [])

@@ -34,6 +34,28 @@ def test_conjunctive_mixed_unknown_is_empty(spark, index_dir):
     assert rows == []
 
 
+def test_empty_result_keeps_requested_columns(spark, index_dir):
+    """The no-hit early returns must carry the same schema as the full path:
+    an all-out-of-vocab batch with with_url=True (regression: broke
+    phrase_topk's re-rank select on such batches)."""
+    out = topk(
+        spark, index_dir, {"q": "zzzzqqqxx yyyyzzzww"},
+        mode=spec.MODE_CONJUNCTIVE, k=5, with_url=True,
+    )
+    assert out.columns == ["query_id", "rank", "doc_id", "url", "score"]
+    assert out.collect() == []
+    fields = spark.createDataFrame(
+        [], "url string, seq int, body string"
+    )
+    outf = topk(
+        spark, index_dir, {"q": "zzzzqqqxx"}, k=5, fields=fields,
+    )
+    assert outf.columns == [
+        "query_id", "rank", "doc_id", "url", "score", "seq", "body"
+    ]
+    assert outf.collect() == []
+
+
 def test_huge_k_returns_all_matches(spark, index_dir):
     rows = topk(
         spark, index_dir, {"q": "Starbucks"},
