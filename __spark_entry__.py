@@ -42,6 +42,17 @@ DOC_QUERIES = {
 }
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
+# Minus-terms for the exclusion entry: tokens that DO occur in the corpus
+# (they are other queries' terms) plus one out-of-vocab no-op control.
+EXCLUDE_TERMS = {
+    "d1": "window",
+    "d2": "join",
+    "d4": "scan zzznope",
+}
+
+# Unordered-proximity window (tokens) for the NEAR entry.
+NEAR_WINDOW = 8
+
 # Quoted-phrase queries for the documents table: two common bigrams, two
 # sparse trigrams (present at sf >= 0.01), and a control whose second token
 # is out-of-corpus (must return nothing).
@@ -185,6 +196,78 @@ def _q_bm25_fields(spark, sf_dir):
 
 def _q_bm25_conj(spark, sf_dir):
     return _bm25(spark, sf_dir, spec.MODE_CONJUNCTIVE)
+
+
+def _q_bm25_exclude(spark, sf_dir):
+    """Minus-term queries ('-term' search syntax): docs containing an
+    excluded token are removed BEFORE top-k selection, scan-side (the
+    scorer masks them — plans/bm25.topk(exclude=), operators.topk)."""
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+
+    root = _index_for(spark, sf_dir)
+    out = topk(
+        spark, root, DOC_QUERIES, mode=spec.MODE_DISJUNCTIVE, k=10,
+        with_url=True, exclude=EXCLUDE_TERMS,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_near_topk(spark, sf_dir):
+    """NEAR (unordered window-8 proximity) top-k from the positional
+    sidecar: all query terms within 8 consecutive token positions,
+    conjunctive BM25 re-rank (plans/near.py)."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
+    from rt_etl_yahoo_search_engine_spark.plans.near import near_topk
+
+    root = _index_for(spark, sf_dir)
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "lang",
+    )
+    build_positions(spark, pages, root, tokenizer="text")  # resumes if built
+    out = near_topk(
+        spark, root, DOC_QUERIES, window=NEAR_WINDOW, k=10, with_url=True
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_snippets(spark, sf_dir):
+    """Query-aware snippets on materialized hits: the 120-char window of
+    the body around the first query-token occurrence
+    (functions/snippet.add_snippets over the fields path)."""
+    from rt_etl_yahoo_search_engine_spark.functions.snippet import add_snippets
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+
+    root = _index_for(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.col("text").alias("body"),
+    )
+    out = add_snippets(
+        spark,
+        topk(spark, root, DOC_QUERIES, k=10, fields=fields),
+        DOC_QUERIES,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "snippet",
+    )
 
 
 def _q_bm25_serve(spark, sf_dir):
@@ -506,9 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_disjunctive": _q_bm25_disj,
         "bm25_topk_conjunctive": _q_bm25_conj,
         "bm25_topk_fields": _q_bm25_fields,
+        "bm25_topk_exclude": _q_bm25_exclude,
+        "bm25_topk_snippets": _q_bm25_snippets,
         "bm25_serve_topk": _q_bm25_serve,
         "phrase_topk": _q_phrase_topk,
         "phrase_topk_positions": _q_phrase_topk_positions,
+        "near_topk": _q_near_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -624,10 +710,26 @@ WHERE rank <= 10
 """
 
 
-def _bm25_sql(mode: str) -> str:
+def _qexcl_values() -> str:
+    rows = []
+    for qid, text in EXCLUDE_TERMS.items():
+        for t in sorted(set(spec.tokenize(text))):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _bm25_sql(mode: str, exclude: bool = False) -> str:
     pred = "TRUE" if mode == "disjunctive" else "s.matched = qn.n_terms"
+    if exclude:
+        pred += """ AND NOT EXISTS (
+            SELECT 1 FROM tf x JOIN qexcl e
+            ON x.term = e.term AND e.query_id = s.query_id
+            WHERE x.doc_id = s.doc_id)"""
+    excl_cte = (
+        f"qexcl(query_id, term) AS (VALUES {_qexcl_values()}),\n" if exclude else ""
+    )
     return f"""
-WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+WITH {excl_cte}qterms(query_id, term) AS (VALUES {_qterms_values()}),
 qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
 docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
          FROM documents WHERE lang = 'en'),
@@ -652,6 +754,105 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
       FROM scored s JOIN qn ON s.query_id = qn.query_id
       WHERE {pred})
 WHERE rank <= 10
+"""
+
+
+def _near_sql() -> str:
+    """Conjunctive BM25 restricted to docs where some window of
+    NEAR_WINDOW consecutive token positions contains every query term —
+    the anchor formulation (a minimal covering window starts at an
+    occurrence), identical to plans/near.py."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score,
+         count(*) AS matched
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+qpos AS (SELECT q.query_id, p.doc_id, p.term, p.p
+         FROM pos p JOIN qterms q USING (term)),
+anchors AS (
+  SELECT a.query_id, a.doc_id
+  FROM qpos a
+  JOIN qpos b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       AND b.p >= a.p AND b.p < a.p + {NEAR_WINDOW}
+  JOIN qn ON qn.query_id = a.query_id
+  GROUP BY a.query_id, a.doc_id, a.p, qn.n_terms
+  HAVING count(DISTINCT b.term) = qn.n_terms),
+matched AS (SELECT DISTINCT query_id, doc_id FROM anchors)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      JOIN qn ON s.query_id = qn.query_id
+      JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+      WHERE s.matched = qn.n_terms)
+WHERE rank <= 10
+"""
+
+
+def _snippet_sql() -> str:
+    """Disjunctive BM25 top-10 + the positional snippet contract of
+    functions/snippet.py: 120 chars from 40 before the first query-token
+    hit in lower(body), head fallback."""
+    qtok_rows = ", ".join(
+        "('{}', [{}])".format(
+            qid,
+            ", ".join(f"'{t}'" for t in sorted(set(spec.tokenize(text)))),
+        )
+        for qid, text in DOC_QUERIES.items()
+    )
+    pos = (
+        "list_min(list_filter(list_transform(qt.toks, "
+        "t -> strpos(lower(d.text), t)), p -> p > 0))"
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+qtok(query_id, toks) AS (VALUES {qtok_rows}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT r.query_id, CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+       ROUND(r.score, 6) AS score,
+       CASE WHEN {pos} IS NULL THEN substring(d.text, 1, 120)
+            ELSE substring(d.text, greatest(1, {pos} - 40), 120) END AS snippet
+FROM ranked r
+JOIN documents d ON d.doc_id = r.doc_id
+JOIN qtok qt ON qt.query_id = r.query_id
+WHERE r.rank <= 10
 """
 
 
@@ -710,8 +911,11 @@ SELECT h.query_id, h.rank, h.doc_id, h.score,
 FROM hits h JOIN documents d USING (doc_id)
         """,
         "bm25_serve_topk": _bm25_sql("disjunctive"),
+        "bm25_topk_exclude": _bm25_sql("disjunctive", exclude=True),
+        "bm25_topk_snippets": _snippet_sql(),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_positions": _phrase_sql(),
+        "near_topk": _near_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -14,6 +14,11 @@ plans.phrase).  Verification uses the positional sidecar when the index has
 a fresh one (build_index.py --positions); otherwise pass --pages, the
 (url, html|text) table whose text the index was built from (--tokenizer
 selects the column, as in the build).
+--near N treats each --query as an unordered proximity query: all terms
+within a window of N token positions (plans.near; requires the sidecar).
+--exclude "term ..." adds minus-terms to EVERY query: docs containing any
+such token are removed BEFORE top-k selection (exact kth).  Supported on
+the default distributed path and --serve; not on --oracle.
 """
 
 from __future__ import annotations
@@ -37,7 +42,12 @@ def main(argv=None) -> int:
     p.add_argument("--oracle", action="store_true")
     p.add_argument("--serve", action="store_true")
     p.add_argument("--phrase", action="store_true",
-                   help="quoted-phrase semantics (requires --pages)")
+                   help="quoted-phrase semantics (sidecar or --pages)")
+    p.add_argument("--near", type=int, default=None, metavar="WINDOW",
+                   help="proximity semantics: all terms within WINDOW "
+                        "token positions (requires the positional sidecar)")
+    p.add_argument("--exclude", default=None,
+                   help="minus-terms applied to every query")
     p.add_argument("--pages", default=None,
                    help="pages parquet for phrase verification")
     p.add_argument("--tokenizer", choices=["html", "text"], default="html",
@@ -54,11 +64,14 @@ def main(argv=None) -> int:
         if args.query
         else spec.REFERENCE_QUERIES
     )
+    exclude = {qid: args.exclude for qid in queries} if args.exclude else None
+    if exclude and (args.oracle or args.phrase or args.near is not None):
+        p.error("--exclude works with the default path and --serve only")
     if args.serve:
         from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
 
         pdf = LocalSearcher(args.index).search_batch(
-            queries, mode=args.mode, k=args.k
+            queries, mode=args.mode, k=args.k, exclude=exclude
         )
         if args.out:
             pdf.to_parquet(args.out)
@@ -92,9 +105,23 @@ def main(argv=None) -> int:
             )
         spark.stop()
         return 0
+    if args.near is not None:
+        from rt_etl_yahoo_search_engine_spark.plans.near import near_topk
+
+        spark = get_spark(app="query-near")
+        out = near_topk(spark, args.index, queries, window=args.near,
+                        k=args.k, with_url=True)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        else:
+            out.orderBy("query_id", "rank").show(
+                args.k * len(queries), truncate=False
+            )
+        spark.stop()
+        return 0
     spark = get_spark(app="query-topk")
     fn = topk_oracle if args.oracle else topk
-    kwargs = {} if args.oracle else {"with_url": True}
+    kwargs = {} if args.oracle else {"with_url": True, "exclude": exclude}
     out = fn(spark, args.index, queries, mode=args.mode, k=args.k, **kwargs)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)

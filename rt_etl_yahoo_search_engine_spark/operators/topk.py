@@ -461,21 +461,48 @@ class BatchScorer:
         self._vec[t] = v
         return v
 
+    def _mask_offsets(self, mask) -> np.ndarray | None:
+        """In-range offsets (doc_id - base) of an excluded-doc-id array
+        (minus-term queries); None when nothing falls in this unit's
+        range — the no-exclusion paths then run byte-identically."""
+        if mask is None or not len(mask) or self._rng <= 0:
+            return None
+        off = np.asarray(mask, dtype=np.int64) - self._base
+        off = off[(off >= 0) & (off < self._rng)]
+        return off if len(off) else None
+
     def _sparse_set(
-        self, terms: list[str], k: int, mode: str, n_terms: int
+        self,
+        terms: list[str],
+        k: int,
+        mode: str,
+        n_terms: int,
+        mask=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         postings = [
             (*self._tdata[t], self._idf[t]) for t in terms if t in self._tdata
         ]
-        hits = self._fallback.topk(postings, k, mode, n_terms)
+        off = self._mask_offsets(mask)
+        # exclusion can remove at most len(off) of the top hits, so
+        # requesting k + len(off) then filtering is exact
+        hits = self._fallback.topk(
+            postings, k + (len(off) if off is not None else 0), mode, n_terms
+        )
         if not hits:
             return empty
         d, s = zip(*hits)
-        return np.array(d, dtype=np.int64), np.array(s, dtype=np.float64)
+        d = np.array(d, dtype=np.int64)
+        s = np.array(s, dtype=np.float64)
+        if off is not None:
+            mb = np.zeros(self._rng, dtype=bool)
+            mb[off] = True
+            keep = ~mb[d - self._base]
+            d, s = d[keep][:k], s[keep][:k]
+        return d, s
 
     def topk_set(
-        self, terms: list[str], k: int, mode: str, n_terms: int
+        self, terms: list[str], k: int, mode: str, n_terms: int, mask=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores) for one term set, (score DESC, doc ASC).
 
@@ -483,6 +510,10 @@ class BatchScorer:
         n_terms conjunctive contract); tokens absent from this unit's
         postings are skipped here (disjunctive) / empty the result
         (conjunctive), exactly as the sparse paths do.
+
+        mask: optional array of EXCLUDED doc_ids (minus-term queries) —
+        those docs are removed before top-k selection, so the kth result
+        is exact, not a post-filtered gap.
         """
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         vecs = []
@@ -492,7 +523,7 @@ class BatchScorer:
                 continue
             v = self._dense_vec(t)
             if v is None:  # over budget: whole set via the sparse path
-                return self._sparse_set(terms, k, mode, n_terms)
+                return self._sparse_set(terms, k, mode, n_terms, mask)
             if v is not self._EMPTY:
                 vecs.append(v)
                 present.append(t)
@@ -501,15 +532,22 @@ class BatchScorer:
         conj = mode == spec.MODE_CONJUNCTIVE
         if conj and len(vecs) < n_terms:
             return empty
+        off = self._mask_offsets(mask)
         v = vecs[0] if len(vecs) == 1 else np.add(vecs[0], vecs[1])
         for w in vecs[2:]:
             v = v + w
         if conj and len(vecs) > 1:
             m = self._presence(present[0])
             for t in present[1:]:
-                m = m & self._presence(t)
+                m = m & self._presence(t)  # fresh array: safe to mutate
+            if off is not None:
+                m[off] = False
             u = np.nonzero(m)[0]
             return self._order(u, v[u], k)
+        if off is not None:
+            if v is vecs[0]:  # single-term: v aliases the cached row
+                v = v.copy()
+            v[off] = 0.0
         n = self._rng
         kth = np.partition(v, n - k)[n - k] if n > k else 0.0
         u = np.nonzero(v >= kth)[0] if kth > 0.0 else np.nonzero(v > 0.0)[0]
@@ -545,7 +583,12 @@ class BatchScorer:
     _F32_MARGIN = 1e-5
 
     def topk_sets(
-        self, sets: list[list[str]], k: int, mode: str, chunk: int = 64
+        self,
+        sets: list[list[str]],
+        k: int,
+        mode: str,
+        chunk: int = 64,
+        masks: list | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Vectorized scoring of MANY term sets against this unit.
 
@@ -572,15 +615,34 @@ class BatchScorer:
         entire batch falls back to per-set topk_set (which is itself
         budget-gated and routes sparse).  n_terms == len(set): the planner
         already dropped conjunctive queries with out-of-corpus tokens.
+
+        masks: optional per-set EXCLUDED doc_id arrays (minus-term
+        queries), parallel to `sets` (None entries = no exclusion).  A
+        masked doc's f32 score row entry is zeroed BEFORE selection; BM25
+        scores are strictly positive, so a masked doc can never become a
+        candidate and the kth survivor is exact.  masks=None (and masks
+        that touch nothing in this unit's range) leave every path
+        byte-identical to the unmasked call.
         """
         out_idx: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_sc: list[np.ndarray] = []
         conj = mode == spec.MODE_CONJUNCTIVE
         k_i = int(k)
+        moffs: dict[int, np.ndarray] = {}
+        if masks is not None:
+            for mi, mk in enumerate(masks):
+                o = self._mask_offsets(mk)
+                if o is not None:
+                    moffs[mi] = o
+            if not moffs:
+                masks = None
 
         def _scalar(i: int, terms: list[str]) -> None:
-            d, s = self.topk_set(terms, k_i, mode, len(terms))
+            d, s = self.topk_set(
+                terms, k_i, mode, len(terms),
+                masks[i] if masks is not None else None,
+            )
             if len(d):
                 out_idx.append(np.full(len(d), i, dtype=np.int32))
                 out_doc.append(d)
@@ -716,6 +778,11 @@ class BatchScorer:
                         M &= A > 0.0
                     np.logical_not(M, out=M)
                     S[M] = np.float32(0.0)
+                if masks is not None:
+                    for ii in range(m2):
+                        off = moffs.get(int(cs[ii]))
+                        if off is not None:
+                            S[ii, off] = np.float32(0.0)
                 # theta: per-row kth-largest TILE max of the f32 scores (a
                 # real f32 element, hence ~the kth f32 score or below); with
                 # <= k tiles fall back to 'all positives' (theta = tiny)

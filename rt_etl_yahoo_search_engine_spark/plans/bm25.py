@@ -127,6 +127,7 @@ def topk(
     k: int = spec.TOP_K_DEFAULT,
     with_url: bool = False,
     fields: DataFrame | None = None,
+    exclude: dict[str, str] | None = None,
     _partials_only: bool = False,
 ) -> DataFrame:
     """Optimized path: compressed postings scored scan-side per (segment,
@@ -137,7 +138,18 @@ def topk(
     returns — ref src/services/daos/extracted_search_results_dao.py:23-63).
     The k x Q hit set is broadcast onto ONE scan of the fields table, so
     materialization never shuffles it; a url with N field rows expands to N
-    result rows, exactly the reference's per-url row group."""
+    result rows, exactly the reference's per-url row group.
+
+    exclude: optional query_id -> minus-term text ("-term" search syntax):
+    docs containing ANY excluded token are removed BEFORE top-k selection
+    (the kth result is exact, not a post-filtered gap).  Scale shape: the
+    excluded terms' postings are decoded by the same scan-side task that
+    scores the shard — each unit holds its own doc range's complete
+    posting lists, so the exclusion doc set is unit-local, never
+    broadcast, never shuffled; the scorer zeroes those slots before
+    selection (operators.topk.BatchScorer masks).  A positive token that
+    is also excluded is simply dead weight (every surviving doc lacks
+    it), which empties conjunctive queries naturally."""
     cat = Catalog(index_root)
     reg = cat.read_registry()
     avgdl = float(reg["avgdl"])
@@ -158,8 +170,15 @@ def topk(
         )
 
     qtoks = {qid: sorted(set(spec.tokenize(text))) for qid, text in queries.items()}
-    all_terms = sorted({t for toks in qtoks.values() for t in toks})
-    if not all_terms:
+    qexcl = {
+        qid: sorted(set(spec.tokenize(text)))
+        for qid, text in (exclude or {}).items()
+    }
+    all_terms = sorted(
+        {t for toks in qtoks.values() for t in toks}
+        | {t for toks in qexcl.values() for t in toks}
+    )
+    if not any(qtoks.values()):
         return empty
     idf = lexicon_idf(cat, reg, all_terms)
     # Distinct-TERM-SET planning: real query logs are head-heavy (the same
@@ -170,7 +189,7 @@ def topk(
     # distinct tokens, so a conjunctive query with an out-of-corpus term
     # correctly returns nothing (and any qualifying conjunctive query has
     # present == its token set, making the canonical key sufficient).
-    setplan: dict[tuple[str, ...], int] = {}
+    setplan: dict[tuple[tuple[str, ...], tuple[str, ...]], int] = {}
     qmap: list[tuple[int, str]] = []  # (set_idx, query_id)
     for qid, toks in qtoks.items():
         present = tuple(t for t in toks if t in idf)
@@ -178,7 +197,11 @@ def topk(
             continue
         if mode == spec.MODE_CONJUNCTIVE and len(present) < len(toks):
             continue
-        sid = setplan.setdefault(present, len(setplan))
+        # exclusion is part of the distinct-set key: same positive terms
+        # with different minus-terms score differently.  Excluded tokens
+        # absent from the lexicon are no-ops (no doc contains them).
+        excl = tuple(t for t in qexcl.get(qid, ()) if t in idf)
+        sid = setplan.setdefault((present, excl), len(setplan))
         qmap.append((sid, qid))
     units = _shard_units(cat, reg, avgdl)
     if not setplan or not units:
@@ -187,17 +210,20 @@ def topk(
     # sets as an ORDERED list: the shuffle key is the set's integer
     # position (4 bytes through the exchange, int window key), mapped back
     # to query ids by the broadcast join after the merge
-    set_terms = [list(terms) for terms in setplan]
-    corpus_terms = sorted({t for terms in setplan for t in terms})
+    set_terms = [list(terms) for terms, _ in setplan]
+    set_excls = [list(excl) for _, excl in setplan]
+    corpus_terms = sorted(
+        {t for terms, excl in setplan for t in (*terms, *excl)}
+    )
     b_plan = spark.sparkContext.broadcast(
-        (set_terms, idf, corpus_terms, mode, k, avgdl)
+        (set_terms, set_excls, idf, corpus_terms, mode, k, avgdl)
     )
 
     def score_units(pdfs):
         import pandas as pd
         import pyarrow.dataset as pds
 
-        sets_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
+        sets_l, excls_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
         for updf in pdfs:
             for path, factor in zip(updf["path"], updf["factor"]):
                 dset = pds.dataset(path)
@@ -225,7 +251,26 @@ def topk(
                     for t, g in bl.groupby("term", sort=True)
                 }
                 scorer = BatchScorer(tdata, idf_l)
-                si, d, s = scorer.topk_sets(sets_l, k_l, mode_l)
+                masks = None
+                if any(excls_l):
+                    import numpy as np
+
+                    # unit-local exclusion doc sets: each unit holds the
+                    # complete posting lists for its own doc range, so the
+                    # minus-terms' doc ids here ARE the excluded docs here
+                    masks = [
+                        (
+                            np.unique(np.concatenate(ids))
+                            if (ids := [
+                                tdata[t][0]
+                                for t in excl
+                                if t in tdata and len(tdata[t][0])
+                            ])
+                            else None
+                        )
+                        for excl in excls_l
+                    ]
+                si, d, s = scorer.topk_sets(sets_l, k_l, mode_l, masks=masks)
                 if not len(si):
                     continue
                 yield pd.DataFrame({"set_idx": si, "doc_id": d, "score": s})

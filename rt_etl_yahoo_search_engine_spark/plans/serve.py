@@ -308,8 +308,14 @@ class LocalSearcher:
         query: str,
         mode: str = spec.MODE_DISJUNCTIVE,
         k: int = spec.TOP_K_DEFAULT,
+        exclude: str | None = None,
     ) -> list[tuple[int, int, float]]:
-        """[(rank, doc_id, score)] under the canonical tie-break."""
+        """[(rank, doc_id, score)] under the canonical tie-break.
+
+        exclude: minus-term text — docs containing ANY of its tokens are
+        removed BEFORE top-k selection (exact kth, same contract as the
+        distributed path's `exclude=`); their postings ride the same
+        term/postings caches as query terms."""
         toks = sorted(set(spec.tokenize(query)))
         n_terms = len(toks)
         if not n_terms:
@@ -318,9 +324,17 @@ class LocalSearcher:
         if not meta or (mode == spec.MODE_CONJUNCTIVE and len(meta) < n_terms):
             return []
         decoded = self._decoded_postings(meta)
+        mask = None
+        if exclude:
+            edec = self._decoded_postings(
+                self._lookup_terms(sorted(set(spec.tokenize(exclude))))
+            )
+            ids = [d[0] for d in edec.values()]
+            if ids:
+                mask = ids[0] if len(ids) == 1 else np.unique(np.concatenate(ids))
         # ascending term order == the distributed path's accumulation order
         # -> identical float score per doc
-        d, s = self._scorer.topk_set(sorted(decoded), k, mode, n_terms)
+        d, s = self._scorer.topk_set(sorted(decoded), k, mode, n_terms, mask)
         return [
             (r + 1, doc, score)
             for r, (doc, score) in enumerate(zip(d.tolist(), s.tolist()))
@@ -350,11 +364,16 @@ class LocalSearcher:
         mode: str = spec.MODE_DISJUNCTIVE,
         k: int = spec.TOP_K_DEFAULT,
         with_url: bool = False,
+        exclude: dict[str, str] | None = None,
     ) -> pd.DataFrame:
-        """(query_id, rank, doc_id[, url], score) rows for a whole query dict."""
+        """(query_id, rank, doc_id[, url], score) rows for a whole query dict.
+
+        exclude: optional query_id -> minus-term text (see search())."""
         qids, ranks, docs, scores = [], [], [], []
         for qid, text in queries.items():
-            for rank, doc_id, score in self.search(text, mode=mode, k=k):
+            for rank, doc_id, score in self.search(
+                text, mode=mode, k=k, exclude=(exclude or {}).get(qid)
+            ):
                 qids.append(qid)
                 ranks.append(rank)
                 docs.append(doc_id)
