@@ -53,6 +53,16 @@ EXCLUDE_TERMS = {
 # Unordered-proximity window (tokens) for the NEAR entry.
 NEAR_WINDOW = 8
 
+# Unified search-syntax queries (plans/search.py): plain terms + quoted
+# phrases + minus-terms + minus-phrases, over the documents table.
+SEARCH_QUERIES = {
+    "s1": 'scan "join column"',
+    "s2": '"table hash" -window',
+    "s3": "join column -hash",
+    "s4": 'filter -"join column"',
+    "s5": '"join column" "table hash"',
+}
+
 # Quoted-phrase queries for the documents table: two common bigrams, two
 # sparse trigrams (present at sf >= 0.01), and a control whose second token
 # is out-of-corpus (must return nothing).
@@ -236,6 +246,32 @@ def _q_near_topk(spark, sf_dir):
     out = near_topk(
         spark, root, DOC_QUERIES, window=NEAR_WINDOW, k=10, with_url=True
     )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_search_topk(spark, sf_dir):
+    """Unified search syntax (plans/search.py): plain terms score BM25,
+    quoted phrases are required (positional verify), minus-terms and
+    minus-phrases exclude — one composition of the engine's primitives,
+    nothing rescored."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
+    from rt_etl_yahoo_search_engine_spark.plans.search import search_topk
+
+    root = _index_for(spark, sf_dir)
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "lang",
+    )
+    build_positions(spark, pages, root, tokenizer="text")  # resumes if built
+    out = search_topk(spark, root, SEARCH_QUERIES, k=10, with_url=True)
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
@@ -595,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase_topk,
         "phrase_topk_positions": _q_phrase_topk_positions,
         "near_topk": _q_near_topk,
+        "search_syntax_topk": _q_search_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -753,6 +790,63 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
                                 ORDER BY s.score DESC, s.doc_id ASC) AS rank
       FROM scored s JOIN qn ON s.query_id = qn.query_id
       WHERE {pred})
+WHERE rank <= 10
+"""
+
+
+def _search_sql() -> str:
+    """Disjunctive BM25 over each query's positive tokens, restricted by
+    required/excluded needles (token-string containment, as _phrase_sql)
+    and excluded terms — the exact semantics of plans/search.search_topk."""
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_needle
+    from rt_etl_yahoo_search_engine_spark.plans.search import parse_query
+
+    qt, req, neg, qx = [], [], [], []
+    for qid, text in SEARCH_QUERIES.items():
+        p = parse_query(text)
+        for t in p.positive_tokens:
+            qt.append(f"('{qid}', '{t}')")
+        for ph in p.phrases:
+            req.append(f"('{qid}', '{phrase_needle(ph)}')")
+        for ph in p.neg_phrases:
+            neg.append(f"('{qid}', '{phrase_needle(ph)}')")
+        for t in sorted(set(p.neg_terms)):
+            qx.append(f"('{qid}', '{t}')")
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt)}),
+qreq(query_id, needle) AS (VALUES {", ".join(req)}),
+qneg(query_id, needle) AS (VALUES {", ".join(neg)}),
+qx(query_id, term) AS (VALUES {", ".join(qx)}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+seqs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS seq FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN seqs ON seqs.doc_id = s.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM qreq r
+                        WHERE r.query_id = s.query_id
+                          AND NOT contains(seqs.seq, r.needle))
+        AND NOT EXISTS (SELECT 1 FROM qneg n
+                        WHERE n.query_id = s.query_id
+                          AND contains(seqs.seq, n.needle))
+        AND NOT EXISTS (SELECT 1 FROM tf x JOIN qx e
+                        ON x.term = e.term AND e.query_id = s.query_id
+                        WHERE x.doc_id = s.doc_id))
 WHERE rank <= 10
 """
 
@@ -916,6 +1010,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "phrase_topk": _phrase_sql(),
         "phrase_topk_positions": _phrase_sql(),
         "near_topk": _near_sql(),
+        "search_syntax_topk": _search_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

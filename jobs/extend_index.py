@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--allow-duplicate", action="store_true",
                    help="re-append even if (path, doc count) matches the "
                         "last committed segment")
+    p.add_argument("--positions", action="store_true",
+                   help="also catch the positional sidecar up to the "
+                        "extended corpus (incremental, O(delta docs))")
     args = p.parse_args(argv)
 
     from rt_etl_yahoo_search_engine_spark.operators.index_build import extend_index
@@ -42,6 +45,12 @@ def main(argv=None) -> int:
         tokenizer=args.tokenizer, url_ordered=args.url_ordered,
         allow_duplicate=args.allow_duplicate,
     )
+    if args.positions:
+        from rt_etl_yahoo_search_engine_spark.operators.positions import (
+            extend_positions,
+        )
+
+        extend_positions(spark, args.pages, args.index, tokenizer=args.tokenizer)
     reg = cat.read_registry()
     print(json.dumps({
         "version": reg["version"],

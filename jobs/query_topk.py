@@ -16,6 +16,10 @@ a fresh one (build_index.py --positions); otherwise pass --pages, the
 selects the column, as in the build).
 --near N treats each --query as an unordered proximity query: all terms
 within a window of N token positions (plans.near; requires the sidecar).
+Both --phrase and --near combine with --serve (LocalSearcher.search_phrase
+/ .search_near — no Spark job, rank-identical to the distributed paths).
+--search enables the unified syntax per --query — plain terms, "quoted
+phrases", -minus-terms, -"minus phrases" (plans.search).
 --exclude "term ..." adds minus-terms to EVERY query: docs containing any
 such token are removed BEFORE top-k selection (exact kth).  Supported on
 the default distributed path and --serve; not on --oracle.
@@ -48,6 +52,10 @@ def main(argv=None) -> int:
                         "token positions (requires the positional sidecar)")
     p.add_argument("--exclude", default=None,
                    help="minus-terms applied to every query")
+    p.add_argument("--search", action="store_true",
+                   help="unified search syntax per --query: plain terms, "
+                        "\"quoted phrases\", -minus-terms, -\"minus "
+                        "phrases\" (plans.search; phrases need the sidecar)")
     p.add_argument("--pages", default=None,
                    help="pages parquet for phrase verification")
     p.add_argument("--tokenizer", choices=["html", "text"], default="html",
@@ -65,14 +73,34 @@ def main(argv=None) -> int:
         else spec.REFERENCE_QUERIES
     )
     exclude = {qid: args.exclude for qid in queries} if args.exclude else None
-    if exclude and (args.oracle or args.phrase or args.near is not None):
-        p.error("--exclude works with the default path and --serve only")
+    if exclude and (args.oracle or args.phrase or args.near is not None
+                    or args.search):
+        p.error("--exclude works with the default path and --serve only "
+                "(--search has its own -term syntax)")
     if args.serve:
         from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
 
-        pdf = LocalSearcher(args.index).search_batch(
-            queries, mode=args.mode, k=args.k, exclude=exclude
-        )
+        searcher = LocalSearcher(args.index)
+        if args.phrase or args.search or args.near is not None:
+            # low-latency positional paths (sidecar required for phrases)
+            import pandas as pd
+
+            rows = []
+            for qid, text in queries.items():
+                if args.phrase:
+                    hits = searcher.search_phrase(text, k=args.k)
+                elif args.search:
+                    hits = searcher.search_query(text, mode=args.mode, k=args.k)
+                else:
+                    hits = searcher.search_near(text, window=args.near, k=args.k)
+                rows.extend((qid, r, d, s) for r, d, s in hits)
+            pdf = pd.DataFrame(
+                rows, columns=["query_id", "rank", "doc_id", "score"]
+            )
+        else:
+            pdf = searcher.search_batch(
+                queries, mode=args.mode, k=args.k, exclude=exclude
+            )
         if args.out:
             pdf.to_parquet(args.out)
         else:
@@ -96,6 +124,20 @@ def main(argv=None) -> int:
         # verify="auto": positional sidecar when fresh, else the text scan
         # (which then requires --pages)
         out = phrase_topk(spark, args.index, queries, docs_text,
+                          k=args.k, with_url=True)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        else:
+            out.orderBy("query_id", "rank").show(
+                args.k * len(queries), truncate=False
+            )
+        spark.stop()
+        return 0
+    if args.search:
+        from rt_etl_yahoo_search_engine_spark.plans.search import search_topk
+
+        spark = get_spark(app="query-search")
+        out = search_topk(spark, args.index, queries, mode=args.mode,
                           k=args.k, with_url=True)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)

@@ -1209,8 +1209,14 @@ def extend_index(
                   lex_name)
         cat.append_manifest([_mrow(pfx + "lexicon", build_time_s=time.time() - t0)])
 
-    # atomic visibility commit: the registry rename IS the extension commit
+    # atomic visibility commit: the registry rename IS the extension commit.
+    # {**reg, ...}: keys this function doesn't own (e.g. the positional
+    # sidecar's positions_dirs/positions_n_docs) must SURVIVE the commit —
+    # the sidecar becomes stale (covered count < new n_docs), which its
+    # readers detect and extend_positions repairs; dropping the keys would
+    # silently lose the sidecar instead
     reg_new = {
+        **reg,
         "version": ver,
         "n_docs": n_new,
         "sum_dl": sum_new,
@@ -1333,7 +1339,10 @@ def compact_index(
 
     old_seg_dirs = [s["dir"] for s in reg["segments"]]
     old_lex_dir = reg["lexicon_dir"]
+    # {**reg, ...}: preserve keys compaction doesn't own — the positional
+    # sidecar stays VALID across compaction (doc ids are unchanged)
     reg_new = {
+        **reg,
         "version": ver,
         "n_docs": n_docs,
         "sum_dl": reg["sum_dl"],

@@ -235,6 +235,11 @@ class LocalSearcher:
         self._scorer = BatchScorer(
             self._postings_cache, self._idf, doc_range=(0, self.n_docs)
         )
+        # positional sidecar (phrase / NEAR): datasets opened lazily on the
+        # first positional query; per-term {doc -> positions} maps cached
+        # like postings (immutable once built)
+        self._pos_ds = None
+        self._positions_cache: dict[str, dict[int, np.ndarray]] = {}
 
     # -- lexicon ---------------------------------------------------------
 
@@ -300,6 +305,169 @@ class LocalSearcher:
         return {
             t: d for t in term_meta if len((d := self._postings_cache[t])[0])
         }
+
+    # -- positions (phrase / NEAR) -----------------------------------------
+
+    def _positions_maps(self, terms: list[str]) -> dict[str, dict[int, np.ndarray]]:
+        """term -> {doc_id -> positions array} from the positional sidecar
+        (operators/positions.py), term-isin pruned pyarrow reads across all
+        sidecar directories, cached per term.  Raises the sidecar's
+        absent/stale errors (same contract as the distributed read)."""
+        missing = sorted(t for t in terms if t not in self._positions_cache)
+        if missing:
+            if self._pos_ds is None:
+                cat = Catalog(self.root)
+                reg = cat.read_registry()
+                dirs = reg.get("positions_dirs") or (
+                    [reg["positions_dir"]] if reg.get("positions_dir") else None
+                )
+                if not dirs:
+                    raise ValueError(
+                        f"index {self.root} has no positional sidecar; run "
+                        "build_positions (jobs/build_index.py --positions)"
+                    )
+                if int(reg.get("positions_n_docs", -1)) != self.n_docs:
+                    raise ValueError(
+                        "positional sidecar is stale: run extend_positions "
+                        "(or build_positions) after extending the index"
+                    )
+                self._pos_ds = [self._ds.dataset(cat.path(d)) for d in dirs]
+            found: dict[str, dict[int, np.ndarray]] = {t: {} for t in missing}
+            for d in self._pos_ds:
+                tbl = d.to_table(
+                    columns=["term", "doc_id", "positions"],
+                    filter=self._ds.field("term").isin(missing),
+                )
+                for t, doc, ps in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("doc_id").to_pylist(),
+                    tbl.column("positions").to_pylist(),
+                ):
+                    found[t][doc] = np.asarray(ps, dtype=np.int64)
+            self._positions_cache.update(found)
+        return {t: self._positions_cache.get(t, {}) for t in terms}
+
+    @staticmethod
+    def _doc_contains_phrase(posmap, toks: list[str], doc: int) -> bool:
+        """Containment by shifted-position intersection: occurrence i of
+        the phrase matches at start p iff p+i in positions(t_i)."""
+        starts = None
+        for i, t in enumerate(toks):
+            arr = posmap.get(t, {}).get(doc)
+            if arr is None:
+                return False
+            s = arr - i
+            starts = s if starts is None else np.intersect1d(
+                starts, s, assume_unique=True
+            )
+            if not len(starts):
+                return False
+        return True
+
+    def search_phrase(
+        self, phrase: str, k: int = spec.TOP_K_DEFAULT
+    ) -> list[tuple[int, int, float]]:
+        """Quoted-phrase top-k, rank-identical to plans/phrase.phrase_topk
+        (verify="positions"): conjunctive full-match candidates with exact
+        BM25 scores, positional containment verify."""
+        toks = spec.tokenize(phrase)  # ordered, duplicates kept
+        if not toks:
+            return []
+        hits = self.search(
+            " ".join(sorted(set(toks))), mode=spec.MODE_CONJUNCTIVE,
+            k=self.n_docs,
+        )
+        if not hits:
+            return []
+        posmap = self._positions_maps(sorted(set(toks)))
+        out = []
+        for _, doc, score in hits:  # already (score DESC, doc ASC)
+            if self._doc_contains_phrase(posmap, toks, doc):
+                out.append((doc, score))
+                if len(out) == k:
+                    break
+        return [(r + 1, d, s) for r, (d, s) in enumerate(out)]
+
+    def search_query(
+        self,
+        text: str,
+        mode: str = spec.MODE_DISJUNCTIVE,
+        k: int = spec.TOP_K_DEFAULT,
+    ) -> list[tuple[int, int, float]]:
+        """Unified search syntax (plans/search.py semantics), serve-side:
+        plain terms score BM25 under `mode`, "quoted phrases" are required
+        (positional verify), -terms exclude via the scorer mask, -"quoted
+        phrases" exclude via the same verify.  Rank-identical to
+        plans/search.search_topk."""
+        from .search import parse_query
+
+        p = parse_query(text)
+        pos = p.positive_tokens
+        if not pos:
+            return []
+        need_verify = bool(p.phrases or p.neg_phrases)
+        hits = self.search(
+            " ".join(pos), mode=mode,
+            k=self.n_docs if need_verify else k,
+            exclude=" ".join(p.neg_terms) or None,
+        )
+        if not hits or not need_verify:
+            return hits[:k]
+        ph_toks = [spec.tokenize(ph) for ph in p.phrases]
+        neg_toks = [spec.tokenize(ph) for ph in p.neg_phrases]
+        posmap = self._positions_maps(
+            sorted({t for toks in ph_toks + neg_toks for t in toks})
+        )
+        out = []
+        for _, doc, score in hits:
+            if all(self._doc_contains_phrase(posmap, t, doc) for t in ph_toks) \
+               and not any(
+                   self._doc_contains_phrase(posmap, t, doc) for t in neg_toks
+               ):
+                out.append((doc, score))
+                if len(out) == k:
+                    break
+        return [(r + 1, d, s) for r, (d, s) in enumerate(out)]
+
+    def search_near(
+        self, query: str, window: int = 8, k: int = spec.TOP_K_DEFAULT
+    ) -> list[tuple[int, int, float]]:
+        """NEAR top-k, rank-identical to plans/near.near_topk: all query
+        terms within `window` consecutive token positions (anchor rule —
+        a covering window starts at an occurrence)."""
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        terms = sorted(set(spec.tokenize(query)))
+        if not terms:
+            return []
+        hits = self.search(
+            " ".join(terms), mode=spec.MODE_CONJUNCTIVE, k=self.n_docs
+        )
+        if not hits:
+            return []
+        posmap = self._positions_maps(terms)
+        out = []
+        for _, doc, score in hits:
+            arrs = [posmap[t].get(doc) for t in terms]
+            if any(a is None for a in arrs):
+                continue
+            anchors = arrs[0] if len(arrs) == 1 else np.unique(
+                np.concatenate(arrs)
+            )
+            ok = False
+            for a in anchors.tolist():
+                if all(
+                    (j := np.searchsorted(arr, a)) < len(arr)
+                    and arr[j] < a + window
+                    for arr in arrs
+                ):
+                    ok = True
+                    break
+            if ok:
+                out.append((doc, score))
+                if len(out) == k:
+                    break
+        return [(r + 1, d, s) for r, (d, s) in enumerate(out)]
 
     # -- query -------------------------------------------------------------
 
