@@ -53,7 +53,20 @@ WEBTEXT_DOCS_PER_SF = 120_000  # sf0.1 -> 12,000 html pages
 # leg job), and a --phrase branch in jobs/query_topk.py (legs don't run
 # jobs/); backed by a same-session rep at 23c0dc3 landing inside the
 # a192007 leg range recorded minutes earlier.  Maps old rev -> canonical.
-JOB_EQUIV_REVS = {"85b58ce": "23c0dc3", "a192007": "23c0dc3"}
+# ed00ce5 (NEAR/exclude/snippets) and 1f4cdea (search syntax, sidecar
+# extension, serve positional) touch bm25.py/topk.py only on paths the leg
+# job passes through with defaults (exclude=None -> masks=None, identical
+# arithmetic); equivalence verified with interleaved A/B pairs in BOTH leg
+# orders (HEAD-first 2026-08-18: ed00ce5 min 4-cpu query 40.92 s vs
+# 23c0dc3 40.85 s; 23c0dc3-first 2026-08-19: 1f4cdea min query 42.30 s vs
+# 23c0dc3 44.34 s, builds 107.3/99.6 vs 100.9/99.7 — no drift in either
+# leg order).  c8110b2 stays UNPOOLED: its one A/B was ordering-confounded.
+JOB_EQUIV_REVS = {
+    "85b58ce": "23c0dc3",
+    "a192007": "23c0dc3",
+    "ed00ce5": "23c0dc3",
+    "1f4cdea": "23c0dc3",
+}
 
 
 def _canon_rev(rev: str) -> str:

@@ -62,6 +62,7 @@ point-in-time jobs-ledger recovery pattern
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections.abc import Iterator
 
@@ -275,9 +276,12 @@ def build_docmap(pages: DataFrame, num_partitions: int, offset: int = 0) -> Data
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    # empty input (e.g. a fully-filtered streaming micro-batch): create_map()
+    # with no entries is the VOID type and fails analysis; the placeholder
+    # entry is never evaluated because there are no rows
     offset_map = F.create_map(
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
-    )
+    ) if offsets else F.create_map(F.lit(0), F.lit(0))
     w = Window.partitionBy("pid").orderBy("url")
     docmap = urls.select(
         (F.row_number().over(w) - 1 + offset_map[F.col("pid")] + F.lit(offset))
@@ -955,6 +959,46 @@ def lexicon_from_blocks(blocks: DataFrame, n_docs: int, n_buckets: int) -> DataF
 # --- incremental extension (segment append) ----------------------------------
 
 
+def init_index(
+    spark: SparkSession, index_root: str, n_shards: int = 8, n_buckets: int = 16
+) -> Catalog:
+    """Create a valid EMPTY index: the base for purely-incremental ingestion
+    (streaming/index_stream.py — every micro-batch is an extend_index, so
+    one idempotence mechanism covers bootstrap and steady state alike).
+
+    The empty index is a real index, not a marker: queries against it
+    return no rows (empty lexicon -> no resolvable terms; empty segment
+    list -> no scan units), and the first extension appends segment 1
+    exactly as it would onto a batch-built base.  Idempotent: an existing
+    index (stats.json present) is returned untouched, so a restarted
+    stream never clobbers data.  Write order commits stats.json LAST —
+    the existence check's target — so a crash mid-init re-runs all three
+    overwrite-idempotent writes."""
+    cat = Catalog(index_root)
+    if os.path.exists(os.path.join(index_root, "stats.json")):
+        return cat
+    cat.write(
+        spark.createDataFrame(
+            [], "term string, df long, cf long, n_blocks int, idf double, bucket int"
+        ).repartition(1),
+        "lexicon",
+    )
+    cat.write_registry(
+        {
+            "version": 0,
+            "n_docs": 0,
+            "sum_dl": 0,
+            "avgdl": 0.0,
+            "lexicon_dir": "lexicon",
+            "segments": [],
+            "docmap_dirs": [],
+            "token_dirs": [],
+        }
+    )
+    _write_stats(cat, {"n": 0, "sum_dl": 0}, n_shards, n_buckets)
+    return cat
+
+
 def extend_index(
     spark: SparkSession,
     new_pages_path,
@@ -962,6 +1006,7 @@ def extend_index(
     tokenizer: str = "html",
     url_ordered: bool = False,
     allow_duplicate: bool = False,
+    source_id: str | None = None,
 ) -> Catalog:
     """Append new documents to an existing index WITHOUT rebuilding it.
 
@@ -1002,6 +1047,13 @@ def extend_index(
     """
     cat = Catalog(index_root)
     reg = cat.read_registry()
+    # exactly-once replay guard: a streaming foreachBatch replays the last
+    # unacknowledged micro-batch with the SAME source_id (epoch id); if its
+    # extension already committed, the replay is a no-op — this upgrades
+    # the at-least-once contract to exactly-once for sources that can name
+    # their batches (streaming/index_stream.py)
+    if source_id is not None and reg.get("last_source_id") == source_id:
+        return cat
     stats = cat.read_stats()
     n_shards, n_buckets = stats["n_shards"], stats["n_buckets"]
     ver = reg["version"] + 1
@@ -1019,7 +1071,7 @@ def extend_index(
 
     # duplicate-rerun guard: cheap (path compare first; one count job only
     # when the path matches the last committed segment's)
-    if isinstance(new_pages_path, str) and not allow_duplicate:
+    if isinstance(new_pages_path, str) and not allow_duplicate and reg["segments"]:
         last_src = (reg["segments"][-1] or {}).get("source") or {}
         if last_src.get("path") == new_pages_path:
             n_now = pages.count()
@@ -1126,6 +1178,16 @@ def extend_index(
     )
     n_delta, sum_delta = int(agg["n"]), int(agg["sum_dl"] or 0)
     if n_delta == 0:
+        # burn this version number: the (empty) docmap/tokens manifest rows
+        # appended above would otherwise be RESUMED INTO by the next,
+        # non-empty extension at the same version — which would skip its
+        # docmap/tokens stages against the empty dirs and silently drop the
+        # new documents.  Advancing the version (segments unchanged) makes
+        # the poisoned rows unreachable; queries see no difference.
+        burn = {**reg, "version": ver}
+        if source_id is not None:
+            burn["last_source_id"] = source_id
+        cat.write_registry(burn)
         return cat
     n_new = n_base + n_delta
     sum_new = reg["sum_dl"] + sum_delta
@@ -1232,12 +1294,15 @@ def extend_index(
                     if isinstance(new_pages_path, str)
                     else None,
                     "n_docs": n_delta,
+                    "source_id": source_id,
                 },
             }
         ],
         "docmap_dirs": reg.get("docmap_dirs", ["docmap"]) + [dm_name],
         "token_dirs": reg.get("token_dirs", ["tokens"]) + [tok_name],
     }
+    if source_id is not None:
+        reg_new["last_source_id"] = source_id
     cat.write_registry(reg_new)
     cat.append_manifest(
         [_mrow(pfx + "commit", doc_count=n_delta, build_time_s=0.0)]
