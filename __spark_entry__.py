@@ -63,6 +63,17 @@ SEARCH_QUERIES = {
     "s5": '"join column" "table hash"',
 }
 
+# Prefix-operator search queries (plans/search.py `wor*` syntax): a wide
+# expansion (s* -> 6 corpus terms), a narrow one, a prefix beside a required
+# phrase, an EXCLUDED family, and a void prefix beside a plain term.
+PREFIX_QUERIES = {
+    "x1": "s* filter",
+    "x2": "da* -dup",
+    "x3": 'qu* "join column"',
+    "x4": "join -s*",
+    "x5": "zzznope* table",
+}
+
 # Quoted-phrase queries for the documents table: two common bigrams, two
 # sparse trigrams (present at sf >= 0.01), and a control whose second token
 # is out-of-corpus (must return nothing).
@@ -272,6 +283,33 @@ def _q_search_topk(spark, sf_dir):
     )
     build_positions(spark, pages, root, tokenizer="text")  # resumes if built
     out = search_topk(spark, root, SEARCH_QUERIES, k=10, with_url=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_search_prefix_topk(spark, sf_dir):
+    """Prefix operator (`wor*`): each prefix expands to the matching corpus
+    terms via a lexicon range read (plans/bm25.expand_prefix) and scores as
+    ordinary disjunctive contributions; `-wor*` excludes the family
+    (plans/search.search_topk, max_expand=None so the oracle's LIKE
+    expansion is the same set)."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
+    from rt_etl_yahoo_search_engine_spark.plans.search import search_topk
+
+    root = _index_for(spark, sf_dir)
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "lang",
+    )
+    build_positions(spark, pages, root, tokenizer="text")  # resumes if built
+    out = search_topk(spark, root, PREFIX_QUERIES, k=10, with_url=True)
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
@@ -632,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positions": _q_phrase_topk_positions,
         "near_topk": _q_near_topk,
         "search_syntax_topk": _q_search_topk,
+        "search_prefix_topk": _q_search_prefix_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -851,6 +890,83 @@ WHERE rank <= 10
 """
 
 
+def _search_prefix_sql() -> str:
+    """_search_sql plus the prefix operator: each `wor*` expands to the
+    vocabulary terms LIKE 'wor%' (exactly plans/bm25.expand_prefix's range
+    read with max_expand=None), union'd into the positive term set;
+    `-wor*` expands into the excluded set.  Empty operator groups get a
+    placeholder row whose query_id '' matches nothing."""
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_needle
+    from rt_etl_yahoo_search_engine_spark.plans.search import parse_query
+
+    qt, qp, req, neg, qx, qxp = [], [], [], [], [], []
+    for qid, text in PREFIX_QUERIES.items():
+        p = parse_query(text)
+        for t in p.positive_tokens:
+            qt.append(f"('{qid}', '{t}')")
+        for pre in sorted(set(p.prefixes)):
+            qp.append(f"('{qid}', '{pre}')")
+        for ph in p.phrases:
+            req.append(f"('{qid}', '{phrase_needle(ph)}')")
+        for ph in p.neg_phrases:
+            neg.append(f"('{qid}', '{phrase_needle(ph)}')")
+        for t in sorted(set(p.neg_terms)):
+            qx.append(f"('{qid}', '{t}')")
+        for pre in sorted(set(p.neg_prefixes)):
+            qxp.append(f"('{qid}', '{pre}')")
+
+    def vals(rows):
+        return ", ".join(rows) if rows else "('', '')"
+
+    return f"""
+WITH qplain(query_id, term) AS (VALUES {vals(qt)}),
+qpre(query_id, prefix) AS (VALUES {vals(qp)}),
+qreq(query_id, needle) AS (VALUES {vals(req)}),
+qneg(query_id, needle) AS (VALUES {vals(neg)}),
+qxplain(query_id, term) AS (VALUES {vals(qx)}),
+qxpre(query_id, prefix) AS (VALUES {vals(qxp)}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+seqs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS seq FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT query_id, term FROM qplain WHERE query_id <> ''
+           UNION
+           SELECT q.query_id, l.term FROM qpre q JOIN lex l
+           ON l.term LIKE q.prefix || '%' WHERE q.query_id <> ''),
+qx AS (SELECT query_id, term FROM qxplain WHERE query_id <> ''
+       UNION
+       SELECT q.query_id, l.term FROM qxpre q JOIN lex l
+       ON l.term LIKE q.prefix || '%' WHERE q.query_id <> ''),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN seqs ON seqs.doc_id = s.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM qreq r
+                        WHERE r.query_id = s.query_id
+                          AND NOT contains(seqs.seq, r.needle))
+        AND NOT EXISTS (SELECT 1 FROM qneg n
+                        WHERE n.query_id = s.query_id
+                          AND contains(seqs.seq, n.needle))
+        AND NOT EXISTS (SELECT 1 FROM tf x JOIN qx e
+                        ON x.term = e.term AND e.query_id = s.query_id
+                        WHERE x.doc_id = s.doc_id))
+WHERE rank <= 10
+"""
+
+
 def _near_sql() -> str:
     """Conjunctive BM25 restricted to docs where some window of
     NEAR_WINDOW consecutive token positions contains every query term —
@@ -1011,6 +1127,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "phrase_topk_positions": _phrase_sql(),
         "near_topk": _near_sql(),
         "search_syntax_topk": _search_sql(),
+        "search_prefix_topk": _search_prefix_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

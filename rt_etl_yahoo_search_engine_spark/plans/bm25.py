@@ -105,6 +105,33 @@ def lexicon_idf(cat: Catalog, reg: dict, terms: list[str]) -> dict[str, float]:
     }
 
 
+def expand_prefix(
+    cat: Catalog, reg: dict, prefix: str, max_expand: int | None = None
+) -> list[str]:
+    """Corpus terms matching `prefix` (the `pre*` search operator), from the
+    lexicon via a driver-side pyarrow RANGE read [prefix, prefix+0x7f) —
+    terms are [a-z0-9]+ so the half-open ASCII bound is exact, and the
+    term-sorted lexicon files make it a few row groups regardless of vocab
+    size (the same economics as lexicon_idf's isin lookup).  max_expand
+    keeps the highest-df expansions (deterministic df-desc, term-asc
+    tie-break) — the production cap against hostile one-letter prefixes;
+    None expands fully (oracle-checkable)."""
+    import pyarrow.dataset as ds
+
+    lex = ds.dataset(cat.path(reg["lexicon_dir"]))
+    tbl = lex.to_table(
+        columns=["term", "df"],
+        filter=(ds.field("term") >= prefix) & (ds.field("term") < prefix + "\x7f"),
+    )
+    pairs = sorted(
+        zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()),
+        key=lambda p: (-p[1], p[0]),
+    )
+    if max_expand is not None:
+        pairs = pairs[:max_expand]
+    return sorted(t for t, _ in pairs)
+
+
 def _shard_units(cat: Catalog, reg: dict, avgdl: float) -> list[tuple[str, float]]:
     """(shard directory, bound factor) per (segment, shard) — metadata-scale
     (one entry per doc-range shard; the dir list is the driver's only

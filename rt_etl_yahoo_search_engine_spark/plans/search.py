@@ -5,13 +5,16 @@ src/router.py:91-127); real search boxes carry operators.  This plan
 parses the classic syntax and composes the engine's existing primitives —
 nothing here rescans or rescores:
 
-    scan "join column" -filter -"table hash"
+    scan "join column" -filter -"table hash" quer*
 
   * plain terms        -> BM25 contribution (mode-controlled matching)
   * "quoted phrase"    -> doc must contain the phrase (positional verify)
   * -term              -> doc must not contain the term (scorer mask,
                           applied BEFORE top-k: plans/bm25.topk(exclude=))
   * -"quoted phrase"   -> doc must not contain the phrase
+  * wor*               -> prefix: expands to the matching corpus terms
+                          (lexicon range read), each scoring disjunctively
+  * -wor*              -> the whole matching family is excluded
 
 Scoring: BM25 over ALL positive tokens (plain + required-phrase tokens) —
 a doc matching the phrase scores its words too, exactly what a user
@@ -48,6 +51,8 @@ class ParsedQuery:
     phrases: list[str] = field(default_factory=list)   # required, verbatim
     neg_phrases: list[str] = field(default_factory=list)
     neg_terms: list[str] = field(default_factory=list)
+    prefixes: list[str] = field(default_factory=list)      # trailing-* stems
+    neg_prefixes: list[str] = field(default_factory=list)  # -stem*
 
     @property
     def positive_tokens(self) -> list[str]:
@@ -60,7 +65,10 @@ class ParsedQuery:
 def parse_query(text: str) -> ParsedQuery:
     """Parse the search syntax (module docstring).  Quoting wins over
     minus-splitting; a quoted group with no tokens is dropped; a bare '-'
-    is ignored."""
+    is ignored.  A word ending in `*` is a PREFIX term (`wor*` matches
+    every corpus term starting with "wor"); `-wor*` excludes the whole
+    family.  A multi-token star word keeps its leading tokens plain and
+    the last becomes the prefix."""
     q = ParsedQuery()
 
     def _neg(m: re.Match) -> str:
@@ -75,10 +83,20 @@ def parse_query(text: str) -> ParsedQuery:
 
     rest = _QUOTED.sub(_pos, _NEG_QUOTED.sub(_neg, text))
     for w in rest.split():
-        if w.startswith("-"):
-            q.neg_terms.extend(spec.tokenize(w[1:]))
+        neg = w.startswith("-")
+        body = w[1:] if neg else w
+        star = body.endswith("*")
+        toks = spec.tokenize(body[:-1] if star else body)
+        if not toks:
+            continue
+        terms, prefixes = (
+            (q.neg_terms, q.neg_prefixes) if neg else (q.terms, q.prefixes)
+        )
+        if star:
+            prefixes.append(toks[-1])
+            terms.extend(toks[:-1])
         else:
-            q.terms.extend(spec.tokenize(w))
+            terms.extend(toks)
     return q
 
 
@@ -89,24 +107,65 @@ def search_topk(
     mode: str = spec.MODE_DISJUNCTIVE,
     k: int = spec.TOP_K_DEFAULT,
     with_url: bool = False,
+    max_expand: int | None = None,
 ) -> DataFrame:
     """Top-k for search-syntax queries (module docstring).
 
     mode applies to the PLAIN terms ("should" vs "must"); phrase tokens
     are implicitly required via the phrase constraint itself.  A query
     with no positive tokens (pure negation) returns no rows.
+
+    Prefix terms (`wor*`) expand to the matching corpus terms
+    (bm25.expand_prefix: a driver-side lexicon range read, capped at
+    max_expand highest-df terms when set) and score as ordinary
+    disjunctive contributions; `-wor*` excludes the whole family.
+    Positive prefixes are inherently "match ANY expansion", so they are
+    rejected under conjunctive mode rather than silently requiring every
+    expansion.
     """
     parsed = {qid: parse_query(text) for qid, text in queries.items()}
-    live = {qid: p for qid, p in parsed.items() if p.positive_tokens}
+    live = {
+        qid: p for qid, p in parsed.items() if p.positive_tokens or p.prefixes
+    }
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, score double"
         + (", url string" if with_url else ""),
     )
     if not live:
         return empty
+    if mode == spec.MODE_CONJUNCTIVE and any(p.prefixes for p in live.values()):
+        raise ValueError(
+            "prefix terms (`wor*`) are any-of by definition and require "
+            "disjunctive mode"
+        )
+
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    n_docs = int(reg["n_docs"])
+    # one lexicon range read per DISTINCT prefix across the batch
+    all_pre = sorted(
+        {pre for p in live.values() for pre in (*p.prefixes, *p.neg_prefixes)}
+    )
+    exp = {pre: bm25.expand_prefix(cat, reg, pre, max_expand) for pre in all_pre}
+    pos_toks = {
+        qid: sorted(
+            set(p.positive_tokens)
+            | {t for pre in p.prefixes for t in exp[pre]}
+        )
+        for qid, p in live.items()
+    }
+    excl_toks = {
+        qid: sorted(
+            set(p.neg_terms) | {t for pre in p.neg_prefixes for t in exp[pre]}
+        )
+        for qid, p in live.items()
+    }
+    # a query whose only positive content was a void prefix matches nothing
+    live = {qid: p for qid, p in live.items() if pos_toks[qid]}
+    if not live:
+        return empty
 
     any_phrase = any(p.phrases or p.neg_phrases for p in live.values())
-    n_docs = int(Catalog(index_root).read_registry()["n_docs"])
     # conjunctive plain mode: every positive token is required, so the
     # canonical conjunctive retrieval applies as-is; disjunctive mode with
     # phrases still needs phrase tokens present -> retrieval stays
@@ -115,14 +174,12 @@ def search_topk(
     base = bm25.topk(
         spark,
         index_root,
-        {qid: " ".join(p.positive_tokens) for qid, p in live.items()},
+        {qid: " ".join(pos_toks[qid]) for qid in live},
         mode=mode,
         k=max(n_docs, 1) if any_phrase else k,
         with_url=True,
         exclude={
-            qid: " ".join(p.neg_terms)
-            for qid, p in live.items()
-            if p.neg_terms
+            qid: " ".join(excl_toks[qid]) for qid in live if excl_toks[qid]
         } or None,
     ).drop("rank")
 

@@ -388,28 +388,66 @@ class LocalSearcher:
                     break
         return [(r + 1, d, s) for r, (d, s) in enumerate(out)]
 
+    def _expand_prefix(
+        self, prefix: str, max_expand: int | None = None
+    ) -> list[str]:
+        """Corpus terms matching `pre*` — the same lexicon range read
+        ([prefix, prefix+0x7f), term-sorted files -> few row groups) and
+        df-desc cap as the distributed plan (plans/bm25.expand_prefix)."""
+        tbl = self._lex_ds.to_table(
+            columns=["term", "df"],
+            filter=(self._ds.field("term") >= prefix)
+            & (self._ds.field("term") < prefix + "\x7f"),
+        )
+        pairs = sorted(
+            zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()),
+            key=lambda p: (-p[1], p[0]),
+        )
+        if max_expand is not None:
+            pairs = pairs[:max_expand]
+        return sorted(t for t, _ in pairs)
+
     def search_query(
         self,
         text: str,
         mode: str = spec.MODE_DISJUNCTIVE,
         k: int = spec.TOP_K_DEFAULT,
+        max_expand: int | None = None,
     ) -> list[tuple[int, int, float]]:
         """Unified search syntax (plans/search.py semantics), serve-side:
         plain terms score BM25 under `mode`, "quoted phrases" are required
         (positional verify), -terms exclude via the scorer mask, -"quoted
-        phrases" exclude via the same verify.  Rank-identical to
-        plans/search.search_topk."""
+        phrases" exclude via the same verify, `wor*` expands to the
+        matching corpus terms (`-wor*` excludes the family).
+        Rank-identical to plans/search.search_topk."""
         from .search import parse_query
 
         p = parse_query(text)
         pos = p.positive_tokens
+        negs = p.neg_terms
+        if p.prefixes and mode == spec.MODE_CONJUNCTIVE:
+            raise ValueError(
+                "prefix terms (`wor*`) are any-of by definition and require "
+                "disjunctive mode"
+            )
+        if p.prefixes or p.neg_prefixes:
+            exp = {
+                pre: self._expand_prefix(pre, max_expand)
+                for pre in set(p.prefixes) | set(p.neg_prefixes)
+            }
+            pos = sorted(
+                set(pos) | {t for pre in p.prefixes for t in exp[pre]}
+            )
+            negs = sorted(
+                set(negs) | {t for pre in p.neg_prefixes for t in exp[pre]}
+            )
         if not pos:
             return []
         need_verify = bool(p.phrases or p.neg_phrases)
         hits = self.search(
             " ".join(pos), mode=mode,
             k=self.n_docs if need_verify else k,
-            exclude=" ".join(p.neg_terms) or None,
+            exclude=" ".join(negs) or None,
         )
         if not hits or not need_verify:
             return hits[:k]
