@@ -74,6 +74,18 @@ PREFIX_QUERIES = {
     "x5": "zzznope* table",
 }
 
+# Fuzzy-operator search queries (plans/search.py `word~N` syntax, default
+# edit distance 1): a misspelling (colum~ -> column), a multi-match stem
+# (sow~ -> row+slow at distance 1), an explicit ~2 budget, an excluded
+# fuzzy family, and an out-of-vocabulary stem beside a plain term.
+FUZZY_QUERIES = {
+    "z1": "colum~ filter",
+    "z2": "sow~",
+    "z3": "quer~2 join",
+    "z4": "table -sow~",
+    "z5": "zzznope~ hash",
+}
+
 # Quoted-phrase queries for the documents table: two common bigrams, two
 # sparse trigrams (present at sf >= 0.01), and a control whose second token
 # is out-of-corpus (must return nothing).
@@ -310,6 +322,23 @@ def _q_search_prefix_topk(spark, sf_dir):
     )
     build_positions(spark, pages, root, tokenizer="text")  # resumes if built
     out = search_topk(spark, root, PREFIX_QUERIES, k=10, with_url=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_search_fuzzy_topk(spark, sf_dir):
+    """Fuzzy operator (`word~N`): each stem expands to the corpus terms
+    within N edits (plans/bm25.expand_fuzzy, plain levenshtein — DuckDB's
+    levenshtein() is the oracle) and scores disjunctively; `-word~`
+    excludes the family (max_expand=None for oracle parity)."""
+    from rt_etl_yahoo_search_engine_spark.plans.search import search_topk
+
+    root = _index_for(spark, sf_dir)
+    out = search_topk(spark, root, FUZZY_QUERIES, k=10, with_url=True)
     return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
@@ -671,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near_topk,
         "search_syntax_topk": _q_search_topk,
         "search_prefix_topk": _q_search_prefix_topk,
+        "search_fuzzy_topk": _q_search_fuzzy_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -967,6 +997,82 @@ WHERE rank <= 10
 """
 
 
+def _search_fuzzy_sql() -> str:
+    """_search_sql plus the fuzzy operator: each `word~N` expands to the
+    vocabulary terms with levenshtein(term, stem) <= N (exactly
+    plans/bm25.expand_fuzzy's DP with max_expand=None), union'd into the
+    positive term set; `-word~N` expands into the excluded set."""
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_needle
+    from rt_etl_yahoo_search_engine_spark.plans.search import parse_query
+
+    qt, qf, req, neg, qx, qxf = [], [], [], [], [], []
+    for qid, text in FUZZY_QUERIES.items():
+        p = parse_query(text)
+        for t in p.positive_tokens:
+            qt.append(f"('{qid}', '{t}')")
+        for stem, d in sorted(set(p.fuzzies)):
+            qf.append(f"('{qid}', '{stem}', {d})")
+        for ph in p.phrases:
+            req.append(f"('{qid}', '{phrase_needle(ph)}')")
+        for ph in p.neg_phrases:
+            neg.append(f"('{qid}', '{phrase_needle(ph)}')")
+        for t in sorted(set(p.neg_terms)):
+            qx.append(f"('{qid}', '{t}')")
+        for stem, d in sorted(set(p.neg_fuzzies)):
+            qxf.append(f"('{qid}', '{stem}', {d})")
+
+    def vals(rows, ph="('', '')"):
+        return ", ".join(rows) if rows else ph
+
+    return f"""
+WITH qplain(query_id, term) AS (VALUES {vals(qt)}),
+qfz(query_id, stem, dist) AS (VALUES {vals(qf, "('', '', 0)")}),
+qreq(query_id, needle) AS (VALUES {vals(req)}),
+qneg(query_id, needle) AS (VALUES {vals(neg)}),
+qxplain(query_id, term) AS (VALUES {vals(qx)}),
+qxfz(query_id, stem, dist) AS (VALUES {vals(qxf, "('', '', 0)")}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+seqs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS seq FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT query_id, term FROM qplain WHERE query_id <> ''
+           UNION
+           SELECT q.query_id, l.term FROM qfz q JOIN lex l
+           ON levenshtein(l.term, q.stem) <= q.dist WHERE q.query_id <> ''),
+qx AS (SELECT query_id, term FROM qxplain WHERE query_id <> ''
+       UNION
+       SELECT q.query_id, l.term FROM qxfz q JOIN lex l
+       ON levenshtein(l.term, q.stem) <= q.dist WHERE q.query_id <> ''),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN seqs ON seqs.doc_id = s.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM qreq r
+                        WHERE r.query_id = s.query_id
+                          AND NOT contains(seqs.seq, r.needle))
+        AND NOT EXISTS (SELECT 1 FROM qneg n
+                        WHERE n.query_id = s.query_id
+                          AND contains(seqs.seq, n.needle))
+        AND NOT EXISTS (SELECT 1 FROM tf x JOIN qx e
+                        ON x.term = e.term AND e.query_id = s.query_id
+                        WHERE x.doc_id = s.doc_id))
+WHERE rank <= 10
+"""
+
+
 def _near_sql() -> str:
     """Conjunctive BM25 restricted to docs where some window of
     NEAR_WINDOW consecutive token positions contains every query term —
@@ -1128,6 +1234,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "near_topk": _near_sql(),
         "search_syntax_topk": _search_sql(),
         "search_prefix_topk": _search_prefix_sql(),
+        "search_fuzzy_topk": _search_fuzzy_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -132,6 +132,65 @@ def expand_prefix(
     return sorted(t for t, _ in pairs)
 
 
+def _lev_leq(a: str, b: str, d: int) -> bool:
+    """levenshtein(a, b) <= d — full DP with a row-min early exit (terms
+    are short; plain edit distance, transposition = 2, matching DuckDB's
+    levenshtein() so the oracle is bit-faithful)."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        if min(cur) > d:
+            return False
+        prev = cur
+    return prev[-1] <= d
+
+
+def expand_fuzzy(
+    cat: Catalog,
+    reg: dict,
+    term: str,
+    max_dist: int = 1,
+    max_expand: int | None = None,
+) -> list[str]:
+    """Corpus terms within `max_dist` edits of `term` (the `term~` search
+    operator), from the lexicon: one (term, df) column read, a length-band
+    prescreen, then exact banded DP.  df-desc `max_expand` cap as
+    expand_prefix.
+
+    Scale note: this reads the term column once per expansion batch —
+    vocab-scale driver I/O, fine up to ~10^7 terms.  The 100 TB path is a
+    derived deletes sidecar (SymSpell: index every ≤d-deletion variant of
+    every term) or the pigeonhole split (a ≤d-edit candidate must share
+    q's first half as a prefix OR q's second half as a suffix — one range
+    read on the term-sorted lexicon + one on a reversed-term sidecar);
+    both are derived data with the positions-sidecar lifecycle.  The
+    operator's semantics are fixed here either way."""
+    import pyarrow.dataset as ds
+
+    lex = ds.dataset(cat.path(reg["lexicon_dir"]))
+    tbl = lex.to_table(columns=["term", "df"])
+    lo, hi = len(term) - max_dist, len(term) + max_dist
+    pairs = sorted(
+        (
+            (t, df)
+            for t, df in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            )
+            if lo <= len(t) <= hi and _lev_leq(term, t, max_dist)
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )
+    if max_expand is not None:
+        pairs = pairs[:max_expand]
+    return sorted(t for t, _ in pairs)
+
+
 def _shard_units(cat: Catalog, reg: dict, avgdl: float) -> list[tuple[str, float]]:
     """(shard directory, bound factor) per (segment, shard) — metadata-scale
     (one entry per doc-range shard; the dir list is the driver's only

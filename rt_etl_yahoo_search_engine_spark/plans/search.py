@@ -15,6 +15,9 @@ nothing here rescans or rescores:
   * wor*               -> prefix: expands to the matching corpus terms
                           (lexicon range read), each scoring disjunctively
   * -wor*              -> the whole matching family is excluded
+  * word~ / word~2     -> fuzzy: expands to corpus terms within 1 (or N)
+                          edits (bm25.expand_fuzzy), scoring disjunctively
+  * -word~             -> the fuzzy family is excluded
 
 Scoring: BM25 over ALL positive tokens (plain + required-phrase tokens) —
 a doc matching the phrase scores its words too, exactly what a user
@@ -43,6 +46,7 @@ from .phrase import _verify_phrases_positional
 
 _NEG_QUOTED = re.compile(r'-"([^"]*)"')
 _QUOTED = re.compile(r'"([^"]*)"')
+_FUZZY_TAIL = re.compile(r"~(\d?)$")
 
 
 @dataclass
@@ -53,6 +57,8 @@ class ParsedQuery:
     neg_terms: list[str] = field(default_factory=list)
     prefixes: list[str] = field(default_factory=list)      # trailing-* stems
     neg_prefixes: list[str] = field(default_factory=list)  # -stem*
+    fuzzies: list[tuple[str, int]] = field(default_factory=list)      # stem~N
+    neg_fuzzies: list[tuple[str, int]] = field(default_factory=list)  # -stem~N
 
     @property
     def positive_tokens(self) -> list[str]:
@@ -86,14 +92,21 @@ def parse_query(text: str) -> ParsedQuery:
         neg = w.startswith("-")
         body = w[1:] if neg else w
         star = body.endswith("*")
-        toks = spec.tokenize(body[:-1] if star else body)
+        fz = None if star else _FUZZY_TAIL.search(body)
+        stem = body[:-1] if star else (body[: fz.start()] if fz else body)
+        toks = spec.tokenize(stem)
         if not toks:
             continue
-        terms, prefixes = (
-            (q.neg_terms, q.neg_prefixes) if neg else (q.terms, q.prefixes)
+        terms, prefixes, fuzzies = (
+            (q.neg_terms, q.neg_prefixes, q.neg_fuzzies)
+            if neg
+            else (q.terms, q.prefixes, q.fuzzies)
         )
         if star:
             prefixes.append(toks[-1])
+            terms.extend(toks[:-1])
+        elif fz:
+            fuzzies.append((toks[-1], int(fz.group(1) or 1)))
             terms.extend(toks[:-1])
         else:
             terms.extend(toks)
@@ -116,16 +129,19 @@ def search_topk(
     with no positive tokens (pure negation) returns no rows.
 
     Prefix terms (`wor*`) expand to the matching corpus terms
-    (bm25.expand_prefix: a driver-side lexicon range read, capped at
-    max_expand highest-df terms when set) and score as ordinary
-    disjunctive contributions; `-wor*` excludes the whole family.
-    Positive prefixes are inherently "match ANY expansion", so they are
-    rejected under conjunctive mode rather than silently requiring every
-    expansion.
+    (bm25.expand_prefix: a driver-side lexicon range read) and fuzzy terms
+    (`word~`, `word~2`) to corpus terms within the edit budget
+    (bm25.expand_fuzzy); both capped at max_expand highest-df terms when
+    set, both scoring as ordinary disjunctive contributions; the negated
+    forms exclude the whole family.  Positive prefix/fuzzy terms are
+    inherently "match ANY expansion", so they are rejected under
+    conjunctive mode rather than silently requiring every expansion.
     """
     parsed = {qid: parse_query(text) for qid, text in queries.items()}
     live = {
-        qid: p for qid, p in parsed.items() if p.positive_tokens or p.prefixes
+        qid: p
+        for qid, p in parsed.items()
+        if p.positive_tokens or p.prefixes or p.fuzzies
     }
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, score double"
@@ -133,34 +149,46 @@ def search_topk(
     )
     if not live:
         return empty
-    if mode == spec.MODE_CONJUNCTIVE and any(p.prefixes for p in live.values()):
+    if mode == spec.MODE_CONJUNCTIVE and any(
+        p.prefixes or p.fuzzies for p in live.values()
+    ):
         raise ValueError(
-            "prefix terms (`wor*`) are any-of by definition and require "
-            "disjunctive mode"
+            "prefix (`wor*`) and fuzzy (`word~`) terms are any-of by "
+            "definition and require disjunctive mode"
         )
 
     cat = Catalog(index_root)
     reg = cat.read_registry()
     n_docs = int(reg["n_docs"])
-    # one lexicon range read per DISTINCT prefix across the batch
+    # one lexicon read per DISTINCT prefix / fuzzy stem across the batch
     all_pre = sorted(
         {pre for p in live.values() for pre in (*p.prefixes, *p.neg_prefixes)}
     )
+    all_fz = sorted(
+        {fz for p in live.values() for fz in (*p.fuzzies, *p.neg_fuzzies)}
+    )
     exp = {pre: bm25.expand_prefix(cat, reg, pre, max_expand) for pre in all_pre}
+    fexp = {
+        fz: bm25.expand_fuzzy(cat, reg, fz[0], fz[1], max_expand)
+        for fz in all_fz
+    }
     pos_toks = {
         qid: sorted(
             set(p.positive_tokens)
             | {t for pre in p.prefixes for t in exp[pre]}
+            | {t for fz in p.fuzzies for t in fexp[fz]}
         )
         for qid, p in live.items()
     }
     excl_toks = {
         qid: sorted(
-            set(p.neg_terms) | {t for pre in p.neg_prefixes for t in exp[pre]}
+            set(p.neg_terms)
+            | {t for pre in p.neg_prefixes for t in exp[pre]}
+            | {t for fz in p.neg_fuzzies for t in fexp[fz]}
         )
         for qid, p in live.items()
     }
-    # a query whose only positive content was a void prefix matches nothing
+    # a query whose only positive content was a void expansion matches nothing
     live = {qid: p for qid, p in live.items() if pos_toks[qid]}
     if not live:
         return empty

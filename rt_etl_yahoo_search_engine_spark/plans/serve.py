@@ -407,6 +407,31 @@ class LocalSearcher:
             pairs = pairs[:max_expand]
         return sorted(t for t, _ in pairs)
 
+    def _expand_fuzzy(
+        self, term: str, max_dist: int = 1, max_expand: int | None = None
+    ) -> list[str]:
+        """Corpus terms within max_dist edits of `term` — identical
+        semantics and cap as the distributed plan (plans/bm25.expand_fuzzy;
+        see its docstring for the 100 TB sidecar path)."""
+        from .bm25 import _lev_leq
+
+        tbl = self._lex_ds.to_table(columns=["term", "df"])
+        lo, hi = len(term) - max_dist, len(term) + max_dist
+        pairs = sorted(
+            (
+                (t, df)
+                for t, df in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                )
+                if lo <= len(t) <= hi and _lev_leq(term, t, max_dist)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )
+        if max_expand is not None:
+            pairs = pairs[:max_expand]
+        return sorted(t for t, _ in pairs)
+
     def search_query(
         self,
         text: str,
@@ -418,28 +443,37 @@ class LocalSearcher:
         plain terms score BM25 under `mode`, "quoted phrases" are required
         (positional verify), -terms exclude via the scorer mask, -"quoted
         phrases" exclude via the same verify, `wor*` expands to the
-        matching corpus terms (`-wor*` excludes the family).
+        matching corpus terms and `word~`/`word~2` to terms within the
+        edit budget (negated forms exclude the family).
         Rank-identical to plans/search.search_topk."""
         from .search import parse_query
 
         p = parse_query(text)
         pos = p.positive_tokens
         negs = p.neg_terms
-        if p.prefixes and mode == spec.MODE_CONJUNCTIVE:
+        if (p.prefixes or p.fuzzies) and mode == spec.MODE_CONJUNCTIVE:
             raise ValueError(
-                "prefix terms (`wor*`) are any-of by definition and require "
-                "disjunctive mode"
+                "prefix (`wor*`) and fuzzy (`word~`) terms are any-of by "
+                "definition and require disjunctive mode"
             )
-        if p.prefixes or p.neg_prefixes:
+        if p.prefixes or p.neg_prefixes or p.fuzzies or p.neg_fuzzies:
             exp = {
                 pre: self._expand_prefix(pre, max_expand)
                 for pre in set(p.prefixes) | set(p.neg_prefixes)
             }
+            fexp = {
+                fz: self._expand_fuzzy(fz[0], fz[1], max_expand)
+                for fz in set(p.fuzzies) | set(p.neg_fuzzies)
+            }
             pos = sorted(
-                set(pos) | {t for pre in p.prefixes for t in exp[pre]}
+                set(pos)
+                | {t for pre in p.prefixes for t in exp[pre]}
+                | {t for fz in p.fuzzies for t in fexp[fz]}
             )
             negs = sorted(
-                set(negs) | {t for pre in p.neg_prefixes for t in exp[pre]}
+                set(negs)
+                | {t for pre in p.neg_prefixes for t in exp[pre]}
+                | {t for fz in p.neg_fuzzies for t in fexp[fz]}
             )
         if not pos:
             return []
