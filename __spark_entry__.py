@@ -347,6 +347,51 @@ def _q_search_fuzzy_topk(spark, sf_dir):
     )
 
 
+def _q_match_counts(spark, sf_dir):
+    """Exact "About N results" hit counts over the FULL match set
+    (plans/stats.match_counts): per-(set, unit) numpy union/intersection
+    sizes, one int row per unit through the shuffle — both modes side by
+    side so the disjunctive >= conjunctive containment is visible."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import match_counts
+
+    root = _index_for(spark, sf_dir)
+    dis = match_counts(spark, root, DOC_QUERIES, mode="disjunctive")
+    con = match_counts(spark, root, DOC_QUERIES, mode="conjunctive")
+    return (
+        dis.withColumnRenamed("n_hits", "n_dis")
+        .join(con.withColumnRenamed("n_hits", "n_con"), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_dis").cast("long").alias("n_dis"),
+            F.coalesce(F.col("n_con"), F.lit(0)).cast("long").alias("n_con"),
+        )
+    )
+
+
+def _q_facet_counts(spark, sf_dir):
+    """Facet counts over the full match set (plans/stats.facet_counts):
+    the match relation joined to the documents' `source` attribute and
+    grouped — the sidebar every search UI renders.  The facet table is
+    keyed by INDEX doc_id (docmap url -> original doc_id is the entry
+    corpus convention)."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import facet_counts
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+    )
+    facets = (
+        Catalog(root).read(spark, "docmap").join(src, "url")
+        .select("doc_id", "source")
+    )
+    out = facet_counts(spark, root, DOC_QUERIES, facets, "source")
+    return out.select(
+        "query_id", "facet", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 def _q_bm25_snippets(spark, sf_dir):
     """Query-aware snippets on materialized hits: the 120-char window of
     the body around the first query-token occurrence
@@ -701,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_syntax_topk": _q_search_topk,
         "search_prefix_topk": _q_search_prefix_topk,
         "search_fuzzy_topk": _q_search_fuzzy_topk,
+        "match_counts": _q_match_counts,
+        "facet_counts": _q_facet_counts,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1073,6 +1120,58 @@ WHERE rank <= 10
 """
 
 
+def _match_counts_sql() -> str:
+    """Exact match-set sizes per query, both modes: disjunctive = docs
+    containing ANY query term, conjunctive = docs containing ALL of them
+    (0 when none) — plans/stats.match_counts semantics."""
+    qt = [
+        f"('{qid}', '{t}')"
+        for qid, text in DOC_QUERIES.items()
+        for t in sorted(set(text.split()))
+    ]
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt)}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT DISTINCT doc_id, term
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs)),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+dis AS (SELECT q.query_id, count(DISTINCT tf.doc_id) AS n_dis
+        FROM tf JOIN qterms q USING (term) GROUP BY q.query_id),
+con AS (SELECT q.query_id, count(*) AS n_con FROM (
+          SELECT q.query_id, tf.doc_id
+          FROM tf JOIN qterms q USING (term)
+          GROUP BY q.query_id, tf.doc_id
+          HAVING count(*) = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)
+        ) q GROUP BY q.query_id)
+SELECT d.query_id,
+       CAST(d.n_dis AS BIGINT) AS n_dis,
+       CAST(coalesce(c.n_con, 0) AS BIGINT) AS n_con
+FROM dis d LEFT JOIN con c USING (query_id)
+"""
+
+
+def _facet_counts_sql() -> str:
+    """Disjunctive match set joined to the `source` attribute and grouped
+    — plans/stats.facet_counts semantics."""
+    qt = [
+        f"('{qid}', '{t}')"
+        for qid, text in DOC_QUERIES.items()
+        for t in sorted(set(text.split()))
+    ]
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt)}),
+docs AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+matched AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM (SELECT doc_id, unnest(toks) AS term FROM docs) t
+            JOIN qterms q USING (term))
+SELECT m.query_id, d.source AS facet, CAST(count(*) AS BIGINT) AS n_hits
+FROM matched m JOIN docs d USING (doc_id)
+GROUP BY m.query_id, d.source
+"""
+
+
 def _near_sql() -> str:
     """Conjunctive BM25 restricted to docs where some window of
     NEAR_WINDOW consecutive token positions contains every query term —
@@ -1235,6 +1334,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "search_syntax_topk": _search_sql(),
         "search_prefix_topk": _search_prefix_sql(),
         "search_fuzzy_topk": _search_fuzzy_sql(),
+        "match_counts": _match_counts_sql(),
+        "facet_counts": _facet_counts_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -1,0 +1,215 @@
+"""Result-set statistics: exact hit counts ("About N results") and facet
+counts over the FULL match set — the read-side aggregations every search
+UI shows next to the top-k list.
+
+Shapes (both reuse the bm25 scan-side economics — posting payload bytes
+never enter an exchange):
+
+  * match_counts — one task per (segment, doc-range shard) decodes the
+    query terms' postings ONCE, computes each distinct term set's match
+    COUNT inside the task (disjunctive: union size; conjunctive:
+    intersection size — numpy over the unit's bounded doc range), and
+    emits ONE row per (set, unit).  The only shuffle carries
+    O(sets x units) ints.  Exact at any scale; the classic engines
+    approximate this number, ours is a real count.
+
+  * match_docs / facet_counts — the full (query_id, doc_id) match relation
+    (narrow 2-column rows, O(sum df) — the information-theoretic floor for
+    exact facets), joined to a doc-keyed attribute table and grouped.
+    At 100 TB the join is the honest cost as long as facet attributes
+    live OUTSIDE the index; the upgrade path is an attribute sidecar
+    doc-range sharded like the postings (positions.py lifecycle), which
+    lets each unit resolve its own range's facet values locally and emit
+    pre-aggregated (set, facet, n) rows — same trick as match_counts.
+    The semantics are fixed here either way.
+
+Queries with no matching documents produce no output row (relational
+absence, not a zero row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import spec
+from ..operators.topk import decode_term_postings_stream
+from ..sources.catalog import Catalog
+from .bm25 import _POSTINGS_READ_COLS, _shard_units, lexicon_idf
+
+
+def _plan(spark, index_root, queries, mode):
+    """Shared prologue (bm25.topk's distinct-set planning, sans exclusion):
+    returns (set_terms, qmap_df, units, corpus_terms) or None if nothing
+    can match."""
+    import pandas as pd
+
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    qtoks = {qid: sorted(set(spec.tokenize(t))) for qid, t in queries.items()}
+    all_terms = sorted({t for toks in qtoks.values() for t in toks})
+    if not any(qtoks.values()):
+        return None
+    idf = lexicon_idf(cat, reg, all_terms)
+    setplan: dict[tuple[str, ...], int] = {}
+    qmap: list[tuple[int, str]] = []
+    for qid, toks in qtoks.items():
+        present = tuple(t for t in toks if t in idf)
+        if not present:
+            continue
+        if mode == spec.MODE_CONJUNCTIVE and len(present) < len(toks):
+            continue
+        sid = setplan.setdefault(present, len(setplan))
+        qmap.append((sid, qid))
+    units = _shard_units(cat, reg, float(reg["avgdl"]))
+    if not setplan or not units:
+        return None
+    set_terms = [list(t) for t in setplan]
+    map_df = spark.createDataFrame(
+        pd.DataFrame(qmap, columns=["set_idx", "query_id"]).astype(
+            {"set_idx": "int32"}
+        ),
+        schema="set_idx int, query_id string",
+    )
+    corpus_terms = sorted({t for terms in setplan for t in terms})
+    return set_terms, map_df, units, corpus_terms
+
+
+def _unit_scan(spark, units, body):
+    units_df = spark.createDataFrame(
+        units, "path string, factor double"
+    ).repartition(len(units))
+    return units_df.mapInPandas(*body)
+
+
+def _set_doc_ids(tdata, terms, mode):
+    """Matching doc ids of one term set within one unit (numpy)."""
+    import numpy as np
+
+    arrs = [tdata[t][0] for t in terms if t in tdata]
+    if mode == spec.MODE_CONJUNCTIVE:
+        if len(arrs) < len(terms):
+            return None
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = np.intersect1d(out, a, assume_unique=True)
+            if not len(out):
+                return None
+        return out
+    if not arrs:
+        return None
+    out = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    return out if len(out) else None
+
+
+def match_counts(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """(query_id, n_hits): exact size of each query's match set."""
+    empty = spark.createDataFrame([], "query_id string, n_hits long")
+    plan = _plan(spark, index_root, queries, mode)
+    if plan is None:
+        return empty
+    set_terms, map_df, units, corpus_terms = plan
+    b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode))
+
+    def count_units(pdfs):
+        import pandas as pd
+        import pyarrow.dataset as pds
+
+        sets_l, terms_l, mode_l = b.value
+        for updf in pdfs:
+            for path in updf["path"]:
+                tbl = pds.dataset(path).to_table(
+                    columns=_POSTINGS_READ_COLS,
+                    filter=pds.field("term").isin(terms_l),
+                )
+                if tbl.num_rows == 0:
+                    continue
+                bl = tbl.to_pandas()
+                bl["shard"] = 0
+                tdata = {
+                    t: decode_term_postings_stream(g, 1.0)
+                    for t, g in bl.groupby("term", sort=True)
+                }
+                rows = []
+                for si, terms in enumerate(sets_l):
+                    ids = _set_doc_ids(tdata, terms, mode_l)
+                    if ids is not None:
+                        rows.append((si, len(ids)))
+                if rows:
+                    yield pd.DataFrame(rows, columns=["set_idx", "n"])
+
+    partials = _unit_scan(
+        spark, units, (count_units, "set_idx int, n long")
+    )
+    return (
+        partials.groupBy("set_idx")
+        .agg(F.sum("n").alias("n_hits"))
+        .join(F.broadcast(map_df), "set_idx")
+        .select("query_id", "n_hits")
+    )
+
+
+def match_docs(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """(query_id, doc_id): the FULL match relation (module docstring)."""
+    empty = spark.createDataFrame([], "query_id string, doc_id long")
+    plan = _plan(spark, index_root, queries, mode)
+    if plan is None:
+        return empty
+    set_terms, map_df, units, corpus_terms = plan
+    b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode))
+
+    def pair_units(pdfs):
+        import pandas as pd
+        import pyarrow.dataset as pds
+
+        sets_l, terms_l, mode_l = b.value
+        for updf in pdfs:
+            for path in updf["path"]:
+                tbl = pds.dataset(path).to_table(
+                    columns=_POSTINGS_READ_COLS,
+                    filter=pds.field("term").isin(terms_l),
+                )
+                if tbl.num_rows == 0:
+                    continue
+                bl = tbl.to_pandas()
+                bl["shard"] = 0
+                tdata = {
+                    t: decode_term_postings_stream(g, 1.0)
+                    for t, g in bl.groupby("term", sort=True)
+                }
+                for si, terms in enumerate(sets_l):
+                    ids = _set_doc_ids(tdata, terms, mode_l)
+                    if ids is not None:
+                        yield pd.DataFrame({"set_idx": si, "doc_id": ids})
+
+    pairs = _unit_scan(spark, units, (pair_units, "set_idx int, doc_id long"))
+    return pairs.join(F.broadcast(map_df), "set_idx").select("query_id", "doc_id")
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    facets: DataFrame,
+    facet_col: str,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """(query_id, facet, n_hits): match-set counts grouped by a document
+    attribute.  `facets` is a (doc_id, <facet_col>) table (one row per
+    doc); see the module docstring for the at-scale join shape."""
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(facets.select("doc_id", facet_col), "doc_id")
+        .groupBy("query_id", F.col(facet_col).alias("facet"))
+        .agg(F.count("*").alias("n_hits"))
+    )

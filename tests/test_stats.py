@@ -1,0 +1,127 @@
+"""Result-set statistics (plans/stats.py): exact hit counts and facet
+counts over the FULL match set, checked against a pure-Python oracle."""
+
+import pytest
+
+from rt_etl_yahoo_search_engine_spark import spec
+from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
+from rt_etl_yahoo_search_engine_spark.plans.stats import (
+    facet_counts,
+    match_counts,
+    match_docs,
+)
+from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+DOCS = [
+    ("d0", "alpha beta gamma", "web"),
+    ("d1", "alpha beta", "web"),
+    ("d2", "alpha delta", "wiki"),
+    ("d3", "beta delta epsilon", "wiki"),
+    ("d4", "gamma gamma epsilon", "news"),
+    ("d5", "alpha beta gamma delta", "news"),
+]
+TOKS = {u: t.split() for u, t, _ in DOCS}
+SRC = {u: s for u, _, s in DOCS}
+
+QUERIES = {
+    "q1": "alpha beta",
+    "q2": "gamma",
+    "q3": "delta epsilon",
+    "q4": "zzznope",          # out of vocab: no row in either mode
+    "q5": "alpha zzznope",    # conjunctive: impossible -> no row
+}
+
+
+def _want_counts(mode):
+    out = {}
+    for qid, text in QUERIES.items():
+        toks = set(text.split())
+        if mode == spec.MODE_CONJUNCTIVE:
+            hits = {u for u, seq in TOKS.items() if toks <= set(seq)}
+        else:
+            hits = {u for u, seq in TOKS.items() if toks & set(seq)}
+        if qid in ("q4",) or (mode == spec.MODE_CONJUNCTIVE and qid == "q5"):
+            hits = set()
+        elif qid == "q5" and mode == spec.MODE_DISJUNCTIVE:
+            hits = {u for u, seq in TOKS.items() if "alpha" in seq}
+        if hits:
+            out[qid] = hits
+    return out
+
+
+@pytest.fixture(scope="module")
+def stats_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(u, t, "en") for u, t, _ in DOCS], "url string, text string, lang string"
+    )
+    root = str(tmp_path_factory.mktemp("stats") / "idx")
+    build_index(spark, df, root, n_shards=3, n_buckets=4, tokenizer="text")
+    docmap = {
+        r["url"]: r["doc_id"]
+        for r in Catalog(root).read(spark, "docmap").collect()
+    }
+    return root, docmap
+
+
+@pytest.mark.parametrize(
+    "mode", [spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE]
+)
+def test_match_counts(spark, stats_index, mode):
+    root, _ = stats_index
+    got = {
+        r["query_id"]: r["n_hits"]
+        for r in match_counts(spark, root, QUERIES, mode=mode).collect()
+    }
+    want = {qid: len(hits) for qid, hits in _want_counts(mode).items()}
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "mode", [spec.MODE_DISJUNCTIVE, spec.MODE_CONJUNCTIVE]
+)
+def test_match_docs_relation(spark, stats_index, mode):
+    root, docmap = stats_index
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in match_docs(spark, root, QUERIES, mode=mode).collect()
+    }
+    want = {
+        (qid, docmap[u])
+        for qid, hits in _want_counts(mode).items()
+        for u in hits
+    }
+    assert got == want
+
+
+def test_facet_counts(spark, stats_index):
+    root, docmap = stats_index
+    facets = spark.createDataFrame(
+        [(docmap[u], SRC[u]) for u in TOKS], "doc_id long, source string"
+    )
+    got = {
+        (r["query_id"], r["facet"]): r["n_hits"]
+        for r in facet_counts(
+            spark, root, QUERIES, facets, "source"
+        ).collect()
+    }
+    want = {}
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        for u in hits:
+            want[(qid, SRC[u])] = want.get((qid, SRC[u]), 0) + 1
+    assert got == want
+
+
+def test_counts_consistent_with_match_docs(spark, stats_index):
+    root, _ = stats_index
+    n = {
+        r["query_id"]: r["n_hits"]
+        for r in match_counts(spark, root, QUERIES).collect()
+    }
+    pairs = match_docs(spark, root, QUERIES).groupBy("query_id").count()
+    assert {r["query_id"]: r["count"] for r in pairs.collect()} == n
+
+
+def test_empty_query_batch(spark, stats_index):
+    root, _ = stats_index
+    assert match_counts(spark, root, {"q": "zzznope"}).count() == 0
+    assert match_docs(spark, root, {}).count() == 0
