@@ -86,6 +86,18 @@ FUZZY_QUERIES = {
     "z5": "zzznope~ hash",
 }
 
+# Hybrid (RRF) queries: lexical text per query id, paired with the dense
+# query vector = embeddings.vec_id i for "h{i}" (the corpus-embedding
+# convention the ANN entries already use).
+HYBRID_QUERIES = {
+    "h0": "join hash",
+    "h1": "window agg",
+    "h2": "customer order line",
+    "h3": "vector scan",
+    "h4": "slow filter",
+}
+HYBRID_K_EACH = 50
+
 # Quoted-phrase queries for the documents table: two common bigrams, two
 # sparse trigrams (present at sf >= 0.01), and a control whose second token
 # is out-of-corpus (must return nothing).
@@ -389,6 +401,45 @@ def _q_facet_counts(spark, sf_dir):
     out = facet_counts(spark, root, DOC_QUERIES, facets, "source")
     return out.select(
         "query_id", "facet", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def _q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval (plans/hybrid.rrf_topk): BM25 top-50 fused with
+    embedding-cosine top-50 by Reciprocal Rank Fusion (1/(60+rank)).
+    Dense side: each document's embedding is embeddings.vec_id == its
+    original doc_id (docs without one simply never appear on the dense
+    list); query vectors are vec_ids 0-4."""
+    from rt_etl_yahoo_search_engine_spark.plans.hybrid import rrf_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    docmap = Catalog(root).read(spark, "docmap")  # (doc_id=index id, url)
+    emb = _read(spark, sf_dir, "embeddings")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.col("doc_id").alias("orig_id"),
+    )
+    emb_idx = (
+        src.join(emb, emb["vec_id"] == src["orig_id"])
+        .join(docmap, "url")
+        .select("doc_id", "embedding")
+    )
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("h"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("embedding").alias("qemb"),
+    )
+    out = rrf_topk(
+        spark, root, HYBRID_QUERIES, qv, emb_idx, k=10, k_each=HYBRID_K_EACH
+    )
+    return (
+        docmap.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("rrf", 6).alias("rrf"),
+        )
     )
 
 
@@ -748,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy_topk": _q_search_fuzzy_topk,
         "match_counts": _q_match_counts,
         "facet_counts": _q_facet_counts,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1172,6 +1224,66 @@ GROUP BY m.query_id, d.source
 """
 
 
+def _hybrid_rrf_sql() -> str:
+    """RRF fusion of the BM25 top-50 and the cosine top-50 per query —
+    plans/hybrid.rrf_topk semantics (k0=60); ranks are integers so the
+    fused score is exact IEEE arithmetic in both engines."""
+    qt = [
+        f"('{qid}', '{t}')"
+        for qid, text in HYBRID_QUERIES.items()
+        for t in sorted(set(text.split()))
+    ]
+    qv = [f"('h{i}', {i})" for i in range(5)]
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt)}),
+qv(query_id, vid) AS (VALUES {", ".join(qv)}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+lexl AS (SELECT query_id, doc_id, r_lex FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS r_lex
+           FROM scored) WHERE r_lex <= {HYBRID_K_EACH}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+emb_idx AS (SELECT d.doc_id, e.emb FROM e JOIN docs d ON e.vec_id = d.doc_id),
+qe AS (SELECT qv.query_id, e.emb AS qemb FROM qv JOIN e ON e.vec_id = qv.vid),
+coss AS (SELECT qe.query_id, m.doc_id,
+                list_dot_product(m.emb, qe.qemb)
+                / (sqrt(list_dot_product(m.emb, m.emb))
+                   * sqrt(list_dot_product(qe.qemb, qe.qemb))) AS cos
+         FROM emb_idx m, qe),
+dense AS (SELECT query_id, doc_id, r_dense FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, doc_id ASC) AS r_dense
+            FROM coss) WHERE r_dense <= {HYBRID_K_EACH}),
+fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                 coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 coalesce(1.0 / (60 + l.r_lex), 0)
+                 + coalesce(1.0 / (60 + d.r_dense), 0) AS rrf
+          FROM lexl l FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(rrf, 6) AS rrf
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+
 def _near_sql() -> str:
     """Conjunctive BM25 restricted to docs where some window of
     NEAR_WINDOW consecutive token positions contains every query term —
@@ -1336,6 +1448,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "search_fuzzy_topk": _search_fuzzy_sql(),
         "match_counts": _match_counts_sql(),
         "facet_counts": _facet_counts_sql(),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

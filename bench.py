@@ -213,6 +213,42 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
             lat.sort()
             timings["query_p50_s"] = lat[len(lat) // 2]
             timings["query_p99_s"] = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+        if not scaling_only:
+            # feature-path timings over the same webtext index: positional
+            # sidecar build, then one batch each of search-syntax
+            # (phrase+minus / prefix / fuzzy), NEAR, and exact hit counts
+            from rt_etl_yahoo_search_engine_spark.operators.positions import (
+                build_positions,
+            )
+            from rt_etl_yahoo_search_engine_spark.plans.near import near_topk
+            from rt_etl_yahoo_search_engine_spark.plans.search import search_topk
+            from rt_etl_yahoo_search_engine_spark.plans.stats import match_counts
+
+            t0 = time.time()
+            build_positions(spark, pages_path, web_idx, tokenizer="html")
+            timings["build_positions"] = time.time() - t0
+
+            ops = {
+                "p1": 'w0705 "w0000 w0002" -w2253',  # phrase + minus-term
+                "p2": "w007* w0011",                 # prefix expansion
+                "p3": "w0705~ w0011",                # fuzzy expansion
+            }
+            t0 = time.time()
+            search_topk(spark, web_idx, ops, k=10).collect()
+            timings["query_search_ops"] = time.time() - t0
+
+            t0 = time.time()
+            near_topk(spark, web_idx, {"n1": "w0000 w0002"}, window=8, k=10).collect()
+            timings["query_near"] = time.time() - t0
+
+            counts_q = {
+                f"c{i}": f"w{a:04d} w{a + 1:04d}"
+                for i, a in enumerate(range(0, 40, 2))
+            }
+            t0 = time.time()
+            match_counts(spark, web_idx, counts_q).collect()
+            timings["query_match_counts"] = time.time() - t0
         spark.stop()
 
         # --- phase 4: serving path (plans.serve) — per-query latency with no
