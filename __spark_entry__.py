@@ -155,6 +155,71 @@ def _bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     )
 
 
+# deletion lifecycle (operators/deletes.py): docs with original id % 7 == 0
+# are tombstoned.  Two derived indexes from the shared base: one MASKED
+# (tombstones in force, statistics still full-corpus — Lucene semantics)
+# and one PURGED (compact_index physically reclaimed; statistics are the
+# live corpus's, equal to a fresh build over it).
+_DELETED_MOD = 7
+_DEL_INDEX_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _index_deleted_for(spark: SparkSession, sf_dir: str, purged: bool) -> str:
+    import shutil
+
+    key = (sf_dir, purged)
+    if key in _DEL_INDEX_CACHE:
+        return _DEL_INDEX_CACHE[key]
+    from rt_etl_yahoo_search_engine_spark.operators.deletes import delete_docs
+    from rt_etl_yahoo_search_engine_spark.operators.index_build import (
+        compact_index,
+    )
+
+    base = _index_for(spark, sf_dir)
+    root = base + ("_purged" if purged else "_del")
+    shutil.rmtree(root, ignore_errors=True)  # derived copy, always rebuilt
+    shutil.copytree(base, root)
+    urls = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % _DELETED_MOD == 0)
+        .select(F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"))
+    )
+    delete_docs(spark, root, urls=urls)
+    if purged:
+        compact_index(spark, root, prune=True)
+    _DEL_INDEX_CACHE[key] = root
+    return root
+
+
+def _bm25_on_deleted(spark: SparkSession, sf_dir: str, purged: bool) -> DataFrame:
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+
+    root = _index_deleted_for(spark, sf_dir, purged)
+    out = topk(
+        spark, root, DOC_QUERIES, mode=spec.MODE_DISJUNCTIVE, k=10, with_url=True
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_topk_deleted(spark, sf_dir):
+    """Tombstoned retrieval: docs with id % 7 == 0 deleted (delete_docs),
+    masked before top-k; BM25 statistics still count them (Lucene
+    live-docs semantics, purged only at compaction)."""
+    return _bm25_on_deleted(spark, sf_dir, purged=False)
+
+
+def _q_bm25_topk_purged(spark, sf_dir):
+    """Post-compaction retrieval: the same tombstoned index after
+    compact_index physically reclaimed the deleted docs — statistics are
+    recomputed over the live corpus (equals a fresh build over it)."""
+    return _bm25_on_deleted(spark, sf_dir, purged=True)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -789,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_conjunctive": _q_bm25_conj,
         "bm25_topk_fields": _q_bm25_fields,
         "bm25_topk_exclude": _q_bm25_exclude,
+        "bm25_topk_deleted": _q_bm25_topk_deleted,
+        "bm25_topk_purged": _q_bm25_topk_purged,
         "bm25_topk_snippets": _q_bm25_snippets,
         "bm25_serve_topk": _q_bm25_serve,
         "phrase_topk": _q_phrase_topk,
@@ -923,13 +990,20 @@ def _qexcl_values() -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(mode: str, exclude: bool = False) -> str:
+def _bm25_sql(mode: str, exclude: bool = False, deleted: str | None = None) -> str:
+    """deleted='mask': docs with id % 7 == 0 removed AFTER scoring, BEFORE
+    ranking — statistics still count them (the tombstoned index's Lucene
+    semantics).  deleted='purge': those docs gone from the corpus itself —
+    statistics are the live corpus's (the post-compaction index)."""
     pred = "TRUE" if mode == "disjunctive" else "s.matched = qn.n_terms"
     if exclude:
         pred += """ AND NOT EXISTS (
             SELECT 1 FROM tf x JOIN qexcl e
             ON x.term = e.term AND e.query_id = s.query_id
             WHERE x.doc_id = s.doc_id)"""
+    if deleted == "mask":
+        pred += f" AND s.doc_id % {_DELETED_MOD} <> 0"
+    live = f" AND doc_id % {_DELETED_MOD} <> 0" if deleted == "purge" else ""
     excl_cte = (
         f"qexcl(query_id, term) AS (VALUES {_qexcl_values()}),\n" if exclude else ""
     )
@@ -937,7 +1011,7 @@ def _bm25_sql(mode: str, exclude: bool = False) -> str:
 WITH {excl_cte}qterms(query_id, term) AS (VALUES {_qterms_values()}),
 qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
 docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-         FROM documents WHERE lang = 'en'),
+         FROM documents WHERE lang = 'en'{live}),
 dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
 tf AS (SELECT doc_id, term, count(*) AS tf
        FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
@@ -1439,6 +1513,8 @@ FROM hits h JOIN documents d USING (doc_id)
         """,
         "bm25_serve_topk": _bm25_sql("disjunctive"),
         "bm25_topk_exclude": _bm25_sql("disjunctive", exclude=True),
+        "bm25_topk_deleted": _bm25_sql("disjunctive", deleted="mask"),
+        "bm25_topk_purged": _bm25_sql("disjunctive", deleted="purge"),
         "bm25_topk_snippets": _snippet_sql(),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_positions": _phrase_sql(),

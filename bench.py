@@ -61,11 +61,25 @@ WEBTEXT_DOCS_PER_SF = 120_000  # sf0.1 -> 12,000 html pages
 # 23c0dc3 40.85 s; 23c0dc3-first 2026-08-19: 1f4cdea min query 42.30 s vs
 # 23c0dc3 44.34 s, builds 107.3/99.6 vs 100.9/99.7 — no drift in either
 # leg order).  c8110b2 stays UNPOOLED: its one A/B was ordering-confounded.
+# 5f0f819..813ae66 (streaming ingest, prefix/fuzzy expansion, stats,
+# hybrid RRF): `git diff 1f4cdea..813ae66 -- <pkg> jobs` touches only
+# (a) brand-new modules/functions the leg job never imports or calls
+# (init_index/extend_index guards, plans/{stats,hybrid}.py, expand_* in
+# bm25.py -- topk itself has zero changed lines), and (b) a build_docmap
+# ternary whose new branch requires an EMPTY input (legs build 150k
+# docs); the leg program is byte-equivalent.  Rep pair at 094f5cd
+# (2026-08-19, reversed order 4-then-1) lands inside the pooled leg
+# distribution.
 JOB_EQUIV_REVS = {
     "85b58ce": "23c0dc3",
     "a192007": "23c0dc3",
     "ed00ce5": "23c0dc3",
     "1f4cdea": "23c0dc3",
+    "5f0f819": "23c0dc3",
+    "ec2f5df": "23c0dc3",
+    "74d2cd2": "23c0dc3",
+    "094f5cd": "23c0dc3",
+    "813ae66": "23c0dc3",
 }
 
 

@@ -1189,9 +1189,12 @@ def extend_index(
             burn["last_source_id"] = source_id
         cat.write_registry(burn)
         return cat
-    n_new = n_base + n_delta
+    n_new = n_base + n_delta  # id high-water (holes from purges included)
+    # statistics run over LIVE docs: n_live < n_docs only after a
+    # tombstone purge (compact_index) left holes in the id space
+    n_live_new = int(reg.get("n_live", n_base)) + n_delta
     sum_new = reg["sum_dl"] + sum_delta
-    avgdl_new = sum_new / n_new
+    avgdl_new = sum_new / n_live_new
 
     # delta posting rows: segment-local doc-range shards, globally unique ids
     rows = tokens.filter(F.col("term").isNotNull()).select(
@@ -1258,7 +1261,8 @@ def extend_index(
             .withColumn(
                 "idf",
                 F.log(
-                    (F.lit(float(n_new)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    (F.lit(float(n_live_new)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
                     + 1.0
                 ),
             )
@@ -1281,6 +1285,7 @@ def extend_index(
         **reg,
         "version": ver,
         "n_docs": n_new,
+        "n_live": n_live_new,
         "sum_dl": sum_new,
         "avgdl": avgdl_new,
         "lexicon_dir": lex_name,
@@ -1337,13 +1342,32 @@ def compact_index(
     prune=True deletes the replaced posting/lexicon/docmap directories after
     the commit (the staged tokens tables are always kept — they are the
     oracle/rebuild source).
+
+    Tombstone purge (operators/deletes.py): when the registry carries
+    ``deleted_dirs``, compaction is also the physical reclaim — deleted
+    docs' token rows, posting rows and docmap rows are dropped, the BM25
+    statistics (sum_dl/avgdl, df/idf via ``n_live``) are recomputed over
+    the LIVE corpus, and the tombstone list resets; afterwards queries
+    equal a fresh build over the live documents (tests/test_deletes.py).
+    Doc ids are NOT renumbered: ``n_docs`` stays the id high-water mark
+    (extensions never reuse an id, sidecars and external references stay
+    valid), so the id space keeps holes and shard ranges stay monotone.
+    The staged tokens must be rewritten live-only here, or the next
+    compaction would resurrect the deleted docs from them.
     """
     import shutil
 
+    from .deletes import deleted_ids_df
+
     cat = Catalog(index_root)
     reg = cat.read_registry()
-    if len(reg["segments"]) == 1 and len(reg.get("docmap_dirs", ["docmap"])) == 1:
-        return cat  # already single-segment
+    old_del_dirs = reg.get("deleted_dirs", [])
+    if (
+        len(reg["segments"]) == 1
+        and len(reg.get("docmap_dirs", ["docmap"])) == 1
+        and not old_del_dirs
+    ):
+        return cat  # already single-segment, nothing tombstoned
     stats = cat.read_stats()
     n_shards, n_buckets = stats["n_shards"], stats["n_buckets"]
     n_docs, avgdl = int(reg["n_docs"]), float(reg["avgdl"])
@@ -1355,9 +1379,44 @@ def compact_index(
     done = cat.completed_partitions()
     par = spark.sparkContext.defaultParallelism
 
+    del_df = deleted_ids_df(spark, cat, reg)
+    old_tok_dirs = reg.get("token_dirs", ["tokens"])
+    tok_dirs = old_tok_dirs
+    n_live, sum_dl_new = int(reg.get("n_live", n_docs)), int(reg["sum_dl"])
+    if del_df is not None:
+        # metadata-scale tombstone set: broadcast the anti-join when small
+        # (same economics as the docmap join), shuffle otherwise
+        if int(reg.get("n_deleted", 0)) <= BROADCAST_DOCMAP_MAX:
+            del_df = F.broadcast(del_df)
+        tok_name = f"tokens_c{ver}"
+        if pfx + "tokens" not in done:
+            t0 = time.time()
+            cat.write(
+                cat.read(spark, *old_tok_dirs).join(
+                    del_df, "doc_id", "left_anti"
+                ),
+                tok_name,
+            )
+            cat.append_manifest(
+                [_mrow(pfx + "tokens", build_time_s=time.time() - t0)]
+            )
+        tok_dirs = [tok_name]
+        # live corpus stats from the per-doc sentinel rows (term NULL) of
+        # the purged tokens — deterministic on resume (derived data only)
+        live = (
+            cat.read(spark, tok_name)
+            .filter(F.col("term").isNull())
+            .agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("sum_dl")
+            )
+            .collect()[0]
+        )
+        n_live, sum_dl_new = int(live["n"]), int(live["sum_dl"] or 0)
+        avgdl = sum_dl_new / n_live if n_live else 0.0
+
     if pfx + "postings" not in done:
         t0 = time.time()
-        tokens = cat.read(spark, *reg.get("token_dirs", ["tokens"]))
+        tokens = cat.read(spark, *tok_dirs)
         rows = posting_rows_df(tokens, n_docs, n_shards, n_buckets).drop("bucket")
         enc_parts = max(par, min(4096, n_docs // 3_000))
         # always the general shuffle path: segment token files are doc-
@@ -1386,8 +1445,10 @@ def compact_index(
 
     if pfx + "lexicon" not in done:
         t0 = time.time()
+        # idf over the LIVE doc count: after a purge the blocks contain
+        # live postings only, so df/n_live is the fresh-build statistic
         cat.write(
-            lexicon_from_blocks(cat.read(spark, post_name), n_docs, n_buckets),
+            lexicon_from_blocks(cat.read(spark, post_name), n_live, n_buckets),
             lex_name,
         )
         cat.append_manifest([_mrow(pfx + "lexicon", build_time_s=time.time() - t0)])
@@ -1395,11 +1456,11 @@ def compact_index(
     old_dm_dirs = reg.get("docmap_dirs", ["docmap"])
     if pfx + "docmap" not in done:
         t0 = time.time()
-        cat.write(
-            cat.read(spark, *old_dm_dirs).repartition(max(1, min(par, 32))),
-            dm_name,
-        )
-        cat.append_manifest([_mrow(pfx + "docmap", doc_count=n_docs,
+        dm = cat.read(spark, *old_dm_dirs)
+        if del_df is not None:
+            dm = dm.join(del_df, "doc_id", "left_anti")
+        cat.write(dm.repartition(max(1, min(par, 32))), dm_name)
+        cat.append_manifest([_mrow(pfx + "docmap", doc_count=n_live,
                                    build_time_s=time.time() - t0)])
 
     old_seg_dirs = [s["dir"] for s in reg["segments"]]
@@ -1409,8 +1470,9 @@ def compact_index(
     reg_new = {
         **reg,
         "version": ver,
-        "n_docs": n_docs,
-        "sum_dl": reg["sum_dl"],
+        "n_docs": n_docs,  # id high-water mark, NOT the live count
+        "n_live": n_live,
+        "sum_dl": sum_dl_new,
         "avgdl": avgdl,
         "lexicon_dir": lex_name,
         "segments": [
@@ -1421,13 +1483,19 @@ def compact_index(
             }
         ],
         "docmap_dirs": [dm_name],
-        "token_dirs": reg.get("token_dirs", ["tokens"]),
+        "token_dirs": tok_dirs,
+        # tombstones are now physically purged
+        "deleted_dirs": [],
+        "n_deleted": 0,
     }
     cat.write_registry(reg_new)
-    cat.append_manifest([_mrow(pfx + "commit", doc_count=n_docs, build_time_s=0.0)])
+    cat.append_manifest([_mrow(pfx + "commit", doc_count=n_live, build_time_s=0.0)])
 
     if prune:
-        for d in set(old_seg_dirs + [old_lex_dir] + old_dm_dirs):
+        gone = old_seg_dirs + [old_lex_dir] + old_dm_dirs + old_del_dirs
+        if tok_dirs != old_tok_dirs:
+            gone += old_tok_dirs
+        for d in set(gone):
             shutil.rmtree(cat.path(d), ignore_errors=True)
     return cat
 

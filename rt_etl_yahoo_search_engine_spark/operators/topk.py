@@ -965,12 +965,19 @@ def exhaustive_topk(
     n_docs: int,
     avgdl: float,
     k: int = spec.TOP_K_DEFAULT,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle: score every matching doc, no pruning, no compression.
 
     posting_rows: (term, doc_id, tf, doc_len); qmeta: (query_id, term,
     n_terms, mode) one row per distinct query token.  Output: (query_id,
     rank, doc_id, score) with the canonical tie-break.
+
+    exclude_ids: optional (doc_id) relation removed AFTER scoring and
+    BEFORE ranking — tombstoned docs (operators/deletes.py).  df/idf stay
+    full-corpus on purpose: deleted docs keep counting in the statistics
+    until compaction purges them (Lucene semantics), so this anti-join
+    must not run before the df aggregation above it.
     """
     lex = posting_rows.groupBy("term").agg(F.count("*").alias("df"))
     q = (
@@ -1000,6 +1007,8 @@ def exhaustive_topk(
             | (F.col("n_matched") == F.col("n_terms"))
         )
     )
+    if exclude_ids is not None:
+        scored = scored.join(exclude_ids, "doc_id", "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

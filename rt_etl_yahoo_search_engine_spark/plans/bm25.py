@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import spec
+from ..operators.deletes import deleted_dir_paths, read_deleted_ids
 from ..operators.topk import (
     BatchScorer,
     decode_term_postings_stream,
@@ -301,15 +302,19 @@ def topk(
     corpus_terms = sorted(
         {t for terms, excl in setplan for t in (*terms, *excl)}
     )
+    # tombstoned docs (operators/deletes.py) are masked UNIT-LOCALLY: each
+    # task reads only its own doc range of the doc-id-sorted sidecar
+    del_paths = deleted_dir_paths(cat, reg)
     b_plan = spark.sparkContext.broadcast(
-        (set_terms, set_excls, idf, corpus_terms, mode, k, avgdl)
+        (set_terms, set_excls, idf, corpus_terms, mode, k, avgdl, del_paths)
     )
 
     def score_units(pdfs):
         import pandas as pd
         import pyarrow.dataset as pds
 
-        sets_l, excls_l, idf_l, terms_l, mode_l, k_l, avgdl_l = b_plan.value
+        (sets_l, excls_l, idf_l, terms_l, mode_l, k_l, avgdl_l,
+         del_paths_l) = b_plan.value
         for updf in pdfs:
             for path, factor in zip(updf["path"], updf["factor"]):
                 dset = pds.dataset(path)
@@ -337,25 +342,37 @@ def topk(
                     for t, g in bl.groupby("term", sort=True)
                 }
                 scorer = BatchScorer(tdata, idf_l)
+                deleted = None
+                if del_paths_l:
+                    # this unit's doc range is bounded by the blocks it
+                    # just read (a doc can only score here if some queried
+                    # term's postings contain it here)
+                    deleted = read_deleted_ids(
+                        del_paths_l,
+                        int(bl["first_doc_id"].min()),
+                        int(bl["last_doc_id"].max()),
+                    )
+                    if not len(deleted):
+                        deleted = None
                 masks = None
-                if any(excls_l):
+                if any(excls_l) or deleted is not None:
                     import numpy as np
 
                     # unit-local exclusion doc sets: each unit holds the
                     # complete posting lists for its own doc range, so the
                     # minus-terms' doc ids here ARE the excluded docs here
-                    masks = [
-                        (
-                            np.unique(np.concatenate(ids))
-                            if (ids := [
-                                tdata[t][0]
-                                for t in excl
-                                if t in tdata and len(tdata[t][0])
-                            ])
-                            else None
+                    masks = []
+                    for excl in excls_l:
+                        ids = [
+                            tdata[t][0]
+                            for t in excl
+                            if t in tdata and len(tdata[t][0])
+                        ]
+                        if deleted is not None:
+                            ids.append(deleted)
+                        masks.append(
+                            np.unique(np.concatenate(ids)) if ids else None
                         )
-                        for excl in excls_l
-                    ]
                 si, d, s = scorer.topk_sets(sets_l, k_l, mode_l, masks=masks)
                 if not len(si):
                     continue
@@ -425,4 +442,11 @@ def topk_oracle(
         stats["n_shards"],
         stats["n_buckets"],
     ).select("term", "doc_id", "tf", "doc_len")
-    return exhaustive_topk(rows, qmeta, reg["n_docs"], reg["avgdl"], k)
+    from ..operators.deletes import deleted_ids_df
+
+    # idf over the live count: n_live < n_docs only after a tombstone
+    # purge, whose tokens are already live-only (df matches n_live)
+    return exhaustive_topk(
+        rows, qmeta, reg.get("n_live", reg["n_docs"]), reg["avgdl"], k,
+        exclude_ids=deleted_ids_df(spark, cat, reg),
+    )

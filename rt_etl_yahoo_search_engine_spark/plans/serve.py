@@ -210,6 +210,15 @@ class LocalSearcher:
             )
             for seg in reg["segments"]
         ]
+        # tombstoned docs (operators/deletes.py): the searcher's live-docs
+        # set, loaded once per process — the RAM analog of Lucene's
+        # live-docs bitmap.  A per-shard searcher at scale loads only its
+        # own doc range (read_deleted_ids prunes by doc_id); one process
+        # holds every shard here.
+        from ..operators.deletes import deleted_dir_paths, read_deleted_ids
+
+        d = read_deleted_ids(deleted_dir_paths(cat, reg))
+        self._deleted = d if len(d) else None
         if preload:
             # searcher-node startup: pull this process's shards into memory
             # (per-shard searcher processes at scale; whole index here)
@@ -572,6 +581,12 @@ class LocalSearcher:
             ids = [d[0] for d in edec.values()]
             if ids:
                 mask = ids[0] if len(ids) == 1 else np.unique(np.concatenate(ids))
+        if self._deleted is not None:
+            mask = (
+                self._deleted
+                if mask is None
+                else np.unique(np.concatenate([mask, self._deleted]))
+            )
         # ascending term order == the distributed path's accumulation order
         # -> identical float score per doc
         d, s = self._scorer.topk_set(sorted(decoded), k, mode, n_terms, mask)

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import spec
+from ..operators.deletes import deleted_dir_paths, read_deleted_ids
 from ..operators.topk import decode_term_postings_stream
 from ..sources.catalog import Catalog
 from .bm25 import _POSTINGS_READ_COLS, _shard_units, lexicon_idf
@@ -72,7 +73,7 @@ def _plan(spark, index_root, queries, mode):
         schema="set_idx int, query_id string",
     )
     corpus_terms = sorted({t for terms in setplan for t in terms})
-    return set_terms, map_df, units, corpus_terms
+    return set_terms, map_df, units, corpus_terms, deleted_dir_paths(cat, reg)
 
 
 def _unit_scan(spark, units, body):
@@ -82,8 +83,20 @@ def _unit_scan(spark, units, body):
     return units_df.mapInPandas(*body)
 
 
-def _set_doc_ids(tdata, terms, mode):
-    """Matching doc ids of one term set within one unit (numpy)."""
+def _unit_deleted(del_paths, bl):
+    """This unit's tombstoned doc ids (operators/deletes.py), bounded by
+    the doc range of the blocks it just read — None when there are none."""
+    if not del_paths:
+        return None
+    d = read_deleted_ids(
+        del_paths, int(bl["first_doc_id"].min()), int(bl["last_doc_id"].max())
+    )
+    return d if len(d) else None
+
+
+def _set_doc_ids(tdata, terms, mode, deleted=None):
+    """Matching LIVE doc ids of one term set within one unit (numpy);
+    tombstoned docs never count ("About N results" is the live number)."""
     import numpy as np
 
     arrs = [tdata[t][0] for t in terms if t in tdata]
@@ -95,10 +108,12 @@ def _set_doc_ids(tdata, terms, mode):
             out = np.intersect1d(out, a, assume_unique=True)
             if not len(out):
                 return None
-        return out
-    if not arrs:
-        return None
-    out = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    else:
+        if not arrs:
+            return None
+        out = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    if deleted is not None and len(out):
+        out = np.setdiff1d(out, deleted, assume_unique=True)
     return out if len(out) else None
 
 
@@ -113,14 +128,14 @@ def match_counts(
     plan = _plan(spark, index_root, queries, mode)
     if plan is None:
         return empty
-    set_terms, map_df, units, corpus_terms = plan
-    b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode))
+    set_terms, map_df, units, corpus_terms, del_paths = plan
+    b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode, del_paths))
 
     def count_units(pdfs):
         import pandas as pd
         import pyarrow.dataset as pds
 
-        sets_l, terms_l, mode_l = b.value
+        sets_l, terms_l, mode_l, del_paths_l = b.value
         for updf in pdfs:
             for path in updf["path"]:
                 tbl = pds.dataset(path).to_table(
@@ -135,9 +150,10 @@ def match_counts(
                     t: decode_term_postings_stream(g, 1.0)
                     for t, g in bl.groupby("term", sort=True)
                 }
+                deleted = _unit_deleted(del_paths_l, bl)
                 rows = []
                 for si, terms in enumerate(sets_l):
-                    ids = _set_doc_ids(tdata, terms, mode_l)
+                    ids = _set_doc_ids(tdata, terms, mode_l, deleted)
                     if ids is not None:
                         rows.append((si, len(ids)))
                 if rows:
@@ -165,14 +181,14 @@ def match_docs(
     plan = _plan(spark, index_root, queries, mode)
     if plan is None:
         return empty
-    set_terms, map_df, units, corpus_terms = plan
-    b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode))
+    set_terms, map_df, units, corpus_terms, del_paths = plan
+    b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode, del_paths))
 
     def pair_units(pdfs):
         import pandas as pd
         import pyarrow.dataset as pds
 
-        sets_l, terms_l, mode_l = b.value
+        sets_l, terms_l, mode_l, del_paths_l = b.value
         for updf in pdfs:
             for path in updf["path"]:
                 tbl = pds.dataset(path).to_table(
@@ -187,8 +203,9 @@ def match_docs(
                     t: decode_term_postings_stream(g, 1.0)
                     for t, g in bl.groupby("term", sort=True)
                 }
+                deleted = _unit_deleted(del_paths_l, bl)
                 for si, terms in enumerate(sets_l):
-                    ids = _set_doc_ids(tdata, terms, mode_l)
+                    ids = _set_doc_ids(tdata, terms, mode_l, deleted)
                     if ids is not None:
                         yield pd.DataFrame({"set_idx": si, "doc_id": ids})
 
