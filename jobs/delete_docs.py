@@ -33,17 +33,33 @@ def main(argv=None) -> int:
                    help="parquet table with a `url` column to delete")
     p.add_argument("--doc-id", action="append", type=int, default=[],
                    help="index doc id to delete (repeatable)")
+    p.add_argument("--query",
+                   help="tombstone every matching doc (deleteByQuery)")
+    p.add_argument("--mode", choices=["conjunctive", "disjunctive"],
+                   default="conjunctive",
+                   help="--query match mode (default: docs with ALL terms)")
     args = p.parse_args(argv)
-    given = sum(bool(x) for x in (args.url, args.urls_parquet, args.doc_id))
+    given = sum(
+        bool(x) for x in (args.url, args.urls_parquet, args.doc_id, args.query)
+    )
     if given != 1:
-        p.error("give exactly one of --url(s), --urls-parquet, --doc-id(s)")
+        p.error(
+            "give exactly one of --url(s), --urls-parquet, --doc-id(s), --query"
+        )
 
     from pyspark.sql import SparkSession
 
-    from rt_etl_yahoo_search_engine_spark.operators.deletes import delete_docs
+    from rt_etl_yahoo_search_engine_spark.operators.deletes import (
+        delete_by_query,
+        delete_docs,
+    )
 
     spark = SparkSession.builder.appName("delete-docs").getOrCreate()
     try:
+        if args.query:
+            n = delete_by_query(spark, args.index, args.query, mode=args.mode)
+            print(f"n_newly_tombstoned={n}")
+            return 0
         if args.doc_id:
             n = delete_docs(spark, args.index, doc_ids=args.doc_id)
         elif args.urls_parquet:

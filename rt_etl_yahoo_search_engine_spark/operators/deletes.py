@@ -117,6 +117,39 @@ def delete_docs(
     return n_deleted
 
 
+def delete_by_query(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    mode: str | None = None,
+) -> int:
+    """Tombstone every document matching a search — Lucene's
+    deleteByQuery, the bulk-curation primitive (purge a spam term, a
+    leaked token, a recalled source).  Returns the number of docs newly
+    tombstoned by this call.
+
+    The match set comes from ``plans.stats.match_docs`` (the exact FULL
+    match relation, computed unit-locally — already masked by earlier
+    tombstones, so repeating a delete_by_query is a no-op), then rides
+    the ordinary ``delete_docs`` commit.  Statistics stay frozen until
+    compaction, like every other delete.  mode defaults to conjunctive —
+    "delete docs containing ALL these terms" is the curation intent;
+    pass spec.MODE_DISJUNCTIVE for "ANY of these terms".
+    """
+    from .. import spec as _spec
+    from ..plans.stats import match_docs
+
+    cat = Catalog(index_root)
+    n0 = int(cat.read_registry().get("n_deleted", 0))
+    ids = match_docs(
+        spark,
+        index_root,
+        {"q": query},
+        mode=mode or _spec.MODE_CONJUNCTIVE,
+    ).select("doc_id")
+    return delete_docs(spark, index_root, doc_ids=ids) - n0
+
+
 def update_docs(
     spark: SparkSession,
     index_root: str,

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from rt_etl_yahoo_search_engine_spark import spec
 from rt_etl_yahoo_search_engine_spark.operators.deletes import (
+    delete_by_query,
     delete_docs,
     update_docs,
 )
@@ -198,6 +199,41 @@ def test_delete_then_extend_then_query(spark, tmp_path_factory):
     for qid, text in spec.REFERENCE_QUERIES.items():
         exp = [(r, d) for (q, r), (d, _) in sorted(got.items()) if q == qid]
         assert [(r, d) for r, d, _ in s.search(text, k=10)] == exp
+
+
+def test_delete_by_query(spark, tmp_path_factory):
+    """delete_by_query tombstones the exact full match set of a search
+    (conjunctive by default): the query then matches nothing, other
+    queries lose exactly the overlapping docs with scores frozen, and a
+    repeat of the same delete is a no-op."""
+    tmp = tmp_path_factory.mktemp("delq")
+    pages = str(tmp / "pages")
+    synth_pages_df(spark, N_PAGES, num_partitions=3).write.parquet(pages)
+    root = str(tmp / "idx")
+    build_index(spark, pages, root, n_shards=3, n_buckets=4)
+    qid, text = sorted(spec.REFERENCE_QUERIES.items())[0]
+    pre = _rows(topk(spark, root, spec.REFERENCE_QUERIES, k=40))
+    victims = {
+        r["doc_id"]
+        for r in match_docs(
+            spark, root, {qid: text}, mode=spec.MODE_CONJUNCTIVE
+        ).collect()
+    }
+    assert victims
+    n = delete_by_query(spark, root, text)
+    assert n == len(victims)
+
+    # the deleted query's conjunctive match set is now empty
+    assert not match_docs(
+        spark, root, {qid: text}, mode=spec.MODE_CONJUNCTIVE
+    ).count()
+    # every query's ranking equals pre-delete minus the victims, frozen
+    got = _rows(topk(spark, root, spec.REFERENCE_QUERIES, k=10))
+    assert got == _mask_rerank(pre, victims, k=10)
+    # repeating the delete is a no-op (match set already masked)
+    reg0 = Catalog(root).read_registry()
+    assert delete_by_query(spark, root, text) == 0
+    assert Catalog(root).read_registry() == reg0
 
 
 def test_update_docs_latest_wins(spark, tmp_path_factory):
