@@ -13,6 +13,12 @@ after are score- and rank-identical; all per-segment bound-drift factors
 return to 1.0.  Atomic registry commit; crashed runs resume from manifest
 rows.  --prune deletes the replaced posting/lexicon/docmap directories after
 the commit (staged tokens are always kept).
+
+Compaction is also the physical reclaim point for tombstoned docs
+(jobs/delete_docs.py, jobs/update_docs.py): their token/posting/docmap rows
+are dropped, BM25 statistics are recomputed over the live corpus, and the
+tombstone list resets — afterwards queries equal a fresh build over the
+live documents (doc ids keep their holes; they are never renumbered).
 """
 
 from __future__ import annotations

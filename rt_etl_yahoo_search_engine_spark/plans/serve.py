@@ -192,8 +192,10 @@ class LocalSearcher:
 
         self._ds = ds
         self.root = index_root
+        self._preload = preload
         cat = Catalog(index_root)
         reg = cat.read_registry()
+        self._version = int(reg.get("version", 0))
         self.avgdl = float(reg["avgdl"])
         self.n_docs = int(reg["n_docs"])
         self._lex_ds = ds.dataset(cat.path(reg["lexicon_dir"]))
@@ -594,6 +596,24 @@ class LocalSearcher:
             (r + 1, doc, score)
             for r, (doc, score) in enumerate(zip(d.tolist(), s.tolist()))
         ]
+
+    def refresh(self) -> bool:
+        """Re-open the searcher iff the index advanced — Lucene's
+        reopen-if-changed, the serving loop's visibility mechanism for
+        every commit kind (extension, streaming micro-batch, delete,
+        update, compaction).  Steady-state cost is ONE registry read (the
+        atomic-rename commit file, metadata-scale at any corpus size);
+        on a version change the searcher fully re-initializes — new
+        segment readers and bound factors, fresh live-docs set, caches
+        dropped (their keys may be stale) — against the new registry's
+        consistent snapshot.  Returns True when it re-opened.  Not safe
+        against concurrent in-flight reads of the SAME searcher object;
+        call it between requests (or swap a fresh LocalSearcher in)."""
+        reg = Catalog(self.root).read_registry()
+        if int(reg.get("version", 0)) == self._version:
+            return False
+        self.__init__(self.root, preload=self._preload)
+        return True
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url via a doc_id-isin pruned docmap read (the docmap is

@@ -64,25 +64,55 @@ def _mask_rerank(pre: dict, deleted: set, k: int) -> dict:
 
 @pytest.fixture(scope="module")
 def delidx(spark, tmp_path_factory):
-    """One synth generation; a masked index (delete, no compact) plus the
-    pre-delete baseline and the chosen victims."""
+    """One synth generation; a masked index (delete, no compact, positional
+    sidecar) plus pre-delete baselines (BM25 / phrase / NEAR / match sets)
+    and the chosen victims."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
+    from rt_etl_yahoo_search_engine_spark.plans.near import near_topk
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
+
     tmp = tmp_path_factory.mktemp("deletes")
     pages = str(tmp / "pages")
     synth_pages_df(spark, N_PAGES, num_partitions=3).write.parquet(pages)
     root = str(tmp / "idx")
     build_index(spark, pages, root, n_shards=3, n_buckets=4)
+    build_positions(spark, pages, root)
     # pre-delete state, deep ranking so re-ranking after the mask is exact
     pre = _rows(topk(spark, root, spec.REFERENCE_QUERIES, k=40))
+    qids = sorted({q for q, _ in pre})
+    # a phrase guaranteed to match: a token run lifted from an indexed doc
+    # (REFERENCE_QUERIES texts rarely occur adjacently in synth pages)
+    from rt_etl_yahoo_search_engine_spark.functions.extract import page_text_df
+
+    texts = (
+        Catalog(root).read(spark, "docmap")
+        .join(page_text_df(spark.read.parquet(pages)), "url")
+        .select("doc_id", "text")
+        .collect()
+    )
+    bigram = next(
+        " ".join(spec.tokenize(r["text"])[3:5])
+        for r in sorted(texts, key=lambda r: r["doc_id"])
+        if len(spec.tokenize(r["text"])) >= 8
+    )
+    phrase_q = {"ph": bigram}
+    pre_phrase = _rows(
+        phrase_topk(spark, root, phrase_q, k=40, verify="positions")
+    )
+    pre_near = _rows(near_topk(spark, root, phrase_q, window=8, k=40))
     pre_match: dict = {}
     for r in match_docs(spark, root, spec.REFERENCE_QUERIES).collect():
         pre_match.setdefault(r["query_id"], set()).add(r["doc_id"])
-    # victims: three distinct top-ranked docs (deleting them must actually
-    # change results); first two go by url, the third by doc id
-    qids = sorted({q for q, _ in pre})
+    # victims: three distinct docs that must actually change results —
+    # the phrase plan's #1 hit (if any), then top BM25 ranks; first two
+    # go by url, the third by doc id
     victims: list = []
-    for key in [(qids[0], 1), (qids[1], 1), (qids[0], 2), (qids[1], 2),
-                (qids[0], 3)]:
-        d = pre[key][0]
+    keys = [(qids[0], 1), (qids[1], 1), (qids[0], 2), (qids[1], 2),
+            (qids[0], 3)]
+    for d in ([pre_phrase[("ph", 1)][0]] if ("ph", 1) in pre_phrase
+              else []) + [pre[k][0] for k in keys]:
         if d not in victims:
             victims.append(d)
         if len(victims) == 3:
@@ -94,11 +124,15 @@ def delidx(spark, tmp_path_factory):
     n1 = delete_docs(spark, root, urls=[docmap[d] for d in victims[:2]])
     n2 = delete_docs(spark, root, doc_ids=[victims[2]])
     assert (n1, n2) == (2, 3)
-    return root, pages, pre, pre_match, set(victims)
+    return {
+        "root": root, "pages": pages, "pre": pre, "pre_match": pre_match,
+        "victims": set(victims), "phrase_q": phrase_q,
+        "pre_phrase": pre_phrase, "pre_near": pre_near,
+    }
 
 
 def test_distributed_topk_masks_deleted(spark, delidx):
-    root, _, pre, _, victims = delidx
+    root, pre, victims = delidx["root"], delidx["pre"], delidx["victims"]
     got = _rows(topk(spark, root, spec.REFERENCE_QUERIES, k=10))
     want = _mask_rerank(pre, victims, k=10)
     assert got == want
@@ -106,7 +140,7 @@ def test_distributed_topk_masks_deleted(spark, delidx):
 
 
 def test_oracle_path_masks_deleted(spark, delidx):
-    root, _, pre, _, victims = delidx
+    root, pre, victims = delidx["root"], delidx["pre"], delidx["victims"]
     got = _rows(topk_oracle(spark, root, spec.REFERENCE_QUERIES, k=10))
     want = _mask_rerank(pre, victims, k=10)
     for key in want:
@@ -116,7 +150,7 @@ def test_oracle_path_masks_deleted(spark, delidx):
 
 
 def test_serve_masks_deleted(spark, delidx):
-    root, _, pre, _, victims = delidx
+    root, pre, victims = delidx["root"], delidx["pre"], delidx["victims"]
     s = LocalSearcher(root)
     want = _mask_rerank(pre, victims, k=10)
     for qid, text in spec.REFERENCE_QUERIES.items():
@@ -131,7 +165,9 @@ def test_serve_masks_deleted(spark, delidx):
 
 
 def test_match_stats_exclude_deleted(spark, delidx):
-    root, _, _, pre_match, victims = delidx
+    root, pre_match, victims = (
+        delidx["root"], delidx["pre_match"], delidx["victims"]
+    )
     got_docs: dict = {}
     for r in match_docs(spark, root, spec.REFERENCE_QUERIES).collect():
         got_docs.setdefault(r["query_id"], set()).add(r["doc_id"])
@@ -148,8 +184,34 @@ def test_match_stats_exclude_deleted(spark, delidx):
             assert qid not in got_docs and qid not in counts
 
 
+def test_phrase_and_near_mask_deleted(spark, delidx):
+    """Positional plans inherit the tombstone mask through their candidate
+    retrieval (plans/bm25.topk) and the serving path through its live-docs
+    set: phrase and NEAR results equal pre-delete minus victims, frozen
+    scores.  The fixture guarantees a victim inside the phrase result set."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import near_topk
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
+
+    root, victims = delidx["root"], delidx["victims"]
+    phrase_q, pre_phrase = delidx["phrase_q"], delidx["pre_phrase"]
+    pre_near = delidx["pre_near"]
+    assert any(d in victims for d, _ in pre_phrase.values())
+
+    got = _rows(phrase_topk(spark, root, phrase_q, k=10, verify="positions"))
+    assert got == _mask_rerank(pre_phrase, victims, k=10)
+    got = _rows(near_topk(spark, root, phrase_q, window=8, k=10))
+    assert got == _mask_rerank(pre_near, victims, k=10)
+
+    # serving path agrees (search_phrase routes through the masked scorer)
+    s = LocalSearcher(root)
+    (qid, text), = phrase_q.items()
+    want = _mask_rerank(pre_phrase, victims, k=10)
+    exp = [(r, d) for (q, r), (d, _) in sorted(want.items()) if q == qid]
+    assert [(r, d) for r, d, _ in s.search_phrase(text, k=10)] == exp
+
+
 def test_delete_idempotent_and_unknown_noop(spark, delidx):
-    root, _, _, _, victims = delidx
+    root, victims = delidx["root"], delidx["victims"]
     reg0 = Catalog(root).read_registry()
     # re-deleting the same doc and deleting an unknown url change nothing
     n = delete_docs(spark, root, doc_ids=[sorted(victims)[0]])
@@ -161,7 +223,7 @@ def test_delete_idempotent_and_unknown_noop(spark, delidx):
 
 
 def test_delete_requires_exactly_one_selector(spark, delidx):
-    root = delidx[0]
+    root = delidx["root"]
     with pytest.raises(ValueError):
         delete_docs(spark, root)
     with pytest.raises(ValueError):
@@ -199,6 +261,38 @@ def test_delete_then_extend_then_query(spark, tmp_path_factory):
     for qid, text in spec.REFERENCE_QUERIES.items():
         exp = [(r, d) for (q, r), (d, _) in sorted(got.items()) if q == qid]
         assert [(r, d) for r, d, _ in s.search(text, k=10)] == exp
+
+
+def test_searcher_refresh_sees_new_commits(spark, tmp_path_factory):
+    """LocalSearcher.refresh (Lucene's reopen-if-changed): a no-op while
+    nothing committed, the open searcher keeps serving its stale snapshot
+    across a delete commit, and one refresh() makes the tombstones
+    visible with scores frozen."""
+    tmp = tmp_path_factory.mktemp("refresh")
+    pages = str(tmp / "pages")
+    synth_pages_df(spark, 120, num_partitions=2).write.parquet(pages)
+    root = str(tmp / "idx")
+    build_index(spark, pages, root, n_shards=2, n_buckets=4)
+    s = LocalSearcher(root)
+    qid, text = sorted(spec.REFERENCE_QUERIES.items())[0]
+    pre = s.search(text, k=6)
+    assert pre
+    victim = pre[0][1]
+    assert s.refresh() is False  # nothing committed since open
+
+    delete_docs(spark, root, doc_ids=[victim])
+    # the open searcher still serves its snapshot (live-docs set cached)
+    assert s.search(text, k=6) == pre
+    assert s.refresh() is True
+    post = s.search(text, k=5)
+    want = [
+        (i + 1, d, sc)
+        for i, (_, d, sc) in enumerate(
+            [row for row in pre if row[1] != victim][:5]
+        )
+    ]
+    assert post == want
+    assert s.refresh() is False  # idempotent until the next commit
 
 
 def test_delete_by_query(spark, tmp_path_factory):
