@@ -41,6 +41,8 @@ DOC_QUERIES = {
     "d5": "slow scan filter",
 }
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+MLT_N_SEEDS = 5
+MLT_MAX_TERMS = 10
 
 # Minus-terms for the exclusion entry: tokens that DO occur in the corpus
 # (they are other queries' terms) plus one out-of-vocab no-op control.
@@ -555,6 +557,74 @@ def _q_bm25_serve(spark, sf_dir):
     )
 
 
+def _q_mlt_topk(spark, sf_dir):
+    """More-Like-This (plans/mlt.mlt_topk — Lucene MoreLikeThis parity):
+    seeds are the 5 smallest en documents; each seed's top-10 terms by
+    tf·idf (lexicon idf, term-asc ties) run as ONE disjunctive BM25 batch
+    with the seed itself excluded and ranks renumbered.  Term vectors come
+    from a doc_id-pruned driver-side read of the staged tokens table."""
+    from rt_etl_yahoo_search_engine_spark.plans.mlt import mlt_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    orig = sorted(
+        r["doc_id"]
+        for r in _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .limit(MLT_N_SEEDS)
+        .collect()
+    )
+    urls = {f"{d:012d}": i for i, d in enumerate(orig)}
+    seeds = {
+        f"m{urls[r['url']]}": r["doc_id"]
+        for r in Catalog(root)
+        .read(spark, "docmap")
+        .filter(F.col("url").isin(list(urls)))
+        .collect()
+    }
+    out = mlt_topk(
+        spark, root, seeds, k=10, max_terms=MLT_MAX_TERMS, with_url=True
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_explain(spark, sf_dir):
+    """Score explanation (plans/explain — Lucene IndexSearcher.explain):
+    the per-term BM25 breakdown of each DOC_QUERY's rank-1 doc, read
+    driver-side from the lexicon + the single posting block holding the
+    doc.  tf, df, doc_len, idf and weight are value-checked against the
+    oracle's closed-form recomputation; the weights sum to the search
+    paths' score bit-identically (tests/test_explain.py)."""
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+    from rt_etl_yahoo_search_engine_spark.plans.explain import explain
+
+    root = _index_for(spark, sf_dir)
+    top1 = {
+        r["query_id"]: r["doc_id"]
+        for r in topk(spark, root, DOC_QUERIES, k=1).collect()
+    }
+    rows = []
+    for qid in sorted(top1):
+        ex = explain(root, DOC_QUERIES[qid], top1[qid])
+        for t in ex["terms"]:
+            rows.append(
+                (qid, t["term"], int(t["tf"]), int(t["df"]),
+                 int(ex["doc_len"]), round(t["idf"], 6),
+                 round(t["weight"], 6))
+            )
+    return spark.createDataFrame(
+        rows,
+        schema="query_id string, term string, tf int, df long, "
+               "doc_len int, idf double, weight double",
+    )
+
+
 def _q_scan_filter_project(spark, sf_dir):
     return (
         _read(spark, sf_dir, "orders")
@@ -867,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_counts": _q_match_counts,
         "facet_counts": _q_facet_counts,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "mlt_topk": _q_mlt_topk,
+        "bm25_explain_top1": _q_bm25_explain,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1033,6 +1105,83 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
       FROM scored s JOIN qn ON s.query_id = qn.query_id
       WHERE {pred})
 WHERE rank <= 10
+"""
+
+
+_BM25_CORE_CTES = """
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl)"""
+
+_BM25_WEIGHT_EXPR = """ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl))"""
+
+
+def _mlt_sql() -> str:
+    """More-Like-This: top-MLT_MAX_TERMS tf·idf terms of each of the 5
+    smallest en docs, scored disjunctively, the seed excluded."""
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE lang = 'en'),
+seeds AS (SELECT 'm' || CAST(row_number() OVER (ORDER BY doc_id) - 1 AS VARCHAR)
+                 AS query_id, doc_id AS seed
+          FROM (SELECT doc_id FROM docs ORDER BY doc_id LIMIT {MLT_N_SEEDS})),
+{_BM25_CORE_CTES},
+sel AS (SELECT se.query_id, tf.term,
+               row_number() OVER (PARTITION BY se.query_id
+                 ORDER BY tf.tf * ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0) DESC,
+                          tf.term ASC) AS rn
+        FROM seeds se JOIN tf ON tf.doc_id = se.seed JOIN lex USING (term), st),
+qterms AS (SELECT query_id, term FROM sel WHERE rn <= {MLT_MAX_TERMS}),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN seeds se ON se.query_id = s.query_id
+      WHERE s.doc_id <> se.seed)
+WHERE rank <= 10
+"""
+
+
+def _explain_sql() -> str:
+    """Per-term BM25 breakdown of each DOC_QUERY's rank-1 doc: closed-form
+    tf/df/doc_len/idf/weight — every component value-checked."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+top1 AS (SELECT query_id, doc_id
+         FROM (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id ASC) AS rank
+               FROM scored)
+         WHERE rank = 1)
+SELECT t.query_id, q.term,
+       CAST(tf.tf AS INTEGER) AS tf,
+       CAST(lex.df AS BIGINT) AS df,
+       CAST(dl.doc_len AS INTEGER) AS doc_len,
+       ROUND(ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0), 6) AS idf,
+       ROUND({_BM25_WEIGHT_EXPR}, 6) AS weight
+FROM top1 t
+JOIN qterms q ON q.query_id = t.query_id
+JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.term
+JOIN lex ON lex.term = q.term
+JOIN dl ON dl.doc_id = t.doc_id, st
 """
 
 
@@ -1525,6 +1674,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "match_counts": _match_counts_sql(),
         "facet_counts": _facet_counts_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "mlt_topk": _mlt_sql(),
+        "bm25_explain_top1": _explain_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -615,6 +615,24 @@ class LocalSearcher:
         self.__init__(self.root, preload=self._preload)
         return True
 
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        mode: str = spec.MODE_DISJUNCTIVE,
+        exclude: str | None = None,
+    ) -> dict | None:
+        """Lucene's IndexSearcher.explain: the per-term BM25 breakdown of
+        one document's score for a query (plans/explain.explain), or None
+        when the doc wouldn't match.  The total is bit-identical to this
+        searcher's search() score for the same pair.  Reads the index
+        files directly against the CURRENT registry (a debugging path —
+        one pruned read per call, no caches), so after a commit it sees
+        the new state even before refresh()."""
+        from .explain import explain as _explain
+
+        return _explain(self.root, query, doc_id, mode=mode, exclude=exclude)
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url via a doc_id-isin pruned docmap read (the docmap is
         written in doc_id order, so parquet min/max stats prune to the hit
