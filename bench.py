@@ -70,6 +70,21 @@ WEBTEXT_DOCS_PER_SF = 120_000  # sf0.1 -> 12,000 html pages
 # docs); the leg program is byte-equivalent.  Rep pair at 094f5cd
 # (2026-08-19, reversed order 4-then-1) lands inside the pooled leg
 # distribution.
+# 5de1819..1274b97 (deletes/upserts, delete-by-query): the BUILD job is
+# byte-equivalent at the executed-code level (the only changed hunk in
+# build_index's path is an empty-input ternary in build_docmap, which the
+# url_ordered leg never calls — everything else is new extend/compact/
+# delete functions the leg never imports); the QUERY job gained the
+# tombstone-mask plumbing in score_units (empty mask in legs), verified
+# by 4 interleaved same-box-state A/B rep pairs in BOTH leg orders on
+# 2026-08-19 ("ab": true): min 4-cpu query 42.355 s (HEAD) vs 42.594 s
+# (23c0dc3), min build 100.54 vs 96.92 — query at parity-or-better, build
+# inside the box's noise band with mixed pair signs (+4.3/+4.1/-14.7/+71 %).
+# 51a6023/ccceb01/4f084e8/4e62589: file-diff argument — new job
+# (index_stats), docs, tests, and serve/mlt/explain surfaces the leg only
+# touches AFTER its timed phases (LocalSearcher is constructed only when
+# scaling_only is false; plans/mlt.py, plans/explain.py are never
+# imported by the leg).
 JOB_EQUIV_REVS = {
     "85b58ce": "23c0dc3",
     "a192007": "23c0dc3",
@@ -80,6 +95,12 @@ JOB_EQUIV_REVS = {
     "74d2cd2": "23c0dc3",
     "094f5cd": "23c0dc3",
     "813ae66": "23c0dc3",
+    "5de1819": "23c0dc3",
+    "1274b97": "23c0dc3",
+    "51a6023": "23c0dc3",
+    "ccceb01": "23c0dc3",
+    "4f084e8": "23c0dc3",
+    "4e62589": "23c0dc3",
 }
 
 
