@@ -43,6 +43,7 @@ DOC_QUERIES = {
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 MLT_N_SEEDS = 5
 MLT_MAX_TERMS = 10
+SUGGEST_INPUTS = ["joinx", "windom", "vectr", "custmr", "filtrr"]
 
 # Minus-terms for the exclusion entry: tokens that DO occur in the corpus
 # (they are other queries' terms) plus one out-of-vocab no-op control.
@@ -625,6 +626,48 @@ def _q_bm25_explain(spark, sf_dir):
     )
 
 
+def _q_spell_suggest(spark, sf_dir):
+    """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
+    for each input token ABSENT from the corpus vocabulary, the closest
+    in-vocabulary terms ranked (edit distance asc, df desc, term asc).
+    Plain edit distance == DuckDB's levenshtein(), so the oracle is
+    bit-faithful."""
+    from rt_etl_yahoo_search_engine_spark.plans.suggest import suggest
+
+    root = _index_for(spark, sf_dir)
+    got = suggest(root, " ".join(SUGGEST_INPUTS), max_dist=2, per_term=3)
+    rows = [
+        (t, i + 1, s, int(df), int(d))
+        for t in sorted(got)
+        for i, (s, df, d) in enumerate(got[t])
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="term_in string, rank int, suggestion string, df long, dist int",
+    )
+
+
+def _q_significant_terms(spark, sf_dir):
+    """Significant terms over each DOC_QUERY's exact match set
+    (plans/sigterms — ES significant_terms, JLH heuristic): foreground
+    counts from the tokens⋈match-relation join, background from the
+    lexicon df; (fg-bg)·(fg/bg), min_hits_df=2 noise gate."""
+    from rt_etl_yahoo_search_engine_spark.plans.sigterms import (
+        significant_terms,
+    )
+
+    root = _index_for(spark, sf_dir)
+    out = significant_terms(spark, root, DOC_QUERIES, k=10, min_hits_df=2)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("df_hits").cast("long").alias("df_hits"),
+        F.col("df_corpus").cast("long").alias("df_corpus"),
+        F.round("jlh", 6).alias("jlh"),
+    )
+
+
 def _q_scan_filter_project(spark, sf_dir):
     return (
         _read(spark, sf_dir, "orders")
@@ -939,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "mlt_topk": _q_mlt_topk,
         "bm25_explain_top1": _q_bm25_explain,
+        "spell_suggest": _q_spell_suggest,
+        "significant_terms": _q_significant_terms,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1182,6 +1227,61 @@ JOIN qterms q ON q.query_id = t.query_id
 JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.term
 JOIN lex ON lex.term = q.term
 JOIN dl ON dl.doc_id = t.doc_id, st
+"""
+
+
+def _suggest_sql() -> str:
+    """Closest vocabulary terms per OOV input, DuckDB levenshtein()."""
+    vals = ", ".join(f"('{t}')" for t in SUGGEST_INPUTS)
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+inputs(term_in) AS (VALUES {vals}),
+cand AS (SELECT i.term_in, lex.term AS suggestion, lex.df,
+                levenshtein(i.term_in, lex.term) AS dist
+         FROM inputs i CROSS JOIN lex
+         WHERE levenshtein(i.term_in, lex.term) <= 2
+           AND i.term_in NOT IN (SELECT term FROM lex))
+SELECT term_in, CAST(rank AS INTEGER) AS rank, suggestion,
+       CAST(df AS BIGINT) AS df, CAST(dist AS INTEGER) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY term_in
+              ORDER BY dist ASC, df DESC, suggestion ASC) AS rank FROM cand)
+WHERE rank <= 3
+"""
+
+
+def _sigterms_sql() -> str:
+    """JLH significant terms of each query's exact disjunctive match set."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n_docs FROM docs),
+matched AS (SELECT DISTINCT q.query_id, tf.doc_id
+            FROM tf JOIN qterms q USING (term)),
+nh AS (SELECT query_id, count(*) AS n_hits FROM matched GROUP BY query_id),
+ht AS (SELECT m.query_id, tf.term, count(*) AS df_hits
+       FROM matched m JOIN tf ON tf.doc_id = m.doc_id
+       GROUP BY m.query_id, tf.term),
+j AS (SELECT ht.query_id, ht.term, ht.df_hits, lex.df AS df_corpus,
+             ((CAST(ht.df_hits AS DOUBLE) / nh.n_hits)
+                - (CAST(lex.df AS DOUBLE) / st.n_docs))
+             * ((CAST(ht.df_hits AS DOUBLE) / nh.n_hits)
+                / (CAST(lex.df AS DOUBLE) / st.n_docs)) AS jlh
+      FROM ht JOIN lex USING (term) JOIN nh USING (query_id), st
+      WHERE ht.df_hits >= 2)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(df_hits AS BIGINT) AS df_hits,
+       CAST(df_corpus AS BIGINT) AS df_corpus, ROUND(jlh, 6) AS jlh
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY jlh DESC, term ASC) AS rank FROM j)
+WHERE rank <= 10
 """
 
 
@@ -1676,6 +1776,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "mlt_topk": _mlt_sql(),
         "bm25_explain_top1": _explain_sql(),
+        "spell_suggest": _suggest_sql(),
+        "significant_terms": _sigterms_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000
