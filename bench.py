@@ -101,6 +101,7 @@ JOB_EQUIV_REVS = {
     "ccceb01": "23c0dc3",
     "4f084e8": "23c0dc3",
     "4e62589": "23c0dc3",
+    "59e7ab9": "23c0dc3",  # new plans/{suggest,sigterms}.py — leg never imports
 }
 
 
