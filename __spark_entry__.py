@@ -626,6 +626,35 @@ def _q_bm25_explain(spark, sf_dir):
     )
 
 
+def _q_facet_stats(spark, sf_dir):
+    """ES stats-inside-terms aggregation over each DOC_QUERY's exact match
+    set (plans/stats.facet_stats): n / min / max / sum / avg of `n_chars`
+    per `source` bucket — the analytics sidebar next to a hit list."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import facet_stats
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+        "n_chars",
+    )
+    attrs = (
+        Catalog(root).read(spark, "docmap").join(src, "url")
+        .select("doc_id", "n_chars", "source")
+    )
+    out = facet_stats(spark, root, DOC_QUERIES, attrs, "n_chars", "source")
+    return out.select(
+        "query_id",
+        F.col("source").alias("facet"),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_v").cast("long").alias("min_chars"),
+        F.col("max_v").cast("long").alias("max_chars"),
+        F.col("sum_v").cast("long").alias("sum_chars"),
+        F.round("avg_v", 6).alias("avg_chars"),
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -984,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain_top1": _q_bm25_explain,
         "spell_suggest": _q_spell_suggest,
         "significant_terms": _q_significant_terms,
+        "facet_stats": _q_facet_stats,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1227,6 +1257,27 @@ JOIN qterms q ON q.query_id = t.query_id
 JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.term
 JOIN lex ON lex.term = q.term
 JOIN dl ON dl.doc_id = t.doc_id, st
+"""
+
+
+def _facet_stats_sql() -> str:
+    """n/min/max/sum/avg of n_chars per source over each query's exact
+    disjunctive match set (sum CAST to BIGINT — DuckDB widens to HUGEINT)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+matched AS (SELECT DISTINCT q.query_id, tf.doc_id
+            FROM tf JOIN qterms q USING (term))
+SELECT m.query_id, d.source AS facet, count(*) AS n,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       ROUND(avg(d.n_chars), 6) AS avg_chars
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.source
 """
 
 
@@ -1778,6 +1829,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "bm25_explain_top1": _explain_sql(),
         "spell_suggest": _suggest_sql(),
         "significant_terms": _sigterms_sql(),
+        "facet_stats": _facet_stats_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -230,3 +230,41 @@ def facet_counts(
         .groupBy("query_id", F.col(facet_col).alias("facet"))
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def facet_stats(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    facet_col: str | None = None,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Numeric aggregations over the exact match set — Elasticsearch's
+    `stats` aggregation (optionally bucketed by a terms facet, the
+    stats-inside-terms composition every analytics sidebar uses):
+    (query_id[, facet], n, min_v, max_v, sum_v, avg_v) of `value_col`
+    across each query's hit docs.
+
+    `attrs` is a doc-keyed (doc_id, <value_col>[, <facet_col>]) table;
+    the join/groupBy shape (and its 100 TB story) is exactly
+    facet_counts' — narrow match-relation rows joined to the attribute
+    table, map-side partial aggregation, nothing corpus-scale after the
+    join.  Hit docs with a NULL value count toward n but not the
+    numeric aggregates (SQL aggregate semantics, same as ES treating
+    missing values as absent)."""
+    cols = ["doc_id", value_col] + ([facet_col] if facet_col else [])
+    keys = ["query_id"] + ([facet_col] if facet_col else [])
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select(*cols), "doc_id")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.sum(value_col).alias("sum_v"),
+            F.avg(value_col).alias("avg_v"),
+        )
+    )

@@ -117,6 +117,35 @@ def test_matches_containment_oracle(spark, search_index, query, mode):
     assert got == want, (query, mode)
 
 
+def test_es_bool_query_mapping(spark, search_index):
+    """The Elasticsearch one-level bool query maps onto the search syntax
+    with no new machinery: must -> quoted single terms (conjunctive by
+    construction), should -> plain terms (scored when present), must_not
+    -> minus terms.  {must: [alpha, beta], should: [epsilon], must_not:
+    [delta]} == '"alpha" "beta" epsilon -delta', and the scores are the
+    plain BM25 path over the positive tokens — ES's sum-of-matching-
+    clauses semantics for term queries."""
+    root, docmap = search_index
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_topk(
+            spark, root, {"q": '"alpha" "beta" epsilon -delta'}, k=10
+        ).collect()
+    }
+    want_docs = {
+        u for u, seq in TOKS.items()
+        if {"alpha", "beta"} <= set(seq) and "delta" not in seq
+    }
+    assert set(got) == {docmap[u] for u in want_docs} and got  # d2, d3
+    full = {
+        r["doc_id"]: r["score"]
+        for r in bm25.topk(
+            spark, root, {"q": "alpha beta epsilon"}, k=len(DOCS)
+        ).collect()
+    }
+    assert got == {d: full[d] for d in got}
+
+
 def test_scores_equal_plain_bm25_over_positive_tokens(spark, search_index):
     root, _ = search_index
     query = 'alpha "beta gamma" -epsilon'

@@ -111,6 +111,44 @@ def test_facet_counts(spark, stats_index):
     assert got == want
 
 
+def test_facet_stats(spark, stats_index):
+    from rt_etl_yahoo_search_engine_spark.plans.stats import facet_stats
+
+    root, docmap = stats_index
+    nchars = {u: len(t) for u, t, _ in DOCS}
+    attrs = spark.createDataFrame(
+        [(docmap[u], nchars[u], SRC[u]) for u in TOKS],
+        "doc_id long, n_chars long, source string",
+    )
+    # bucketed by facet
+    got = {
+        (r["query_id"], r["source"]): (
+            r["n"], r["min_v"], r["max_v"], r["sum_v"], r["avg_v"]
+        )
+        for r in facet_stats(
+            spark, root, QUERIES, attrs, "n_chars", "source"
+        ).collect()
+    }
+    want = {}
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        for u in hits:
+            want.setdefault((qid, SRC[u]), []).append(nchars[u])
+    assert got == {
+        k: (len(v), min(v), max(v), sum(v), sum(v) / len(v))
+        for k, v in want.items()
+    }
+    # unbucketed (one stats row per query)
+    got1 = {
+        r["query_id"]: (r["n"], r["min_v"], r["max_v"])
+        for r in facet_stats(
+            spark, root, QUERIES, attrs, "n_chars"
+        ).collect()
+    }
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        vals = [nchars[u] for u in hits]
+        assert got1[qid] == (len(vals), min(vals), max(vals))
+
+
 def test_counts_consistent_with_match_docs(spark, stats_index):
     root, _ = stats_index
     n = {
