@@ -102,6 +102,7 @@ JOB_EQUIV_REVS = {
     "4f084e8": "23c0dc3",
     "4e62589": "23c0dc3",
     "59e7ab9": "23c0dc3",  # new plans/{suggest,sigterms}.py — leg never imports
+    "96f7f41": "23c0dc3",  # stats.facet_stats addition — leg never calls it
 }
 
 
