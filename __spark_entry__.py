@@ -44,6 +44,12 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 MLT_N_SEEDS = 5
 MLT_MAX_TERMS = 10
 SUGGEST_INPUTS = ["joinx", "windom", "vectr", "custmr", "filtrr"]
+WILDCARD_QUERIES = {
+    "wc1": "jo*n",
+    "wc2": "w?ndow* vector",
+    "wc3": "*an",
+    "wc4": "c?st*r sl?w",
+}
 
 # Minus-terms for the exclusion entry: tokens that DO occur in the corpus
 # (they are other queries' terms) plus one out-of-vocab no-op control.
@@ -626,6 +632,25 @@ def _q_bm25_explain(spark, sf_dir):
     )
 
 
+def _q_wildcard_topk(spark, sf_dir):
+    """Wildcard queries (plans/wildcard — Lucene WildcardQuery): each
+    pattern expands to the matching corpus terms (prefix-range lexicon
+    read when the pattern has a literal prefix, one vocab column scan for
+    leading wildcards; max_expand=None so the oracle's LIKE expansion is
+    the same set) and the expansions score as ordinary disjunctive BM25
+    contributions."""
+    from rt_etl_yahoo_search_engine_spark.plans.wildcard import wildcard_topk
+
+    root = _index_for(spark, sf_dir)
+    out = wildcard_topk(spark, root, WILDCARD_QUERIES, k=10, with_url=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_facet_stats(spark, sf_dir):
     """ES stats-inside-terms aggregation over each DOC_QUERY's exact match
     set (plans/stats.facet_stats): n / min / max / sum / avg of `n_chars`
@@ -1014,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "significant_terms": _q_significant_terms,
         "facet_stats": _q_facet_stats,
+        "wildcard_topk": _q_wildcard_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1257,6 +1283,37 @@ JOIN qterms q ON q.query_id = t.query_id
 JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.term
 JOIN lex ON lex.term = q.term
 JOIN dl ON dl.doc_id = t.doc_id, st
+"""
+
+
+def _wildcard_sql() -> str:
+    """Each pattern's LIKE expansion over the vocabulary ('*'->'%',
+    '?'->'_'; terms are [a-z0-9]+ so no LIKE escaping is needed), scored
+    as disjunctive BM25 — exactly plans/wildcard.wildcard_topk with
+    max_expand=None."""
+    pats = ", ".join(
+        f"('{qid}', '{w.replace('*', '%').replace('?', '_')}')"
+        for qid, text in WILDCARD_QUERIES.items()
+        for w in text.split()
+    )
+    return f"""
+WITH pats(query_id, pat) AS (VALUES {pats}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+qterms AS (SELECT DISTINCT p.query_id, lex.term
+           FROM pats p JOIN lex ON lex.term LIKE p.pat),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s)
+WHERE rank <= 10
 """
 
 
@@ -1830,6 +1887,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "spell_suggest": _suggest_sql(),
         "significant_terms": _sigterms_sql(),
         "facet_stats": _facet_stats_sql(),
+        "wildcard_topk": _wildcard_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000
