@@ -103,6 +103,7 @@ JOB_EQUIV_REVS = {
     "4e62589": "23c0dc3",
     "59e7ab9": "23c0dc3",  # new plans/{suggest,sigterms}.py — leg never imports
     "96f7f41": "23c0dc3",  # stats.facet_stats addition — leg never calls it
+    "146bf00": "23c0dc3",  # new plans/wildcard.py — leg never imports it
 }
 
 
