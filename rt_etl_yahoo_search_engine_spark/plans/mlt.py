@@ -72,6 +72,8 @@ def interesting_terms(
             if tf >= min_tf:
                 vecs[d].append((t, tf))
     all_terms = sorted({t for v in vecs.values() for t, _ in v})
+    if not all_terms:  # every seed absent: isin([]) would infer null type
+        return {qid: [] for qid in seeds}
     idf = bm25.lexicon_idf(cat, reg, all_terms)
     if min_df > 1:
         # df back from the BM25 idf is monotone; read df directly instead

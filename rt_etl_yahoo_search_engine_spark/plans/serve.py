@@ -633,6 +633,48 @@ class LocalSearcher:
 
         return _explain(self.root, query, doc_id, mode=mode, exclude=exclude)
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = spec.TOP_K_DEFAULT,
+        max_terms: int = 10,
+        min_tf: int = 1,
+        min_df: int = 1,
+    ) -> list[tuple[int, int, float]]:
+        """Sparkless More-Like-This: the seed doc's interesting terms
+        (plans/mlt.interesting_terms — doc-id-pruned pyarrow reads, no
+        Spark job) scored by THIS searcher, the seed excluded and ranks
+        renumbered.  Rank-identical to plans/mlt.mlt_topk (same term
+        selection, same scorer) — ms-latency "related results" next to a
+        hit.  Term vectors read the CURRENT index files (like explain);
+        the retrieval uses this searcher's snapshot."""
+        from .mlt import interesting_terms
+
+        terms = interesting_terms(
+            self.root, {"q": int(doc_id)},
+            max_terms=max_terms, min_tf=min_tf, min_df=min_df,
+        )["q"]
+        if not terms:
+            return []
+        hits = self.search(" ".join(terms), k=k + 1)
+        return [
+            (i + 1, d, s)
+            for i, (_, d, s) in enumerate(
+                [row for row in hits if row[1] != int(doc_id)][:k]
+            )
+        ]
+
+    def suggest(
+        self, text: str, max_dist: int = 2, per_term: int = 3
+    ) -> dict[str, list[tuple[str, int, int]]]:
+        """Did-you-mean for a query box (plans/suggest.suggest): for each
+        tokenized word of `text` absent from the vocabulary, the closest
+        in-vocabulary terms as (suggestion, df, dist), ranked (dist asc,
+        df desc, term asc).  Sparkless — lexicon reads only."""
+        from .suggest import suggest as _suggest
+
+        return _suggest(self.root, text, max_dist=max_dist, per_term=per_term)
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id -> url via a doc_id-isin pruned docmap read (the docmap is
         written in doc_id order, so parquet min/max stats prune to the hit

@@ -111,6 +111,25 @@ def test_mlt_excludes_seed_and_reranks(spark, mlt_index):
     assert all(d != seeds[q] for (q, _), (d, _) in got.items())
 
 
+def test_serve_mlt_matches_distributed(spark, mlt_index):
+    """LocalSearcher.more_like_this (Sparkless) is rank- and score-
+    identical to plans/mlt.mlt_topk for the same seed/params."""
+    from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
+
+    root, docmap = mlt_index
+    seeds = {"q": docmap["u0"], "r": docmap["u4"]}
+    want: dict = {}
+    for r in mlt_topk(spark, root, seeds, k=4, max_terms=3).collect():
+        want.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    s = LocalSearcher(root)
+    for qid, seed in seeds.items():
+        got = s.more_like_this(seed, k=4, max_terms=3)
+        assert got == sorted(want.get(qid, []))
+    assert s.more_like_this(10_000) == []  # absent seed
+
+
 def test_mlt_with_url_and_absent_seed(spark, mlt_index):
     root, docmap = mlt_index
     out = mlt_topk(

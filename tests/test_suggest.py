@@ -63,6 +63,13 @@ def test_suggest_ranks_by_dist_df_term(spark, sidx):
     assert dists == sorted(dists)
 
 
+def test_serve_suggest_delegates(spark, sidx):
+    from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
+
+    s = LocalSearcher(sidx)
+    assert s.suggest("grap") == suggest(sidx, "grap")
+
+
 def test_suggest_in_vocab_and_empty(spark, sidx):
     got = suggest(sidx, "grape zzzzzzzz", max_dist=2, per_term=3)
     assert got["grape"] == []  # in vocabulary: not misspelled
