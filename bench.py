@@ -104,6 +104,8 @@ JOB_EQUIV_REVS = {
     "59e7ab9": "23c0dc3",  # new plans/{suggest,sigterms}.py — leg never imports
     "96f7f41": "23c0dc3",  # stats.facet_stats addition — leg never calls it
     "146bf00": "23c0dc3",  # new plans/wildcard.py — leg never imports it
+    "baa9928": "23c0dc3",  # serve MLT/suggest methods + mlt guard — leg's
+                           # timed phases never import serve.py or mlt.py
 }
 
 
