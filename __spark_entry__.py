@@ -680,6 +680,79 @@ def _q_facet_stats(spark, sf_dir):
     )
 
 
+def _q_collapse_topk(spark, sf_dir):
+    """Field collapsing (plans/collapse — ES `collapse`): top-10 hits per
+    DOC_QUERY keeping only the best-scoring doc per `source` key, exact
+    over the FULL scored match relation (plans/stats.score_docs), not a
+    retrieve-window approximation."""
+    from rt_etl_yahoo_search_engine_spark.plans.collapse import collapsed_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+    )
+    collapse = dm.join(src, "url").select("doc_id", "source")
+    out = collapsed_topk(spark, root, DOC_QUERIES, collapse, k=10)
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("key"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_search_page(spark, sf_dir):
+    """Deep paging (plans/paginate.topk_page — ES from/size): page 2 of
+    5-per-page results, i.e. absolute ranks 6..15, sliced from the same
+    scan-side top-k' plan as page 1."""
+    from rt_etl_yahoo_search_engine_spark.plans.paginate import topk_page
+
+    root = _index_for(spark, sf_dir)
+    out = topk_page(
+        spark, root, DOC_QUERIES, k=10, page_from=5, with_url=True
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_search_after(spark, sf_dir):
+    """Cursor paging (plans/paginate.search_after — ES search_after):
+    fetch the first 3 hits, then the next 10 strictly after each query's
+    (score, doc_id) cursor — exact at any depth, cursors chained from the
+    engine's own page-1 output."""
+    from rt_etl_yahoo_search_engine_spark.plans.paginate import search_after
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    cursors = {}
+    for r in search_after(spark, root, DOC_QUERIES, k=3).collect():
+        cur = cursors.get(r["query_id"])
+        if cur is None or (-r["score"], r["doc_id"]) > (-cur[0], cur[1]):
+            cursors[r["query_id"]] = (r["score"], r["doc_id"])
+    out = search_after(spark, root, DOC_QUERIES, cursors=cursors, k=10)
+    dm = Catalog(root).read(spark, "docmap")
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -1040,6 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "facet_stats": _q_facet_stats,
         "wildcard_topk": _q_wildcard_topk,
+        "collapse_topk": _q_collapse_topk,
+        "search_page_topk": _q_search_page,
+        "search_after_topk": _q_search_after,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1163,11 +1239,14 @@ def _qexcl_values() -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(mode: str, exclude: bool = False, deleted: str | None = None) -> str:
+def _bm25_sql(mode: str, exclude: bool = False, deleted: str | None = None,
+              page_from: int = 0, k: int = 10) -> str:
     """deleted='mask': docs with id % 7 == 0 removed AFTER scoring, BEFORE
     ranking — statistics still count them (the tombstoned index's Lucene
     semantics).  deleted='purge': those docs gone from the corpus itself —
-    statistics are the live corpus's (the post-compaction index)."""
+    statistics are the live corpus's (the post-compaction index).
+    page_from/k: ranks page_from+1 .. page_from+k (ES from/size; ranks
+    stay absolute — plans/paginate.topk_page)."""
     pred = "TRUE" if mode == "disjunctive" else "s.matched = qn.n_terms"
     if exclude:
         pred += """ AND NOT EXISTS (
@@ -1205,7 +1284,7 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
                                 ORDER BY s.score DESC, s.doc_id ASC) AS rank
       FROM scored s JOIN qn ON s.query_id = qn.query_id
       WHERE {pred})
-WHERE rank <= 10
+WHERE rank > {page_from} AND rank <= {page_from + k}
 """
 
 
@@ -1250,6 +1329,60 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
       FROM scored s JOIN seeds se ON se.query_id = s.query_id
       WHERE s.doc_id <> se.seed)
 WHERE rank <= 10
+"""
+
+
+def _collapse_sql() -> str:
+    """Field collapsing: full disjunctive BM25 match relation, best doc
+    per (query, source) — score desc, doc_id asc — then top-10 collapsed
+    results per query (plans/collapse.collapsed_topk semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+best AS (
+  SELECT query_id, key, doc_id, score FROM (
+    SELECT s.query_id, d.source AS key, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id, d.source
+                              ORDER BY s.score DESC, s.doc_id ASC) AS rn
+    FROM scored s JOIN documents d USING (doc_id))
+  WHERE rn = 1)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, key, doc_id,
+       ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM best)
+WHERE rank <= 10
+"""
+
+
+def _search_after_sql() -> str:
+    """Cursor paging: the engine chains its page-2 cursor from its own
+    page-1 (3 hits), so the oracle is simply ranks 4..13 of the full
+    ranking, renumbered 1..10 within the page."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rn - 3 AS INTEGER) AS rank, doc_id,
+       ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rn
+      FROM scored s)
+WHERE rn > 3 AND rn <= 13
 """
 
 
@@ -1888,6 +2021,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "significant_terms": _sigterms_sql(),
         "facet_stats": _facet_stats_sql(),
         "wildcard_topk": _wildcard_sql(),
+        "collapse_topk": _collapse_sql(),
+        "search_page_topk": _bm25_sql("disjunctive", page_from=5, k=10),
+        "search_after_topk": _search_after_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -73,7 +73,8 @@ def _plan(spark, index_root, queries, mode):
         schema="set_idx int, query_id string",
     )
     corpus_terms = sorted({t for terms in setplan for t in terms})
-    return set_terms, map_df, units, corpus_terms, deleted_dir_paths(cat, reg)
+    return (set_terms, map_df, units, corpus_terms,
+            deleted_dir_paths(cat, reg), idf, float(reg["avgdl"]))
 
 
 def _unit_scan(spark, units, body):
@@ -128,7 +129,7 @@ def match_counts(
     plan = _plan(spark, index_root, queries, mode)
     if plan is None:
         return empty
-    set_terms, map_df, units, corpus_terms, del_paths = plan
+    set_terms, map_df, units, corpus_terms, del_paths, _, _ = plan
     b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode, del_paths))
 
     def count_units(pdfs):
@@ -181,7 +182,7 @@ def match_docs(
     plan = _plan(spark, index_root, queries, mode)
     if plan is None:
         return empty
-    set_terms, map_df, units, corpus_terms, del_paths = plan
+    set_terms, map_df, units, corpus_terms, del_paths, _, _ = plan
     b = spark.sparkContext.broadcast((set_terms, corpus_terms, mode, del_paths))
 
     def pair_units(pdfs):
@@ -211,6 +212,94 @@ def match_docs(
 
     pairs = _unit_scan(spark, units, (pair_units, "set_idx int, doc_id long"))
     return pairs.join(F.broadcast(map_df), "set_idx").select("query_id", "doc_id")
+
+
+def score_docs(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """(query_id, doc_id, score): the FULL match relation WITH exact BM25
+    scores — match_docs plus the score column.  The primitive under
+    operations whose answer depends on every competitive hit, not just
+    the global top-k: field collapsing (best doc per site), exact
+    search_after cursors at any depth, score-histogram analytics.
+
+    Scale shape: identical to match_docs — each (segment, doc-range
+    shard) unit decodes the query terms' postings once and emits narrow
+    (set, doc_id, score) rows, O(sum df) total, the information floor
+    for whole-match-set answers.  Scores are unit-complete (doc-range
+    sharding puts all of a doc's postings in one unit), so no downstream
+    re-aggregation is needed; the idf-weighted tf parts are the same
+    expression the top-k scorer computes (operators.topk), summed per
+    doc.  Tombstoned docs are masked unit-locally."""
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double"
+    )
+    plan = _plan(spark, index_root, queries, mode)
+    if plan is None:
+        return empty
+    set_terms, map_df, units, corpus_terms, del_paths, idf, avgdl = plan
+    b = spark.sparkContext.broadcast(
+        (set_terms, corpus_terms, mode, del_paths, idf, avgdl)
+    )
+
+    def score_units(pdfs):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.dataset as pds
+
+        sets_l, terms_l, mode_l, del_paths_l, idf_l, avgdl_l = b.value
+        for updf in pdfs:
+            for path in updf["path"]:
+                tbl = pds.dataset(path).to_table(
+                    columns=_POSTINGS_READ_COLS,
+                    filter=pds.field("term").isin(terms_l),
+                )
+                if tbl.num_rows == 0:
+                    continue
+                bl = tbl.to_pandas()
+                bl["shard"] = 0
+                tdata = {
+                    t: decode_term_postings_stream(g, avgdl_l)
+                    for t, g in bl.groupby("term", sort=True)
+                }
+                deleted = _unit_deleted(del_paths_l, bl)
+                for si, terms in enumerate(sets_l):
+                    present = [t for t in terms if t in tdata]
+                    if mode_l == spec.MODE_CONJUNCTIVE and len(present) < len(
+                        terms
+                    ):
+                        continue  # some term absent from this doc range
+                    if not present:
+                        continue
+                    ids = np.concatenate([tdata[t][0] for t in present])
+                    sc = np.concatenate(
+                        [idf_l[t] * tdata[t][1] for t in present]
+                    )
+                    uniq, inv = np.unique(ids, return_inverse=True)
+                    sums = np.zeros(len(uniq))
+                    np.add.at(sums, inv, sc)
+                    if mode_l == spec.MODE_CONJUNCTIVE:
+                        cnt = np.zeros(len(uniq), dtype=np.int64)
+                        np.add.at(cnt, inv, 1)
+                        keep = cnt == len(terms)
+                        uniq, sums = uniq[keep], sums[keep]
+                    if deleted is not None and len(uniq):
+                        keep = ~np.isin(uniq, deleted)
+                        uniq, sums = uniq[keep], sums[keep]
+                    if len(uniq):
+                        yield pd.DataFrame(
+                            {"set_idx": si, "doc_id": uniq, "score": sums}
+                        )
+
+    rel = _unit_scan(
+        spark, units, (score_units, "set_idx int, doc_id long, score double")
+    )
+    return rel.join(F.broadcast(map_df), "set_idx").select(
+        "query_id", "doc_id", "score"
+    )
 
 
 def facet_counts(
