@@ -106,6 +106,8 @@ JOB_EQUIV_REVS = {
     "146bf00": "23c0dc3",  # new plans/wildcard.py — leg never imports it
     "baa9928": "23c0dc3",  # serve MLT/suggest methods + mlt guard — leg's
                            # timed phases never import serve.py or mlt.py
+    "90b16b5": "23c0dc3",  # collapse/paginate + stats.score_docs — the leg
+                           # never imports plans/{stats,collapse,paginate}
 }
 
 
