@@ -753,6 +753,60 @@ def _q_search_after(spark, sf_dir):
     )
 
 
+def _q_filtered_topk(spark, sf_dir):
+    """Filter-context retrieval (plans/filtered.filtered_topk — ES bool
+    query with `filter`): BM25 top-10 restricted to docs with
+    n_chars >= 300; the filter gates competition but never contributes
+    to the score, and the kth survivor is exact (full scored match
+    relation, not a post-filtered window)."""
+    from rt_etl_yahoo_search_engine_spark.plans.filtered import filtered_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    passing = _docs(spark, sf_dir).filter(F.col("n_chars") >= 300).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url")
+    )
+    allowed = dm.join(passing, "url").select("doc_id")
+    out = filtered_topk(spark, root, DOC_QUERIES, allowed, k=10)
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_sort_by_field(spark, sf_dir):
+    """Sort-by-field result lists (plans/filtered.sort_topk — ES `sort`):
+    each DOC_QUERY's match set ordered by n_chars ascending (ties:
+    doc_id), top-10 — no relevance scores computed at all (rides the
+    unscored match relation)."""
+    from rt_etl_yahoo_search_engine_spark.plans.filtered import sort_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "n_chars")
+    out = sort_topk(spark, root, DOC_QUERIES, attrs, k=10, ascending=True)
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("sort_value").cast("long").alias("sort_value"),
+        )
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -1116,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse_topk,
         "search_page_topk": _q_search_page,
         "search_after_topk": _q_search_after,
+        "filtered_topk": _q_filtered_topk,
+        "sort_by_field_topk": _q_sort_by_field,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1383,6 +1439,50 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
                                 ORDER BY s.score DESC, s.doc_id ASC) AS rn
       FROM scored s)
 WHERE rn > 3 AND rn <= 13
+"""
+
+
+def _filtered_sql() -> str:
+    """Filter-context retrieval: disjunctive BM25 over the full match
+    relation, competition restricted to docs with n_chars >= 300 BEFORE
+    ranking (plans/filtered.filtered_topk semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE d.n_chars >= 300)
+WHERE rank <= 10
+"""
+
+
+def _sort_by_field_sql() -> str:
+    """Sort-by-field: each query's (unscored) match set ordered by
+    n_chars asc, doc_id asc — plans/filtered.sort_topk semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, sort_value
+FROM (SELECT m.query_id, m.doc_id, d.n_chars AS sort_value,
+             row_number() OVER (PARTITION BY m.query_id
+                                ORDER BY d.n_chars ASC, m.doc_id ASC) AS rank
+      FROM m JOIN documents d USING (doc_id))
+WHERE rank <= 10
 """
 
 
@@ -2024,6 +2124,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "collapse_topk": _collapse_sql(),
         "search_page_topk": _bm25_sql("disjunctive", page_from=5, k=10),
         "search_after_topk": _search_after_sql(),
+        "filtered_topk": _filtered_sql(),
+        "sort_by_field_topk": _sort_by_field_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000
