@@ -108,6 +108,7 @@ JOB_EQUIV_REVS = {
                            # timed phases never import serve.py or mlt.py
     "90b16b5": "23c0dc3",  # collapse/paginate + stats.score_docs — the leg
                            # never imports plans/{stats,collapse,paginate}
+    "1b3704b": "23c0dc3",  # new plans/filtered.py — leg never imports it
 }
 
 
