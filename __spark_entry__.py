@@ -50,6 +50,15 @@ WILDCARD_QUERIES = {
     "wc3": "*an",
     "wc4": "c?st*r sl?w",
 }
+# ES `regexp` query patterns: anchored whole-term regexes (RE2-safe —
+# no backrefs/lookaround — so Python re and DuckDB regexp_full_match
+# agree), one per whitespace word.  rx3 is prefix-free (vocab scan path).
+REGEXP_QUERIES = {
+    "rx1": "jo[a-z]+n",
+    "rx2": "(window|vector)s?",
+    "rx3": "[a-z]*an",
+    "rx4": "cust[a-z]*r sl[ou]w",
+}
 
 # Minus-terms for the exclusion entry: tokens that DO occur in the corpus
 # (they are other queries' terms) plus one out-of-vocab no-op control.
@@ -807,6 +816,87 @@ def _q_sort_by_field(spark, sf_dir):
     )
 
 
+def _q_function_score(spark, sf_dir):
+    """Function scoring (plans/funcscore — ES `function_score` with
+    `field_value_factor`): each DOC_QUERY's BM25 score multiplied by a
+    per-doc prior ln(1 + n_chars) (length-prior boost), re-ranked over
+    the FULL scored match relation so the combined top-10 is exact."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        function_score_topk,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    factors = dm.join(src, "url").select(
+        "doc_id", F.log(F.lit(1.0) + F.col("n_chars")).alias("factor")
+    )
+    out = function_score_topk(spark, root, DOC_QUERIES, factors, k=10)
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_top_hits_grouped(spark, sf_dir):
+    """Bucketed top hits (plans/collapse.grouped_top_hits — ES `terms`
+    agg + `top_hits`): per DOC_QUERY the top-3 `source` buckets (ordered
+    by best hit), each with its top-2 hits — exact over the full scored
+    match relation."""
+    from rt_etl_yahoo_search_engine_spark.plans.collapse import (
+        grouped_top_hits,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+    )
+    group = dm.join(src, "url").select("doc_id", "source")
+    out = grouped_top_hits(
+        spark, root, DOC_QUERIES, group, k_groups=3, per_group=2
+    )
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("group_rank").cast("int").alias("group_rank"),
+            F.col("key"),
+            F.col("hit_rank").cast("int").alias("hit_rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_regexp_topk(spark, sf_dir):
+    """Regexp queries (plans/wildcard.regexp_topk — ES/Lucene
+    RegexpQuery): each REGEXP_QUERY word is an anchored whole-term regex;
+    expansions against the lexicon (literal-prefix range pruning) score
+    as ordinary disjunctive BM25 contributions."""
+    from rt_etl_yahoo_search_engine_spark.plans.wildcard import regexp_topk
+
+    root = _index_for(spark, sf_dir)
+    out = regexp_topk(spark, root, REGEXP_QUERIES, k=10, with_url=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -1172,6 +1262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_topk": _q_search_after,
         "filtered_topk": _q_filtered_topk,
         "sort_by_field_topk": _q_sort_by_field,
+        "function_score_topk": _q_function_score,
+        "top_hits_grouped": _q_top_hits_grouped,
+        "regexp_topk": _q_regexp_topk,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1482,6 +1575,97 @@ FROM (SELECT m.query_id, m.doc_id, d.n_chars AS sort_value,
              row_number() OVER (PARTITION BY m.query_id
                                 ORDER BY d.n_chars ASC, m.doc_id ASC) AS rank
       FROM m JOIN documents d USING (doc_id))
+WHERE rank <= 10
+"""
+
+
+def _function_score_sql() -> str:
+    """function_score with field_value_factor: the disjunctive BM25 sum
+    multiplied by ln(1 + n_chars), re-ranked (plans/funcscore
+    semantics; every matching doc is en and has n_chars, so the
+    `missing` default never fires here)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+boosted AS (
+  SELECT s.query_id, s.doc_id, s.score * ln(1.0 + d.n_chars) AS score
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT b.query_id, b.doc_id, b.score,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY b.score DESC, b.doc_id ASC) AS rank
+      FROM boosted b)
+WHERE rank <= 10
+"""
+
+
+def _top_hits_sql() -> str:
+    """terms + top_hits: buckets of `source` ranked per query by their
+    best hit (score desc, that hit's doc_id asc), top-3 buckets, top-2
+    hits each (plans/collapse.grouped_top_hits semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+hits AS (
+  SELECT s.query_id, d.source AS key, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS hit_rank
+  FROM scored s JOIN documents d USING (doc_id)),
+kept AS (SELECT * FROM hits WHERE hit_rank <= 2),
+buckets AS (
+  SELECT query_id, key,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS group_rank
+  FROM kept WHERE hit_rank = 1)
+SELECT h.query_id, CAST(b.group_rank AS INTEGER) AS group_rank, h.key,
+       CAST(h.hit_rank AS INTEGER) AS hit_rank, h.doc_id,
+       ROUND(h.score, 6) AS score
+FROM kept h JOIN buckets b USING (query_id, key)
+WHERE b.group_rank <= 3
+"""
+
+
+def _regexp_sql() -> str:
+    """Each pattern's anchored-regex expansion over the vocabulary
+    (DuckDB regexp_full_match == Python re.fullmatch on this RE2-safe
+    subset), scored as disjunctive BM25 — exactly
+    plans/wildcard.regexp_topk with max_expand=None."""
+    pats = ", ".join(
+        f"('{qid}', '{w}')"
+        for qid, text in REGEXP_QUERIES.items()
+        for w in text.split()
+    )
+    return f"""
+WITH pats(query_id, pat) AS (VALUES {pats}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+qterms AS (SELECT DISTINCT p.query_id, lex.term
+           FROM pats p JOIN lex ON regexp_full_match(lex.term, p.pat)),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s)
 WHERE rank <= 10
 """
 
@@ -2126,6 +2310,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "search_after_topk": _search_after_sql(),
         "filtered_topk": _filtered_sql(),
         "sort_by_field_topk": _sort_by_field_sql(),
+        "function_score_topk": _function_score_sql(),
+        "top_hits_grouped": _top_hits_sql(),
+        "regexp_topk": _regexp_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

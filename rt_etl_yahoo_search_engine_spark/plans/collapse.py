@@ -69,3 +69,53 @@ def collapsed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "key", "doc_id", "score")
     )
+
+
+def grouped_top_hits(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    group: DataFrame,
+    k_groups: int = spec.TOP_K_DEFAULT,
+    per_group: int = 3,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """ES `terms` aggregation with a `top_hits` sub-aggregation — "best
+    sites for this query, with each site's best pages": per query, the
+    top `k_groups` buckets of the group field, each carrying its top
+    `per_group` hits.  Output (query_id, group_rank, key, hit_rank,
+    doc_id, score); buckets are ordered by their best hit (score desc,
+    then that hit's doc_id asc — deterministic, ES's `order: max_score`),
+    hits within a bucket by (score desc, doc_id asc).
+
+    Exact for the same reason collapsed_topk is: computed over the FULL
+    scored match relation, not a retrieve-window.  `group` is a
+    (doc_id, <key>) table; hit docs missing from it are dropped.
+
+    Scale shape: one join match-relation ⋈ group table, then a
+    row_number window per (query, key) cut to `per_group` — the window
+    sort is per-group match-scale and spills, and everything after it is
+    at most |queries| x |keys| x per_group rows, result-scale.  The
+    bucket-ranking window runs on one row per (query, key)."""
+    key_col = [c for c in group.columns if c != "doc_id"][0]
+    hits = score_docs(spark, index_root, queries, mode).join(
+        group.select("doc_id", F.col(key_col).alias("key")), "doc_id"
+    )
+    wh = Window.partitionBy("query_id", "key").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    hits = hits.withColumn("hit_rank", F.row_number().over(wh)).filter(
+        F.col("hit_rank") <= per_group
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    buckets = (
+        hits.filter(F.col("hit_rank") == 1)
+        .withColumn("group_rank", F.row_number().over(wg))
+        .filter(F.col("group_rank") <= k_groups)
+        .select("query_id", "key", "group_rank")
+    )
+    return hits.join(F.broadcast(buckets), ["query_id", "key"]).select(
+        "query_id", "group_rank", "key", "hit_rank", "doc_id", "score"
+    )

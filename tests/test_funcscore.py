@@ -1,0 +1,217 @@
+"""Function scoring (plans/funcscore), bucketed top-hits
+(plans/collapse.grouped_top_hits) and regexp queries
+(plans/wildcard.regexp_topk), each against a pure-Python recompute."""
+
+import math
+import re
+
+import pytest
+
+from rt_etl_yahoo_search_engine_spark import spec
+from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
+from rt_etl_yahoo_search_engine_spark.plans.collapse import grouped_top_hits
+from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+    function_score_topk,
+)
+from rt_etl_yahoo_search_engine_spark.plans.wildcard import (
+    expand_regexp,
+    regexp_topk,
+    wildcard_topk,
+)
+from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+DOCS = [
+    ("d0", "alpha beta gamma", "s1"),
+    ("d1", "alpha beta", "s1"),
+    ("d2", "alpha delta", "s2"),
+    ("d3", "beta delta epsilon", "s2"),
+    ("d4", "gamma gamma epsilon", "s3"),
+    ("d5", "alpha beta gamma delta", "s3"),
+    ("d6", "alpha alpha beta beta", "s1"),
+    ("d7", "delta epsilon epsilon", "s2"),
+]
+TOKS = {u: t.split() for u, t, _ in DOCS}
+SRC = {u: s for u, _, s in DOCS}
+NCH = {u: len(t) for u, t, _ in DOCS}
+QUERIES = {"q1": "alpha beta", "q2": "gamma epsilon", "q3": "delta"}
+VOCAB = sorted({t for seq in TOKS.values() for t in seq})
+
+
+def _python_scores():
+    n = len(DOCS)
+    df = {}
+    for seq in TOKS.values():
+        for t in set(seq):
+            df[t] = df.get(t, 0) + 1
+    avgdl = sum(len(s) for s in TOKS.values()) / n
+    out = {}
+    for qid, text in QUERIES.items():
+        toks = sorted(set(spec.tokenize(text)))
+        hits = {}
+        for u, seq in TOKS.items():
+            s = 0.0
+            for t in toks:
+                if t not in seq:
+                    continue
+                tf = seq.count(t)
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * (tf * (spec.K1 + 1.0)) / (
+                    tf + spec.K1 * (1.0 - spec.B + spec.B * len(seq) / avgdl)
+                )
+            if s > 0.0:
+                hits[u] = s
+        out[qid] = hits
+    return out
+
+
+@pytest.fixture(scope="module")
+def fs_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(u, t, "en") for u, t, _ in DOCS],
+        "url string, text string, lang string",
+    )
+    root = str(tmp_path_factory.mktemp("fsc") / "idx")
+    build_index(spark, df, root, n_shards=2, n_buckets=4, tokenizer="text")
+    docmap = {
+        r["url"]: r["doc_id"]
+        for r in Catalog(root).read(spark, "docmap").collect()
+    }
+    return root, docmap
+
+
+@pytest.mark.parametrize("boost_mode", ["multiply", "sum"])
+def test_function_score_reranks(spark, fs_index, boost_mode):
+    """Combined order == python (bm25 ∘ factor); the factor is chosen to
+    INVERT the pure-relevance order so the test can't pass by accident."""
+    root, docmap = fs_index
+    rev = {d: u for u, d in docmap.items()}
+    fac = {u: 1.0 / (1.0 + NCH[u]) for u in TOKS}  # short docs boosted
+    factors = spark.createDataFrame(
+        [(docmap[u], f) for u, f in fac.items()], "doc_id long, f double"
+    )
+    out = function_score_topk(
+        spark, root, QUERIES, factors, k=4, boost_mode=boost_mode
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], rev[r["doc_id"]], r["score"])
+        )
+    for qid, hits in _python_scores().items():
+        comb = {
+            u: (s * fac[u] if boost_mode == "multiply" else s + fac[u])
+            for u, s in hits.items()
+        }
+        ranked = sorted(comb.items(), key=lambda p: (-p[1], docmap[p[0]]))[:4]
+        want = [(i + 1, u) for i, (u, _) in enumerate(ranked)]
+        assert [(rk, u) for rk, u, _ in got.get(qid, [])] == want
+        for (_, u, s_got), (_, s_want) in zip(got[qid], ranked):
+            assert s_got == pytest.approx(s_want, rel=1e-12)
+
+
+def test_function_score_missing_default(spark, fs_index):
+    """Docs absent from the factor table take `missing` (here 0.0 under
+    multiply -> they sink to the bottom but keep competing)."""
+    root, docmap = fs_index
+    rev = {d: u for u, d in docmap.items()}
+    factors = spark.createDataFrame(
+        [(docmap["d5"], 100.0)], "doc_id long, f double"
+    )
+    out = function_score_topk(
+        spark, root, {"q1": "alpha"}, factors, k=3, missing=0.0
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rev[rows[0]["doc_id"]] == "d5" and rows[0]["score"] > 0.0
+    assert all(r["score"] == 0.0 for r in rows[1:])
+
+
+def test_function_score_bad_boost_mode(spark, fs_index):
+    root, _ = fs_index
+    factors = spark.createDataFrame([(0, 1.0)], "doc_id long, f double")
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_topk(
+            spark, root, QUERIES, factors, boost_mode="replace"
+        )
+
+
+def test_grouped_top_hits(spark, fs_index):
+    """Bucket order, per-bucket hit order, and both caps match python."""
+    root, docmap = fs_index
+    rev = {d: u for u, d in docmap.items()}
+    group = spark.createDataFrame(
+        [(docmap[u], SRC[u]) for u in TOKS], "doc_id long, source string"
+    )
+    out = grouped_top_hits(
+        spark, root, QUERIES, group, k_groups=2, per_group=2
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["group_rank"], r["key"], r["hit_rank"], rev[r["doc_id"]])
+        )
+    for qid, hits in _python_scores().items():
+        per = {}
+        for u, s in hits.items():
+            per.setdefault(SRC[u], []).append((u, s))
+        for key in per:
+            per[key] = sorted(
+                per[key], key=lambda p: (-p[1], docmap[p[0]])
+            )[:2]
+        buckets = sorted(
+            per.items(),
+            key=lambda kv: (-kv[1][0][1], docmap[kv[1][0][0]]),
+        )[:2]
+        want = sorted(
+            (gr + 1, key, hr + 1, u)
+            for gr, (key, us) in enumerate(buckets)
+            for hr, (u, _) in enumerate(us)
+        )
+        assert sorted(got.get(qid, [])) == want
+
+
+@pytest.mark.parametrize(
+    "pat",
+    [
+        "al[a-z]+a",          # literal prefix + class
+        "(beta|gamma)",       # alternation, prefix-free
+        "[a-z]*ta",           # leading metachar (vocab scan path)
+        "delta",              # pure literal
+        "ep.il.n",            # dots
+        "zz+",                # matches nothing
+        "alpha?",             # quantifier cancels last prefix char
+    ],
+)
+def test_expand_regexp_matches_python(spark, fs_index, pat):
+    root, _ = fs_index
+    cat = Catalog(root)
+    rx = re.compile(pat)
+    want = sorted(t for t in VOCAB if rx.fullmatch(t))
+    assert expand_regexp(cat, cat.read_registry(), pat) == want
+
+
+def test_expand_regexp_cap_keeps_highest_df(spark, fs_index):
+    root, _ = fs_index
+    cat = Catalog(root)
+    df = {}
+    for seq in TOKS.values():
+        for t in set(seq):
+            df[t] = df.get(t, 0) + 1
+    full = sorted(t for t in VOCAB if re.fullmatch("[a-z]*a", t))
+    capped = expand_regexp(cat, cat.read_registry(), "[a-z]*a", max_expand=2)
+    want = sorted(sorted(full, key=lambda t: (-df[t], t))[:2])
+    assert capped == want and len(full) > 2
+
+
+def test_regexp_topk_equals_wildcard_on_equivalent_pattern(spark, fs_index):
+    """`al.*` (regex) and `al*` (glob) expand identically, so the ranked
+    lists are identical — score identity via the shared bm25.topk path."""
+    root, _ = fs_index
+    rx = regexp_topk(spark, root, {"q": "al.*"}, k=10).collect()
+    wc = wildcard_topk(spark, root, {"q": "al*"}, k=10).collect()
+    key = lambda r: (r["rank"], r["doc_id"], r["score"])
+    assert sorted(map(key, rx)) == sorted(map(key, wc)) and rx
+
+
+def test_regexp_topk_no_match_no_rows(spark, fs_index):
+    root, _ = fs_index
+    assert regexp_topk(spark, root, {"q": "zz+"}, k=5).count() == 0
