@@ -109,6 +109,9 @@ JOB_EQUIV_REVS = {
     "90b16b5": "23c0dc3",  # collapse/paginate + stats.score_docs — the leg
                            # never imports plans/{stats,collapse,paginate}
     "1b3704b": "23c0dc3",  # new plans/filtered.py — leg never imports it
+    "bb8da65": "23c0dc3",  # funcscore/top_hits/regexp additions — the leg
+                           # never imports plans/{funcscore,collapse,
+                           # wildcard,stats}
 }
 
 
