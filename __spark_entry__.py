@@ -897,6 +897,204 @@ def _q_regexp_topk(spark, sf_dir):
     )
 
 
+def _q_msm_topk(spark, sf_dir):
+    """minimum_should_match retrieval (plans/msm.msm_topk — ES/Lucene
+    BooleanQuery minimumNumberShouldMatch): docs matching >= 2 distinct
+    query terms compete, scored as the disjunctive BM25 sum over their
+    matched terms; single-term queries (d4) return nothing, exactly ES's
+    rewrite to MatchNoDocsQuery.  The clause-match count rides the
+    scorer's own unit-local rows (stats.score_docs with_matched)."""
+    from rt_etl_yahoo_search_engine_spark.plans.msm import msm_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = msm_topk(spark, root, DOC_QUERIES, min_should_match=2, k=10)
+    dm = Catalog(root).read(spark, "docmap")
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+_RANGE_BOUNDS = [200, 300, 500]
+
+
+def _q_range_agg(spark, sf_dir):
+    """ES `range` aggregation over each DOC_QUERY's exact match set
+    (plans/stats.range_counts): hit counts per half-open n_chars bucket
+    (-inf,200) [200,300) [300,500) [500,inf) — `from` inclusive, `to`
+    exclusive, ES's convention; empty buckets are absent rows."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import range_counts
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "n_chars")
+    out = range_counts(
+        spark, root, DOC_QUERIES, attrs, "n_chars", _RANGE_BOUNDS
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket_idx").cast("int").alias("bucket_idx"),
+        "bucket",
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+def _q_percentiles_agg(spark, sf_dir):
+    """ES `percentiles` aggregation over each DOC_QUERY's exact match set
+    (plans/stats.percentiles_agg): linear-interpolated p25/p50/p75/p95
+    of n_chars across the hit docs — EXACT (percentile_cont semantics)
+    where ES ships a t-digest approximation."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import percentiles_agg
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "n_chars")
+    out = percentiles_agg(
+        spark, root, DOC_QUERIES, attrs, "n_chars", [0.25, 0.5, 0.75, 0.95]
+    )
+    return out.select(
+        "query_id",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        F.round("p95", 6).alias("p95"),
+    )
+
+
+BOOSTING_NEGATIVE = {
+    "d1": "filter",
+    "d2": "join",
+    "d3": "vector",
+    "d4": "scan",
+    "d5": "hash",
+}
+
+
+def _q_dismax_topk(spark, sf_dir):
+    """Disjunction-max retrieval (plans/dismax — Lucene
+    DisjunctionMaxQuery / ES dis_max): score = best term clause +
+    0.3 * the rest, combined inside the unit scorer's numpy kernel;
+    top-10 per DOC_QUERY, exact over the full match relation."""
+    from rt_etl_yahoo_search_engine_spark.plans.dismax import dismax_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = dismax_topk(spark, root, DOC_QUERIES, tie_breaker=0.3, k=10)
+    dm = Catalog(root).read(spark, "docmap")
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_boosting_topk(spark, sf_dir):
+    """Boosting query (plans/boosting — ES/Lucene `boosting`): positive
+    DOC_QUERY BM25 with docs also matching the per-query negative term
+    demoted ×0.4 (not excluded) BEFORE ranking, so demoted docs can drop
+    out of the top-10 and clean docs rise in, exactly."""
+    from rt_etl_yahoo_search_engine_spark.plans.boosting import boosting_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = boosting_topk(
+        spark, root, DOC_QUERIES, BOOSTING_NEGATIVE,
+        negative_boost=0.4, k=10,
+    )
+    dm = Catalog(root).read(spark, "docmap")
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_histogram_agg(spark, sf_dir):
+    """ES `histogram` aggregation over each DOC_QUERY's exact match set
+    (plans/stats.histogram_counts): hit counts per fixed 100-char
+    n_chars bucket, key = floor(v/100)*100; empty buckets absent
+    (min_doc_count=1 shape)."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import histogram_counts
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "n_chars")
+    out = histogram_counts(
+        spark, root, DOC_QUERIES, attrs, "n_chars", interval=100.0
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket_key").cast("double").alias("bucket_key"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+def _q_cardinality_agg(spark, sf_dir):
+    """ES `cardinality` aggregation over each DOC_QUERY's exact match set
+    (plans/stats.cardinality_agg): distinct `source` values among the
+    hit docs — EXACT count(distinct) where ES ships HyperLogLog++ (the
+    approx_count_distinct variant is the documented 100 TB knob)."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import cardinality_agg
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "source")
+    out = cardinality_agg(spark, root, DOC_QUERIES, attrs, "source")
+    return out.select(
+        "query_id", F.col("cardinality").cast("long").alias("cardinality")
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering (functions/dedup.near_dup_clusters): connected
+    components over the LSH-verified pair graph (same banding/threshold
+    as dedup_minhash_verified); cluster_id = component min doc_id, which
+    is the canonical keeper.  Oracle: recursive-CTE transitive closure
+    over the identical verified-pair SQL."""
+    import rt_etl_yahoo_search_engine_spark.functions.dedup as dd
+
+    out = dd.near_dup_clusters(
+        _docs(spark, sf_dir), n=3, num_hashes=16, band_size=4, threshold=0.2
+    )
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("boolean")
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -1265,6 +1463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": _q_function_score,
         "top_hits_grouped": _q_top_hits_grouped,
         "regexp_topk": _q_regexp_topk,
+        "msm_topk": _q_msm_topk,
+        "range_agg": _q_range_agg,
+        "percentiles_agg": _q_percentiles_agg,
+        "dedup_clusters": _q_dedup_clusters,
+        "dismax_topk": _q_dismax_topk,
+        "boosting_topk": _q_boosting_topk,
+        "histogram_agg": _q_histogram_agg,
+        "cardinality_agg": _q_cardinality_agg,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -1389,14 +1595,18 @@ def _qexcl_values() -> str:
 
 
 def _bm25_sql(mode: str, exclude: bool = False, deleted: str | None = None,
-              page_from: int = 0, k: int = 10) -> str:
+              page_from: int = 0, k: int = 10,
+              msm: int | None = None) -> str:
     """deleted='mask': docs with id % 7 == 0 removed AFTER scoring, BEFORE
     ranking — statistics still count them (the tombstoned index's Lucene
     semantics).  deleted='purge': those docs gone from the corpus itself —
     statistics are the live corpus's (the post-compaction index).
     page_from/k: ranks page_from+1 .. page_from+k (ES from/size; ranks
-    stay absolute — plans/paginate.topk_page)."""
+    stay absolute — plans/paginate.topk_page).  msm: only docs matching
+    >= msm distinct query terms compete (plans/msm.msm_topk)."""
     pred = "TRUE" if mode == "disjunctive" else "s.matched = qn.n_terms"
+    if msm is not None:
+        pred = f"s.matched >= {msm}"
     if exclude:
         pred += """ AND NOT EXISTS (
             SELECT 1 FROM tf x JOIN qexcl e
@@ -1636,6 +1846,203 @@ SELECT h.query_id, CAST(b.group_rank AS INTEGER) AS group_rank, h.key,
        ROUND(h.score, 6) AS score
 FROM kept h JOIN buckets b USING (query_id, key)
 WHERE b.group_rank <= 3
+"""
+
+
+def _range_agg_sql() -> str:
+    """ES range aggregation: match-set hit counts per half-open n_chars
+    bucket (plans/stats.range_counts semantics — bucket_idx = number of
+    boundaries <= value, empty buckets absent)."""
+    bounds = _RANGE_BOUNDS
+    idx = " + ".join(
+        f"(CASE WHEN d.n_chars >= {float(b)} THEN 1 ELSE 0 END)"
+        for b in bounds
+    )
+    labels = (
+        [f"*-{float(bounds[0])}"]
+        + [f"{float(a)}-{float(b)}" for a, b in zip(bounds, bounds[1:])]
+        + [f"{float(bounds[-1])}-*"]
+    )
+    lbl_list = ", ".join(f"'{s}'" for s in labels)
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term)),
+b AS (SELECT m.query_id, ({idx}) AS bucket_idx
+      FROM m JOIN documents d USING (doc_id))
+SELECT query_id, CAST(bucket_idx AS INTEGER) AS bucket_idx,
+       list_extract([{lbl_list}], bucket_idx + 1) AS bucket,
+       count(*) AS n_hits
+FROM b GROUP BY query_id, bucket_idx
+"""
+
+
+def _percentiles_sql() -> str:
+    """ES percentiles aggregation: exact linear-interpolated quantiles of
+    n_chars over each match set (plans/stats.percentiles_agg —
+    quantile_cont is DuckDB's percentile_cont, the same definition as
+    Spark's exact `percentile`)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term))
+SELECT m.query_id,
+       ROUND(quantile_cont(d.n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(d.n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(d.n_chars, 0.75), 6) AS p75,
+       ROUND(quantile_cont(d.n_chars, 0.95), 6) AS p95
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id
+"""
+
+
+def _dismax_sql() -> str:
+    """dis_max with tie_breaker=0.3: per (query, doc) the max per-term
+    BM25 weight plus 0.3 × the remaining weights (plans/dismax
+    semantics) — max/sum over the same weight expression the summed
+    oracles use."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         max({_BM25_WEIGHT_EXPR})
+           + 0.3 * (sum({_BM25_WEIGHT_EXPR}) - max({_BM25_WEIGHT_EXPR})) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s)
+WHERE rank <= 10
+"""
+
+
+def _nterms_values() -> str:
+    rows = []
+    for qid, text in BOOSTING_NEGATIVE.items():
+        for t in sorted(set(spec.tokenize(text))):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _boosting_sql() -> str:
+    """Boosting query: positive disjunctive BM25, matched-negative docs
+    multiplied by 0.4 before ranking (plans/boosting semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+nterms(query_id, term) AS (VALUES {_nterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+neg AS (SELECT DISTINCT nterms.query_id, tf.doc_id
+        FROM tf JOIN nterms USING (term)),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.4
+              ELSE s.score END AS score
+  FROM scored s LEFT JOIN neg n
+    ON n.query_id = s.query_id AND n.doc_id = s.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT b.query_id, b.doc_id, b.score,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY b.score DESC, b.doc_id ASC) AS rank
+      FROM boosted b)
+WHERE rank <= 10
+"""
+
+
+def _histogram_sql() -> str:
+    """ES histogram aggregation: match-set hit counts per fixed 100-wide
+    n_chars bucket (plans/stats.histogram_counts semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term))
+SELECT m.query_id,
+       floor(d.n_chars / 100.0) * 100.0 AS bucket_key,
+       count(*) AS n_hits
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, bucket_key
+"""
+
+
+def _cardinality_sql() -> str:
+    """ES cardinality aggregation: exact distinct `source` count over
+    each match set (plans/stats.cardinality_agg semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term))
+SELECT m.query_id, count(DISTINCT d.source) AS cardinality
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the LSH-verified near-dup pairs
+    (functions/dedup.near_dup_clusters): recursive-CTE transitive
+    closure, cluster_id = min reachable doc_id.  The pairs CTE is
+    textually the dedup_minhash_verified oracle."""
+    return f"""
+WITH RECURSIVE {_SHINGLES},
+mh AS (SELECT doc_id, h,
+              min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+       FROM sh, unnest(range(0, 16)) AS hh(h) GROUP BY doc_id, h),
+bands AS (SELECT doc_id, CAST(h // 4 AS INTEGER) AS band,
+                 string_agg(minhash, '|' ORDER BY minhash) AS band_key
+          FROM mh GROUP BY doc_id, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, r) AS (
+    SELECT DISTINCT s, s FROM edges
+  UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc_id = e.t
+)
+SELECT doc_id, min(r) AS cluster_id,
+       (min(r) = doc_id) AS is_canonical
+FROM reach GROUP BY doc_id
 """
 
 
@@ -2313,6 +2720,14 @@ FROM hits h JOIN documents d USING (doc_id)
         "function_score_topk": _function_score_sql(),
         "top_hits_grouped": _top_hits_sql(),
         "regexp_topk": _regexp_sql(),
+        "msm_topk": _bm25_sql("disjunctive", msm=2),
+        "range_agg": _range_agg_sql(),
+        "percentiles_agg": _percentiles_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "dismax_topk": _dismax_sql(),
+        "boosting_topk": _boosting_sql(),
+        "histogram_agg": _histogram_sql(),
+        "cardinality_agg": _cardinality_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

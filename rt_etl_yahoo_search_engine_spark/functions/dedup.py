@@ -246,3 +246,69 @@ def simhash32(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): connected components over the
+    LSH-verified near-dup pair graph (minhash_dedup) — the step that turns
+    pairwise similarity into the keep/drop decision a training-data dedup
+    actually ships: every doc in a component shares cluster_id = the
+    component's min doc_id, and exactly that doc is the canonical keeper.
+    Only docs that appear in at least one verified pair are returned
+    (singletons are trivially their own keeper — relational absence).
+
+    Algorithm: iterative min-label propagation to a fixed point — each
+    round every node takes min(own label, neighbours' labels) via ONE
+    join + groupBy over the (narrow) edge list, and the driver stops when
+    a round changes nothing (count action per round).  Rounds needed =
+    graph diameter, and near-dup components are band-collision cliques
+    with tiny diameters (2-3 rounds in practice), so this beats the
+    O(log n)-round large-star/small-star alternating contraction on
+    constants for this graph family; for adversarially chainy graphs
+    (diameter ~ n) swap the loop body for large-star/small-star — the
+    per-round join shape is identical.  Edge list is O(verified pairs),
+    orders of magnitude below corpus scale, so each round is cheap at
+    100 TB; `localCheckpoint` truncates the lineage each round so the
+    plan does not grow with iterations.
+    """
+    pairs = minhash_dedup(docs, n, num_hashes, band_size, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("t"), "lbl"), "t"
+            )
+            .groupBy(F.col("s").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        new = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nbr", "lbl")).alias("new_lbl"),
+                "lbl",
+            )
+        ).localCheckpoint()
+        changed = new.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = new.select("doc_id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("doc_id")).alias("is_canonical"),
+    )

@@ -219,12 +219,22 @@ def score_docs(
     index_root: str,
     queries: dict[str, str],
     mode: str = spec.MODE_DISJUNCTIVE,
+    with_matched: bool = False,
+    tie_breaker: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score): the FULL match relation WITH exact BM25
     scores — match_docs plus the score column.  The primitive under
     operations whose answer depends on every competitive hit, not just
     the global top-k: field collapsing (best doc per site), exact
     search_after cursors at any depth, score-histogram analytics.
+
+    tie_breaker=None (default) combines per-term weights by SUM (BM25's
+    bag-of-words score, BooleanQuery).  A float switches to Lucene's
+    DisjunctionMaxQuery combine: best_clause + tie_breaker * sum(other
+    clauses) — tie_breaker=0.0 is pure best-clause dis_max, 1.0 is the
+    sum again.  The combine happens inside the same per-unit numpy
+    kernel (per-term weights are in hand right before aggregation), so
+    the scale shape is unchanged.
 
     Scale shape: identical to match_docs — each (segment, doc-range
     shard) unit decodes the query terms' postings once and emits narrow
@@ -233,16 +243,26 @@ def score_docs(
     sharding puts all of a doc's postings in one unit), so no downstream
     re-aggregation is needed; the idf-weighted tf parts are the same
     expression the top-k scorer computes (operators.topk), summed per
-    doc.  Tombstoned docs are masked unit-locally."""
-    empty = spark.createDataFrame(
-        [], "query_id string, doc_id long, score double"
-    )
+    doc.  Tombstoned docs are masked unit-locally.
+
+    with_matched=True adds an `n_matched int` column — the number of the
+    query's (index-present) terms the doc matches, complete per unit for
+    the same doc-range-sharding reason.  It is the primitive under ES
+    minimum_should_match (plans/msm.py): the clause-match count rides
+    the rows the scorer already emits, no extra scan or shuffle."""
+    schema = "query_id string, doc_id long, score double"
+    rel_schema = "set_idx int, doc_id long, score double"
+    if with_matched:
+        schema += ", n_matched int"
+        rel_schema += ", n_matched int"
+    empty = spark.createDataFrame([], schema)
     plan = _plan(spark, index_root, queries, mode)
     if plan is None:
         return empty
     set_terms, map_df, units, corpus_terms, del_paths, idf, avgdl = plan
     b = spark.sparkContext.broadcast(
-        (set_terms, corpus_terms, mode, del_paths, idf, avgdl)
+        (set_terms, corpus_terms, mode, del_paths, idf, avgdl, with_matched,
+         tie_breaker)
     )
 
     def score_units(pdfs):
@@ -250,7 +270,8 @@ def score_docs(
         import pandas as pd
         import pyarrow.dataset as pds
 
-        sets_l, terms_l, mode_l, del_paths_l, idf_l, avgdl_l = b.value
+        (sets_l, terms_l, mode_l, del_paths_l, idf_l, avgdl_l,
+         matched_l, tie_l) = b.value
         for updf in pdfs:
             for path in updf["path"]:
                 tbl = pds.dataset(path).to_table(
@@ -281,25 +302,33 @@ def score_docs(
                     uniq, inv = np.unique(ids, return_inverse=True)
                     sums = np.zeros(len(uniq))
                     np.add.at(sums, inv, sc)
-                    if mode_l == spec.MODE_CONJUNCTIVE:
+                    if tie_l is not None:
+                        best = np.full(len(uniq), -np.inf)
+                        np.maximum.at(best, inv, sc)
+                        sums = best + tie_l * (sums - best)
+                    cnt = None
+                    if matched_l or mode_l == spec.MODE_CONJUNCTIVE:
                         cnt = np.zeros(len(uniq), dtype=np.int64)
                         np.add.at(cnt, inv, 1)
+                    if mode_l == spec.MODE_CONJUNCTIVE:
                         keep = cnt == len(terms)
-                        uniq, sums = uniq[keep], sums[keep]
+                        uniq, sums, cnt = uniq[keep], sums[keep], cnt[keep]
                     if deleted is not None and len(uniq):
                         keep = ~np.isin(uniq, deleted)
                         uniq, sums = uniq[keep], sums[keep]
+                        if cnt is not None:
+                            cnt = cnt[keep]
                     if len(uniq):
-                        yield pd.DataFrame(
-                            {"set_idx": si, "doc_id": uniq, "score": sums}
-                        )
+                        cols = {"set_idx": si, "doc_id": uniq, "score": sums}
+                        if matched_l:
+                            cols["n_matched"] = cnt.astype("int32")
+                        yield pd.DataFrame(cols)
 
-    rel = _unit_scan(
-        spark, units, (score_units, "set_idx int, doc_id long, score double")
+    rel = _unit_scan(spark, units, (score_units, rel_schema))
+    out_cols = ["query_id", "doc_id", "score"] + (
+        ["n_matched"] if with_matched else []
     )
-    return rel.join(F.broadcast(map_df), "set_idx").select(
-        "query_id", "doc_id", "score"
-    )
+    return rel.join(F.broadcast(map_df), "set_idx").select(*out_cols)
 
 
 def facet_counts(
@@ -356,4 +385,156 @@ def facet_stats(
             F.sum(value_col).alias("sum_v"),
             F.avg(value_col).alias("avg_v"),
         )
+    )
+
+
+def range_counts(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    boundaries: list[float],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `range` aggregation over the exact match set:
+    (query_id, bucket_idx, bucket, n_hits) — hit counts per half-open
+    value bucket.  `boundaries` [b0..bn] define n+1 buckets
+    (-inf,b0) [b0,b1) ... [bn,inf), ES's `from` inclusive / `to`
+    exclusive convention; `bucket` carries the ES-style key
+    "*-b0", "b0-b1", ..., "bn-*".  Hit docs missing from `attrs` or
+    with a NULL value are dropped (ES's `missing`-less default).
+    Empty buckets produce no row (relational absence, module
+    docstring) — ES emits zero-count buckets; callers wanting that
+    shape outer-join against the static bucket list.
+
+    Scale shape: facet_counts' — the narrow match relation joined once
+    to the doc-keyed attribute table; the bucket index is a pure
+    codegen expression (sum of boundary indicators), then a map-side
+    partial count per (query, bucket)."""
+    v = F.col(value_col)
+    idx = F.lit(0)
+    for bnd in boundaries:
+        idx = idx + (v >= F.lit(float(bnd))).cast("int")
+    labels = (
+        ["*-" + str(float(boundaries[0]))]
+        + [
+            f"{float(a)}-{float(b)}"
+            for a, b in zip(boundaries, boundaries[1:])
+        ]
+        + [str(float(boundaries[-1])) + "-*"]
+    )
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in labels]), idx + F.lit(1)
+    )
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select("doc_id", value_col).dropna(), "doc_id")
+        .select("query_id", idx.alias("bucket_idx"), label.alias("bucket"))
+        .groupBy("query_id", "bucket_idx", "bucket")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def histogram_counts(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    interval: float,
+    offset: float = 0.0,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `histogram` aggregation over the exact match set:
+    (query_id, bucket_key, n_hits) — hit counts per fixed-width value
+    bucket, bucket_key = floor((v - offset) / interval) * interval +
+    offset (ES's key formula, correct for negatives via floor).  Empty
+    buckets produce no row (ES min_doc_count=1 shape).  Same one-join
+    scale shape as range_counts; the key is pure codegen."""
+    v = F.col(value_col).cast("double")
+    key = (
+        F.floor((v - F.lit(float(offset))) / F.lit(float(interval)))
+        * F.lit(float(interval))
+        + F.lit(float(offset))
+    )
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select("doc_id", value_col).dropna(), "doc_id")
+        .select("query_id", key.alias("bucket_key"))
+        .groupBy("query_id", "bucket_key")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def cardinality_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `cardinality` aggregation over the exact match set:
+    (query_id, cardinality) — number of distinct `value_col` values
+    among each query's hit docs.  exact=True (default) is a real
+    COUNT(DISTINCT) — a partial-aggregated two-stage shuffle of
+    result-scale rows; ES itself only offers the HyperLogLog++
+    estimate, which exact=False mirrors via approx_count_distinct(rsd)
+    (bounded memory, one pass — the knob to flip first at 100 TB if
+    the distinct set per query explodes).  NULLs don't count (SQL and
+    ES agree)."""
+    f = (
+        F.countDistinct(value_col)
+        if exact
+        else F.approx_count_distinct(value_col, rsd)
+    )
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select("doc_id", value_col).dropna(), "doc_id")
+        .groupBy("query_id")
+        .agg(f.alias("cardinality"))
+    )
+
+
+def percentiles_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    percentiles: list[float] = (0.25, 0.5, 0.75, 0.95),
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `percentiles` aggregation over the exact match set:
+    (query_id, p25, p50, ...) — linear-interpolated (continuous)
+    percentiles of `value_col` across each query's hit docs, EXACT
+    (Spark's `percentile`, same definition as SQL percentile_cont /
+    DuckDB quantile_cont), where ES ships a t-digest approximation.
+    Column names: p{100*q:g} with dots swapped for '_' (p25, p50,
+    p99_9).  NULL values are ignored (SQL aggregate semantics).
+
+    Scale shape: the one honest caveat vs the rest of this module —
+    exact percentiles need the value multiset per group, so Spark
+    collects each (query)'s values on one reducer (ObjectHashAggregate
+    over result-scale rows, NOT corpus-scale: O(sum df) values at
+    worst, per-query at that).  At 100 TB with huge match sets, swap
+    in approx_percentile(err) — same call shape, bounded memory — the
+    ES-parity t-digest; exactness here is a strictly stronger
+    contract offered while it is affordable."""
+
+    def _name(q: float) -> str:
+        return "p" + f"{100 * q:g}".replace(".", "_")
+
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(float(q))).alias(_name(q))
+        for q in percentiles
+    ]
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select("doc_id", value_col).dropna(), "doc_id")
+        .groupBy("query_id")
+        .agg(*aggs)
     )

@@ -163,3 +163,134 @@ def test_empty_query_batch(spark, stats_index):
     root, _ = stats_index
     assert match_counts(spark, root, {"q": "zzznope"}).count() == 0
     assert match_docs(spark, root, {}).count() == 0
+
+
+def test_score_docs_with_matched(spark, stats_index):
+    from rt_etl_yahoo_search_engine_spark.plans.stats import score_docs
+
+    root, docmap = stats_index
+    url_of = {v: k for k, v in docmap.items()}
+    rel = score_docs(spark, root, QUERIES, with_matched=True)
+    assert rel.columns == ["query_id", "doc_id", "score", "n_matched"]
+    got = {
+        (r["query_id"], url_of[r["doc_id"]]): r["n_matched"]
+        for r in rel.collect()
+    }
+    want = {}
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        toks = set(QUERIES[qid].split())
+        for u in hits:
+            want[(qid, u)] = len(toks & set(TOKS[u]))
+    assert got == want
+    # conjunctive: n_matched is constant = clause count
+    relc = score_docs(
+        spark, root, QUERIES, spec.MODE_CONJUNCTIVE, with_matched=True
+    )
+    for r in relc.collect():
+        assert r["n_matched"] == len(set(QUERIES[r["query_id"]].split()))
+
+
+def test_range_counts(spark, stats_index):
+    from rt_etl_yahoo_search_engine_spark.plans.stats import range_counts
+
+    root, docmap = stats_index
+    nchars = {u: len(t) for u, t, _ in DOCS}
+    attrs = spark.createDataFrame(
+        [(docmap[u], nchars[u]) for u in TOKS], "doc_id long, n_chars long"
+    )
+    bounds = [12, 18]
+    out = range_counts(spark, root, QUERIES, attrs, "n_chars", bounds)
+    got = {
+        (r["query_id"], r["bucket_idx"], r["bucket"]): r["n_hits"]
+        for r in out.collect()
+    }
+    labels = ["*-12.0", "12.0-18.0", "18.0-*"]
+    want = {}
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        for u in hits:
+            i = sum(nchars[u] >= b for b in bounds)
+            key = (qid, i, labels[i])
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_percentiles_agg(spark, stats_index):
+    from rt_etl_yahoo_search_engine_spark.plans.stats import percentiles_agg
+
+    root, docmap = stats_index
+    nchars = {u: len(t) for u, t, _ in DOCS}
+    attrs = spark.createDataFrame(
+        [(docmap[u], nchars[u]) for u in TOKS], "doc_id long, n_chars long"
+    )
+    out = percentiles_agg(
+        spark, root, QUERIES, attrs, "n_chars", [0.25, 0.5, 0.75]
+    )
+    assert out.columns == ["query_id", "p25", "p50", "p75"]
+
+    def pct(vals, q):  # linear interpolation at q*(n-1)
+        vals = sorted(vals)
+        pos = q * (len(vals) - 1)
+        lo, hi = int(pos), min(int(pos) + 1, len(vals) - 1)
+        return vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+
+    got = {r["query_id"]: (r["p25"], r["p50"], r["p75"]) for r in out.collect()}
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        vals = [nchars[u] for u in hits]
+        for g, q in zip(got[qid], [0.25, 0.5, 0.75]):
+            assert g == pytest.approx(pct(vals, q), abs=1e-9)
+
+
+def test_histogram_counts(spark, stats_index):
+    from rt_etl_yahoo_search_engine_spark.plans.stats import histogram_counts
+
+    root, docmap = stats_index
+    nchars = {u: len(t) for u, t, _ in DOCS}
+    attrs = spark.createDataFrame(
+        [(docmap[u], nchars[u]) for u in TOKS], "doc_id long, n_chars long"
+    )
+    out = histogram_counts(
+        spark, root, QUERIES, attrs, "n_chars", interval=5.0
+    )
+    got = {
+        (r["query_id"], r["bucket_key"]): r["n_hits"] for r in out.collect()
+    }
+    want = {}
+    for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items():
+        for u in hits:
+            key = (qid, (nchars[u] // 5) * 5.0)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+    # offset shifts the grid: key = floor((v-2)/5)*5 + 2
+    out2 = histogram_counts(
+        spark, root, QUERIES, attrs, "n_chars", interval=5.0, offset=2.0
+    )
+    for r in out2.collect():
+        assert (r["bucket_key"] - 2.0) % 5.0 == 0.0
+
+
+def test_cardinality_agg(spark, stats_index):
+    from rt_etl_yahoo_search_engine_spark.plans.stats import cardinality_agg
+
+    root, docmap = stats_index
+    attrs = spark.createDataFrame(
+        [(docmap[u], SRC[u]) for u in TOKS], "doc_id long, source string"
+    )
+    got = {
+        r["query_id"]: r["cardinality"]
+        for r in cardinality_agg(
+            spark, root, QUERIES, attrs, "source"
+        ).collect()
+    }
+    want = {
+        qid: len({SRC[u] for u in hits})
+        for qid, hits in _want_counts(spec.MODE_DISJUNCTIVE).items()
+    }
+    assert got == want
+    # the 100 TB knob: HLL++ estimate within rsd on this tiny set
+    approx = {
+        r["query_id"]: r["cardinality"]
+        for r in cardinality_agg(
+            spark, root, QUERIES, attrs, "source", exact=False, rsd=0.01
+        ).collect()
+    }
+    assert approx == want
