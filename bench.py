@@ -112,6 +112,10 @@ JOB_EQUIV_REVS = {
     "bb8da65": "23c0dc3",  # funcscore/top_hits/regexp additions — the leg
                            # never imports plans/{funcscore,collapse,
                            # wildcard,stats}
+    "91e9743": "23c0dc3",  # msm/dismax/boosting + stats aggs + dedup
+                           # clusters — scaling leg never imports
+                           # plans/{msm,dismax,boosting,stats} or
+                           # functions/dedup
 }
 
 
