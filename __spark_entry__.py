@@ -1095,6 +1095,122 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+RESCORE_QUERIES = {
+    "d1": "filter scan",
+    "d2": "vector",
+    "d3": "hash join",
+    "d4": "window",
+    "d5": "order customer",
+}
+_RESCORE_WINDOW, _RESCORE_W = 30, 2.0
+
+
+def _q_rescore_topk(spark, sf_dir):
+    """ES `rescore` (plans/rescore.py — Lucene QueryRescorer): the top-30
+    docs by primary DOC_QUERY BM25 re-ranked by total = primary + 2.0 x
+    secondary BM25 (RESCORE_QUERIES), secondary = 0 where the rescore
+    query misses; docs below the window can never re-enter."""
+    from rt_etl_yahoo_search_engine_spark.plans.rescore import rescore_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = rescore_topk(
+        spark, root, DOC_QUERIES, RESCORE_QUERIES,
+        window_size=_RESCORE_WINDOW, rescore_weight=_RESCORE_W, k=10,
+    )
+    dm = Catalog(root).read(spark, "docmap")
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+_COMPOSITE_AFTER = ("src12", 200.0)
+_COMPOSITE_SIZE = 4
+
+
+def _q_composite_agg(spark, sf_dir):
+    """ES `composite` aggregation (plans/stats.composite_agg): the
+    after-key-paginated bucket grid over (terms: source, histogram:
+    n_chars/200) per DOC_QUERY match set — one mid-grid page (size 4,
+    after ('src12', 200.0)), the cursor applied BEFORE the per-query
+    rank so deeper pages never re-aggregate earlier keys."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import composite_agg
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "source",
+        "n_chars",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "source", "n_chars")
+    out = composite_agg(
+        spark, root, DOC_QUERIES, attrs,
+        [("terms", "source"), ("histogram", "n_chars", 200.0)],
+        size=_COMPOSITE_SIZE, after=_COMPOSITE_AFTER,
+    )
+    return out.select(
+        "query_id",
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
+def _q_pipeline_agg(spark, sf_dir):
+    """ES pipeline aggregations (plans/stats.histogram_pipeline):
+    cumulative_sum + derivative over each DOC_QUERY's 100-char n_chars
+    histogram — post-aggregation arithmetic on result-scale bucket rows
+    (deriv null on each query's first bucket; gaps skipped,
+    gap_policy=skip on a min_doc_count=1 histogram)."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import (
+        histogram_pipeline,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    attrs = dm.join(src, "url").select("doc_id", "n_chars")
+    out = histogram_pipeline(
+        spark, root, DOC_QUERIES, attrs, "n_chars", interval=100.0
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket_key").cast("double").alias("bucket_key"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("cum_hits").cast("long").alias("cum_hits"),
+        F.col("deriv").cast("long").alias("deriv"),
+    )
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES `adjacency_matrix` aggregation (plans/stats.adjacency_matrix):
+    every pairwise intersection count of the 5 DOC_QUERY match sets
+    (diagonal = each filter's own hit count), computed in ONE pass —
+    per-doc filter lists exploded into ordered pairs doc-locally, no
+    self-join rescan."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import adjacency_matrix
+
+    root = _index_for(spark, sf_dir)
+    out = adjacency_matrix(spark, root, DOC_QUERIES)
+    return out.select(
+        "filter_a",
+        "filter_b",
+        F.col("doc_count").cast("long").alias("doc_count"),
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -1471,6 +1587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_topk": _q_boosting_topk,
         "histogram_agg": _q_histogram_agg,
         "cardinality_agg": _q_cardinality_agg,
+        "rescore_topk": _q_rescore_topk,
+        "composite_agg": _q_composite_agg,
+        "pipeline_agg": _q_pipeline_agg,
+        "adjacency_matrix": _q_adjacency_matrix,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -2043,6 +2163,124 @@ reach(doc_id, r) AS (
 SELECT doc_id, min(r) AS cluster_id,
        (min(r) = doc_id) AS is_canonical
 FROM reach GROUP BY doc_id
+"""
+
+
+def _rterms_values() -> str:
+    rows = []
+    for qid, text in RESCORE_QUERIES.items():
+        for t in sorted(set(spec.tokenize(text))):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _rescore_sql() -> str:
+    """ES rescore: top-_RESCORE_WINDOW by primary BM25 (score desc,
+    doc_id asc), total = primary + _RESCORE_W x secondary BM25
+    (0 where the rescore query misses), re-ranked top-10
+    (plans/rescore semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+rterms(query_id, term) AS (VALUES {_rterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+prim AS (
+  SELECT qterms.query_id, tf.doc_id, sum({_BM25_WEIGHT_EXPR}) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+win AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS wrn
+  FROM prim),
+sec AS (
+  SELECT rterms.query_id, tf.doc_id, sum({_BM25_WEIGHT_EXPR}) AS score
+  FROM tf JOIN rterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY rterms.query_id, tf.doc_id),
+tot AS (
+  SELECT w.query_id, w.doc_id,
+         w.score + {_RESCORE_W} * coalesce(s.score, 0) AS score
+  FROM win w LEFT JOIN sec s
+    ON s.query_id = w.query_id AND s.doc_id = w.doc_id
+  WHERE w.wrn <= {_RESCORE_WINDOW})
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM tot)
+WHERE rank <= 10
+"""
+
+
+def _composite_sql() -> str:
+    """ES composite aggregation: (terms source, histogram n_chars/200)
+    bucket grid per match set, after-cursor applied before the
+    per-query ascending rank (plans/stats.composite_agg semantics)."""
+    a_src, a_nch = _COMPOSITE_AFTER
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term)),
+b AS (SELECT m.query_id, d.source,
+             floor(d.n_chars / 200.0) * 200.0 AS n_chars,
+             count(*) AS doc_count
+      FROM m JOIN documents d USING (doc_id)
+      GROUP BY m.query_id, d.source, 3)
+SELECT query_id, source, n_chars, CAST(doc_count AS BIGINT) AS doc_count
+FROM (SELECT b.*, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY source ASC, n_chars ASC) AS rn
+      FROM b WHERE (source, n_chars) > ('{a_src}', {a_nch}))
+WHERE rn <= {_COMPOSITE_SIZE}
+"""
+
+
+def _pipeline_sql() -> str:
+    """ES cumulative_sum + derivative pipeline aggs over the 100-char
+    histogram (plans/stats.histogram_pipeline semantics: deriv null on
+    each query's first bucket, gaps skipped)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term)),
+h AS (SELECT m.query_id,
+             floor(d.n_chars / 100.0) * 100.0 AS bucket_key,
+             count(*) AS n_hits
+      FROM m JOIN documents d USING (doc_id)
+      GROUP BY m.query_id, 2)
+SELECT query_id, bucket_key, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(sum(n_hits) OVER (PARTITION BY query_id ORDER BY bucket_key
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
+       CAST(n_hits - lag(n_hits) OVER (PARTITION BY query_id
+                                       ORDER BY bucket_key) AS BIGINT) AS deriv
+FROM h
+"""
+
+
+def _adjacency_sql() -> str:
+    """ES adjacency_matrix: pairwise match-set intersection counts,
+    filter_a <= filter_b, diagonal = own counts
+    (plans/stats.adjacency_matrix semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term))
+SELECT a.query_id AS filter_a, b.query_id AS filter_b,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.query_id <= b.query_id
+GROUP BY 1, 2
 """
 
 
@@ -2728,6 +2966,10 @@ FROM hits h JOIN documents d USING (doc_id)
         "boosting_topk": _boosting_sql(),
         "histogram_agg": _histogram_sql(),
         "cardinality_agg": _cardinality_sql(),
+        "rescore_topk": _rescore_sql(),
+        "composite_agg": _composite_sql(),
+        "pipeline_agg": _pipeline_sql(),
+        "adjacency_matrix": _adjacency_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

@@ -538,3 +538,160 @@ def percentiles_agg(
         .groupBy("query_id")
         .agg(*aggs)
     )
+
+
+def composite_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    sources: list[tuple],
+    size: int = 10,
+    after: tuple | None = None,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `composite` aggregation over the exact match set —
+    THE pagination primitive for aggregations at scale: buckets over a
+    multi-source key grid, streamed in key order `size` at a time, with
+    an `after` cursor instead of a deepening offset.
+
+    `sources` is ES's source list: ("terms", col) buckets on the raw
+    value, ("histogram", col, interval) on floor(v/interval)*interval
+    (keys named after the column either way).  Returns (query_id,
+    <key cols...>, doc_count) — the first `size` buckets per query whose
+    key tuple sorts strictly AFTER the `after` cursor (None = from the
+    start), in ascending lexicographic key order (ES's default asc
+    composite order).  Hit docs with a NULL in any source column are
+    dropped (ES default, no `missing_bucket`).
+
+    Why this is the 100 TB agg: a terms agg with a million buckets can't
+    ship every bucket to one caller, and from/size pagination recomputes
+    and re-sorts ever-deeper prefixes.  Composite's after-cursor makes
+    each page incremental: the `(keys) > (after)` predicate is applied
+    BEFORE the per-query rank — pushed to the map side of the bucket
+    aggregation — so page N+1 aggregates only keys beyond the cursor,
+    not the whole grid again.  Spark shape: one join of the narrow match
+    relation to the doc-keyed attrs, map-side partial count per (query,
+    keys) — corpus-scale work ends there; the ascending-rank window runs
+    over already-aggregated bucket rows.  The struct(...) tuple compare
+    is Spark's native row-value ordering, identical to SQL's."""
+    key_cols, key_names = [], []
+    for s in sources:
+        kind, col = s[0], s[1]
+        v = F.col(col)
+        if kind == "histogram":
+            interval = float(s[2])
+            v = (
+                F.floor(v.cast("double") / F.lit(interval)) * F.lit(interval)
+            )
+        elif kind != "terms":
+            raise ValueError(f"unknown composite source kind: {kind!r}")
+        key_cols.append(v.alias(col))
+        key_names.append(col)
+    from pyspark.sql import Window
+
+    src_cols = ["doc_id"] + sorted({s[1] for s in sources})
+    buckets = (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select(*src_cols).dropna(), "doc_id")
+        .select("query_id", *key_cols)
+        .groupBy("query_id", *key_names)
+        .agg(F.count("*").alias("doc_count"))
+    )
+    if after is not None:
+        if len(after) != len(key_names):
+            raise ValueError("after cursor arity != number of sources")
+        buckets = buckets.filter(
+            F.struct(*[F.col(c) for c in key_names])
+            > F.struct(*[F.lit(a) for a in after])
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        *[F.asc(c) for c in key_names]
+    )
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(size))
+        .drop("_rn")
+    )
+
+
+def histogram_pipeline(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    interval: float,
+    offset: float = 0.0,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch PIPELINE aggregations (`cumulative_sum` and
+    `derivative`) riding a histogram: (query_id, bucket_key, n_hits,
+    cum_hits, deriv) — per query in ascending bucket order, cum_hits is
+    the running total of n_hits and deriv is n_hits minus the PREVIOUS
+    PRESENT bucket's n_hits (null for each query's first bucket, ES's
+    derivative-of-the-first-bucket behaviour).  Buckets with no hits
+    are absent here (module convention), so deriv differences skip
+    gaps — ES's gap_policy=skip shape on a min_doc_count=1 histogram;
+    callers needing zero-filled buckets outer-join the key grid first.
+
+    Scale shape: pipeline aggs are POST-aggregation arithmetic — the
+    corpus-scale work is histogram_counts' single join + partial count;
+    the window here orders each query's bucket rows (result-scale,
+    thousands at most), exactly how ES computes them on the reduced
+    bucket list coordinator-side."""
+    from pyspark.sql import Window
+
+    h = histogram_counts(
+        spark, index_root, queries, attrs, value_col, interval, offset, mode
+    )
+    w = Window.partitionBy("query_id").orderBy("bucket_key")
+    return h.select(
+        "query_id",
+        "bucket_key",
+        "n_hits",
+        F.sum("n_hits")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_hits"),
+        (F.col("n_hits") - F.lag("n_hits").over(w)).alias("deriv"),
+    )
+
+
+def adjacency_matrix(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `adjacency_matrix` aggregation: treat each query as
+    a named filter and count every pairwise intersection of their match
+    sets — (filter_a, filter_b, doc_count) with filter_a <= filter_b;
+    the diagonal (a == b) is each filter's own match count, ES's
+    singleton buckets.  Empty intersections produce no row (ES emits
+    only non-empty buckets too).
+
+    Scale shape: ONE pass, NO self-join — a self-join on doc_id would
+    scan and shuffle the match relation twice; instead one groupBy
+    collects each doc's (tiny, <= |filters|, ES hard-caps ~100) sorted
+    filter list, a codegen `transform`/`slice` expression explodes the
+    ordered pairs doc-locally, and a map-side partial count reduces per
+    pair.  The only shuffle of result-scale rows is the doc grouping;
+    the pair fan-out never touches an exchange."""
+    m = match_docs(spark, index_root, queries, mode)
+    per_doc = m.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("query_id")).alias("fs")
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(fs, (a, i) -> "
+                "transform(slice(fs, i + 1, size(fs) - i), "
+                "b -> struct(a AS filter_a, b AS filter_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.filter_a", "p.filter_b")
+        .groupBy("filter_a", "filter_b")
+        .agg(F.count("*").alias("doc_count"))
+    )
