@@ -116,6 +116,9 @@ JOB_EQUIV_REVS = {
                            # clusters — scaling leg never imports
                            # plans/{msm,dismax,boosting,stats} or
                            # functions/dedup
+    "0e82548": "23c0dc3",  # rescore + composite/pipeline/adjacency aggs
+                           # — scaling leg never imports
+                           # plans/{rescore,stats}
 }
 
 
