@@ -1211,6 +1211,89 @@ def _q_adjacency_matrix(spark, sf_dir):
     )
 
 
+_SAMPLE_FRACTION, _SAMPLE_SALT = 0.25, "s0"
+_STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.2}
+_STRATA_DEFAULT = 0.05
+_PACK_BUDGET = 256
+_DECONTAM_N = 5  # the synthetic corpus is short-doc; 8-grams barely repeat
+
+
+def _q_deterministic_sample(spark, sf_dir):
+    """Hash-threshold corpus sample (functions/sampling.py): keep iff
+    md5(doc_id:salt)[:8] < hex(fraction * 2^32) — reproducible across
+    runs/engines/partitionings, scan-local filter.  The oracle IS the
+    definition (md5 hex is engine-identical)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        deterministic_sample,
+    )
+
+    out = deterministic_sample(
+        _read(spark, sf_dir, "documents"), _SAMPLE_FRACTION, _SAMPLE_SALT
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-stratum hash-threshold sample (functions/sampling.py) — the
+    training-mix primitive: per-source keep fractions via one codegen
+    CASE threshold, default fraction for unlisted strata; membership
+    still depends only on (doc_id, salt)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        _STRATA_FRACTIONS,
+        default_fraction=_STRATA_DEFAULT,
+        salt=_SAMPLE_SALT,
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_training_pack(spark, sf_dir):
+    """Sequence packing (functions/packing.py): concat-then-chunk token
+    budgeting per source stream ordered by doc_id — chunk_id =
+    floor(preceding tokens / budget), one window pass, the GPT-style
+    training-loader packing."""
+    from rt_etl_yahoo_search_engine_spark.functions.packing import (
+        pack_sequences,
+    )
+
+    out = pack_sequences(
+        _read(spark, sf_dir, "documents"), _PACK_BUDGET,
+        stream_col="source", order_col="doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+    )
+
+
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (functions/decontam.py): training docs
+    sharing any word 5-gram with the held-out benchmark slice
+    (doc_id % 97 == 0), with distinct-overlap counts — the broadcast
+    semi-join hygiene pass (GPT-3 appendix C shape).  Clean docs are
+    relationally absent."""
+    from rt_etl_yahoo_search_engine_spark.functions.decontam import (
+        contamination,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination(train, bench, n=_DECONTAM_N)
+    return out.select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("is_contaminated").cast("boolean"),
+    )
+
+
 def _q_spell_suggest(spark, sf_dir):
     """Did-you-mean (plans/suggest — Lucene DirectSpellChecker parity):
     for each input token ABSENT from the corpus vocabulary, the closest
@@ -1591,6 +1674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _q_composite_agg,
         "pipeline_agg": _q_pipeline_agg,
         "adjacency_matrix": _q_adjacency_matrix,
+        "deterministic_sample": _q_deterministic_sample,
+        "stratified_sample": _q_stratified_sample,
+        "training_pack": _q_training_pack,
+        "decontamination": _q_decontamination,
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
         "broadcast_join_enrich": _q_broadcast_join_enrich,
@@ -2163,6 +2250,77 @@ reach(doc_id, r) AS (
 SELECT doc_id, min(r) AS cluster_id,
        (min(r) = doc_id) AS is_canonical
 FROM reach GROUP BY doc_id
+"""
+
+
+def _sampling_sql() -> str:
+    """Uniform hash-threshold sample — the oracle is the definition:
+    md5 hex prefixes are engine-identical and uniform."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        _hex_threshold,
+    )
+
+    thr = _hex_threshold(_SAMPLE_FRACTION)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SALT}'), 1, 8)
+      < '{thr}'
+"""
+
+
+def _stratified_sql() -> str:
+    """Per-stratum thresholds via CASE (functions/sampling.py
+    stratified_sample semantics)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        _hex_threshold,
+    )
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{_hex_threshold(f)}'"
+        for s, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':{_SAMPLE_SALT}'), 1, 8)
+      < CASE {cases} ELSE '{_hex_threshold(_STRATA_DEFAULT)}' END
+"""
+
+
+def _training_pack_sql() -> str:
+    """Concat-then-chunk packing: preceding-token window sum per source
+    stream ordered by doc_id (functions/packing.py semantics)."""
+    return f"""
+WITH t AS (SELECT doc_id, source,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+      FROM t)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bef // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+       CAST(bef % {_PACK_BUDGET} AS BIGINT) AS chunk_offset
+FROM b
+"""
+
+
+def _decontam_sql() -> str:
+    """Word-{n}-gram overlap vs the doc_id%97==0 benchmark slice
+    (functions/decontam.py contamination semantics: distinct shingles
+    per doc, any overlap contaminates, clean docs absent)."""
+    n = _DECONTAM_N
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+{n}], ' ') AS shingle
+       FROM toks, unnest(range(0, greatest(len(t) - {n - 1}, 0))) AS r(i)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+       TRUE AS is_contaminated
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
 """
 
 
@@ -2970,6 +3128,10 @@ FROM hits h JOIN documents d USING (doc_id)
         "composite_agg": _composite_sql(),
         "pipeline_agg": _pipeline_sql(),
         "adjacency_matrix": _adjacency_sql(),
+        "deterministic_sample": _sampling_sql(),
+        "stratified_sample": _stratified_sql(),
+        "training_pack": _training_pack_sql(),
+        "decontamination": _decontam_sql(),
         "scan_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_totalprice > 50000

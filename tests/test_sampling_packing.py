@@ -1,0 +1,127 @@
+"""Deterministic sampling (functions/sampling.py), sequence packing
+(functions/packing.py), and benchmark decontamination
+(functions/decontam.py) against pure-Python oracles."""
+
+import hashlib
+
+import pytest
+
+from rt_etl_yahoo_search_engine_spark import spec
+from rt_etl_yahoo_search_engine_spark.functions.decontam import (
+    contamination,
+    decontaminate,
+)
+from rt_etl_yahoo_search_engine_spark.functions.packing import pack_sequences
+from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def _kept(doc_id, fraction, salt="s0"):
+    h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8]
+    return h < format(min(int(fraction * 2**32), 2**32 - 1), "08x")
+
+
+@pytest.fixture(scope="module")
+def sample_docs(spark):
+    rows = [(i, f"text {i}", ["web", "wiki", "news"][i % 3]) for i in range(500)]
+    return (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ),
+        rows,
+    )
+
+
+def test_deterministic_sample_matches_hash_oracle(spark, sample_docs):
+    df, rows = sample_docs
+    got = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    want = {i for i, _, _ in rows if _kept(i, 0.3)}
+    assert got == want
+    assert 0 < len(got) < len(rows)
+
+
+def test_sample_reproducible_and_salt_independent(spark, sample_docs):
+    df, _ = sample_docs
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3, "s0").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(
+        df.repartition(7), 0.3, "s0"
+    ).collect()}
+    assert a == b                        # layout-independent
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.3, "s1").collect()}
+    assert a != c                        # salts give different samples
+
+
+def test_sample_fraction_monotone(spark, sample_docs):
+    """A smaller fraction's sample is a SUBSET of a larger one (same
+    salt) — the property that makes hash-threshold samples growable."""
+    df, _ = sample_docs
+    small = {r["doc_id"] for r in deterministic_sample(df, 0.1).collect()}
+    big = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    assert small <= big
+
+
+def test_stratified_sample(spark, sample_docs):
+    df, rows = sample_docs
+    fr = {"web": 1.0, "wiki": 0.4}
+    got = {r["doc_id"] for r in stratified_sample(df, fr).collect()}
+    want = {
+        i for i, _, s in rows
+        if _kept(i, fr.get(s, 0.0))
+    }
+    assert got == want
+    srcs = {s for i, _, s in rows if i in got}
+    assert "news" not in srcs            # default_fraction=0 drops
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(3 + i % 5)), f"s{i % 2}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["chunk_id"], r["chunk_offset"])
+        for r in pack_sequences(df, budget=10).collect()
+    }
+    want = {}
+    for src in ("s0", "s1"):
+        before = 0
+        for i, text, s in sorted(rows):
+            if s != src:
+                continue
+            n = len(spec.tokenize(text))
+            want[i] = (n, before // 10, before % 10)
+            before += n
+    assert got == want
+
+
+def test_pack_budget_rejected(spark):
+    df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+
+
+def test_contamination_and_decontaminate(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h extra tail words"),    # contains bench gram
+            (1, "a b c d e f g X h"),                   # broken gram: clean
+            (2, "z y x w v u t s and a b c d e f g h"), # two bench grams
+            (3, "totally unrelated text with no overlap at all here"),
+            (4, "short"),                               # < n tokens: clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h"), (101, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination(docs, bench, n=8).collect()
+    }
+    assert got == {0: 1, 2: 2}
+    clean = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert clean == {1, 3, 4}
