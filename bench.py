@@ -119,6 +119,9 @@ JOB_EQUIV_REVS = {
     "0e82548": "23c0dc3",  # rescore + composite/pipeline/adjacency aggs
                            # — scaling leg never imports
                            # plans/{rescore,stats}
+    "dd5b4ca": "23c0dc3",  # sampling/packing/decontam functions — leg
+                           # never imports functions/{sampling,packing,
+                           # decontam}
 }
 
 
