@@ -1218,6 +1218,79 @@ _PACK_BUDGET = 256
 _DECONTAM_N = 5  # the synthetic corpus is short-doc; 8-grams barely repeat
 
 
+SYNONYMS = {
+    "join": ["merge"],
+    "vector": ["column", "row"],
+    "scan": ["sweep"],       # sweep likely absent: clause falls back
+    "agg": ["group"],
+}
+
+
+def _q_synonym_topk(spark, sf_dir):
+    """Query-time synonym expansion (plans/synonyms.py — Lucene
+    SynonymQuery / ES synonym_graph): each DOC_QUERY token's synonym
+    group scores as ONE pseudo-term with blended stats (tf = sum of
+    member tfs, idf = the max-df member's), clauses summed; top-10."""
+    from rt_etl_yahoo_search_engine_spark.plans.synonyms import synonym_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = synonym_topk(spark, root, DOC_QUERIES, SYNONYMS, k=10)
+    dm = Catalog(root).read(spark, "docmap")
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_date_histogram(spark, sf_dir):
+    """ES `date_histogram` with calendar_interval=week
+    (functions/events_agg.date_histogram_calendar): per-event_type
+    weekly buckets snapped to Monday — calendar units a fixed-width
+    tumbling window can't express (events_tumbling covers that shape).
+    bucket = epoch seconds of the truncated timestamp."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        date_histogram_calendar,
+    )
+
+    out = date_histogram_calendar(
+        _read(spark, sf_dir, "events"), "week",
+        keys=["event_type"], value_col="value",
+    )
+    return out.select(
+        F.unix_timestamp("bucket_start").alias("week_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def _q_top_metrics(spark, sf_dir):
+    """ES `top_metrics` (functions/events_agg.top_metrics): per
+    event_type, the (value, user_id) FROM THE ROW with the latest ts
+    (tie: max event_id) — a deterministic arg-max via one
+    partial-aggregable struct max, no window."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        top_metrics,
+    )
+
+    out = top_metrics(
+        _read(spark, sf_dir, "events"),
+        ["event_type"], "ts", ["value", "user_id"], "event_id",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("top_ts"),
+        F.round("value", 6).alias("value"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
 def _q_deterministic_sample(spark, sf_dir):
     """Hash-threshold corpus sample (functions/sampling.py): keep iff
     md5(doc_id:salt)[:8] < hex(fraction * 2^32) — reproducible across
@@ -1674,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _q_composite_agg,
         "pipeline_agg": _q_pipeline_agg,
         "adjacency_matrix": _q_adjacency_matrix,
+        "synonym_topk": _q_synonym_topk,
+        "date_histogram_agg": _q_date_histogram,
+        "top_metrics_agg": _q_top_metrics,
         "deterministic_sample": _q_deterministic_sample,
         "stratified_sample": _q_stratified_sample,
         "training_pack": _q_training_pack,
@@ -2321,6 +2397,52 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
 FROM sh s JOIN bench USING (shingle)
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+"""
+
+
+def _synclause_values() -> str:
+    """(query_id, clause, term) rows: each DOC_QUERY token's synonym
+    group (the token itself always a member), clause keyed by the
+    original token."""
+    rows = []
+    for qid, text in DOC_QUERIES.items():
+        for tok in sorted(set(spec.tokenize(text))):
+            for t in sorted({tok, *SYNONYMS.get(tok, [])}):
+                rows.append(f"('{qid}', '{tok}', '{t}')")
+    return ", ".join(rows)
+
+
+def _synonym_sql() -> str:
+    """Lucene SynonymQuery blend: per clause pooled tf (sum of member
+    tfs) normalized once, idf from the max-df present member; clause
+    weights summed per doc (plans/synonyms.py semantics)."""
+    return f"""
+WITH qclause(query_id, clause, term) AS (VALUES {_synclause_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+cst AS (SELECT q.query_id, q.clause, max(lex.df) AS df
+        FROM qclause q JOIN lex USING (term)
+        GROUP BY q.query_id, q.clause),
+ctf AS (SELECT q.query_id, q.clause, tf.doc_id, sum(tf.tf) AS tfsum
+        FROM qclause q JOIN tf USING (term)
+        GROUP BY q.query_id, q.clause, tf.doc_id),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         sum( ln((st.n_docs - cs.df + 0.5) / (cs.df + 0.5) + 1.0)
+              * (c.tfsum * (1.2 + 1.0))
+              / (c.tfsum + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) )
+           AS score
+  FROM ctf c
+  JOIN cst cs ON cs.query_id = c.query_id AND cs.clause = c.clause
+  JOIN dl ON dl.doc_id = c.doc_id, st
+  GROUP BY c.query_id, c.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s)
+WHERE rank <= 10
 """
 
 
@@ -3128,6 +3250,23 @@ FROM hits h JOIN documents d USING (doc_id)
         "composite_agg": _composite_sql(),
         "pipeline_agg": _pipeline_sql(),
         "adjacency_matrix": _adjacency_sql(),
+        "synonym_topk": _synonym_sql(),
+        "date_histogram_agg": """
+            SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_start,
+                   event_type, count(*) AS n,
+                   ROUND(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_metrics_agg": """
+            WITH ranked AS (
+              SELECT event_type, ts, value, user_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts IS NOT NULL)
+            SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS top_ts,
+                   ROUND(value, 6) AS value, user_id
+            FROM ranked WHERE rn = 1
+        """,
         "deterministic_sample": _sampling_sql(),
         "stratified_sample": _stratified_sql(),
         "training_pack": _training_pack_sql(),

@@ -1,0 +1,81 @@
+"""Event-stream aggregations with ES parity: calendar-interval date
+histograms and top_metrics (arg-max metric rows).
+
+* date_histogram_calendar — ES `date_histogram` with `calendar_interval`
+  (week/month/quarter/year): buckets are CALENDAR units, not fixed
+  widths — weeks snap to Monday, months vary in length — which a
+  tumbling epoch-arithmetic window cannot express.  `date_trunc` is the
+  engine-portable definition (Spark and ANSI SQL agree, ISO weeks).
+  Pure codegen + one partial-aggregated groupBy: scales as a scan.
+
+* top_metrics — ES `top_metrics`: per bucket, the metric columns taken
+  FROM THE ROW that maximizes the sort column (arg-max, not max) — the
+  "latest value per key" / "row at the peak" primitive.  Implemented as
+  a max over a (sort, tiebreak, metrics...) struct: Spark's struct
+  ordering is lexicographic, so one partial-aggregable `max` computes a
+  DETERMINISTIC arg-max (explicit tiebreak column, unlike max_by's
+  arbitrary tie behaviour) with map-side combine — no window, no
+  shuffle beyond the one groupBy, skew-safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CAL = {"week", "month", "quarter", "year", "day", "hour"}
+
+
+def date_histogram_calendar(
+    events: DataFrame,
+    interval: str,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(bucket_start, <keys...>, n[, sum_value]): event counts (and an
+    optional value sum) per calendar bucket — ES date_histogram with
+    calendar_interval=`interval`.  Empty buckets are absent
+    (min_doc_count=1 shape)."""
+    if interval not in _CAL:
+        raise ValueError(f"calendar interval must be one of {sorted(_CAL)}")
+    keys = keys or []
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        events.withColumn(
+            "bucket_start", F.date_trunc(interval, F.col(ts_col))
+        )
+        .groupBy("bucket_start", *keys)
+        .agg(*aggs)
+    )
+
+
+def top_metrics(
+    df: DataFrame,
+    bucket_cols: list[str],
+    sort_col: str,
+    metric_cols: list[str],
+    tiebreak_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """(<bucket_cols...>, <metric_cols...>): each metric taken from the
+    single row per bucket with the max (default) or min `sort_col`,
+    ties broken by max/min `tiebreak_col` — ES top_metrics(size=1).
+    NULL sort values lose to every non-NULL (rows with NULL in the
+    struct head would win Spark's struct max, so they are filtered —
+    ES likewise ignores missing sort values)."""
+    packed = F.struct(
+        F.col(sort_col), F.col(tiebreak_col), *[F.col(c) for c in metric_cols]
+    )
+    agg = (F.max if descending else F.min)(packed).alias("_top")
+    out = (
+        df.filter(F.col(sort_col).isNotNull())
+        .groupBy(*bucket_cols)
+        .agg(agg)
+    )
+    return out.select(
+        *bucket_cols,
+        *[F.col(f"_top.{c}").alias(c) for c in [sort_col] + metric_cols],
+    )
