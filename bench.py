@@ -122,6 +122,9 @@ JOB_EQUIV_REVS = {
     "dd5b4ca": "23c0dc3",  # sampling/packing/decontam functions — leg
                            # never imports functions/{sampling,packing,
                            # decontam}
+    "67f7278": "23c0dc3",  # synonyms + events aggs — scaling leg never
+                           # imports plans/synonyms or
+                           # functions/events_agg
 }
 
 
