@@ -1169,7 +1169,9 @@ def _q_pipeline_agg(spark, sf_dir):
     cumulative_sum + derivative over each DOC_QUERY's 100-char n_chars
     histogram — post-aggregation arithmetic on result-scale bucket rows
     (deriv null on each query's first bucket; gaps skipped,
-    gap_policy=skip on a min_doc_count=1 histogram)."""
+    gap_policy=skip on a min_doc_count=1 histogram), plus moving_fn
+    (unshifted window-3 mean of the previous buckets, current
+    excluded)."""
     from rt_etl_yahoo_search_engine_spark.plans.stats import (
         histogram_pipeline,
     )
@@ -1183,7 +1185,8 @@ def _q_pipeline_agg(spark, sf_dir):
     )
     attrs = dm.join(src, "url").select("doc_id", "n_chars")
     out = histogram_pipeline(
-        spark, root, DOC_QUERIES, attrs, "n_chars", interval=100.0
+        spark, root, DOC_QUERIES, attrs, "n_chars", interval=100.0,
+        moving_window=3,
     )
     return out.select(
         "query_id",
@@ -1191,6 +1194,7 @@ def _q_pipeline_agg(spark, sf_dir):
         F.col("n_hits").cast("long").alias("n_hits"),
         F.col("cum_hits").cast("long").alias("cum_hits"),
         F.col("deriv").cast("long").alias("deriv"),
+        F.round("moving_avg", 6).alias("moving_avg"),
     )
 
 
@@ -1245,6 +1249,80 @@ def _q_synonym_topk(spark, sf_dir):
             F.col("url").cast("long").alias("doc_id"),
             F.round("score", 6).alias("score"),
         )
+    )
+
+
+BOOL_MUST = {
+    "d1": "hash",
+    "d2": "window",
+    "d3": "customer order",
+    "d4": "vector",
+    "d5": "scan",
+}
+BOOL_SHOULD = {
+    "d1": "merge sort",
+    "d2": "stream batch",
+    "d3": "line part",
+    "d4": "column row",
+    "d5": "slow fast",
+}
+_BOOL_FILTER_MIN = 250
+
+
+def _q_bool_query(spark, sf_dir):
+    """The composed ES `bool` query (plans/boolquery.py): must
+    (conjunctive, scored) + should (optional boosts) + must_not
+    (BOOSTING_NEGATIVE, excluded) + filter context (n_chars >= 250,
+    unscored) in one exact top-10 — every clause kind simultaneously,
+    no post-filter gaps."""
+    from rt_etl_yahoo_search_engine_spark.plans.boolquery import bool_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+    )
+    allowed = (
+        dm.join(src, "url")
+        .filter(F.col("n_chars") >= _BOOL_FILTER_MIN)
+        .select("doc_id")
+    )
+    out = bool_topk(
+        spark, root,
+        must=BOOL_MUST, should=BOOL_SHOULD,
+        must_not=BOOSTING_NEGATIVE, allowed=allowed, k=10,
+    )
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_weighted_avg(spark, sf_dir):
+    """ES `weighted_avg` aggregation over each DOC_QUERY's exact match
+    set (plans/stats.weighted_avg_agg): sum(n_chars*w)/sum(w) with
+    w = n_chars%7+1 — two partial-aggregated sums, one join."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import weighted_avg_agg
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "n_chars",
+        (F.col("n_chars") % 7 + 1).alias("wt"),
+    )
+    attrs = dm.join(src, "url").select("doc_id", "n_chars", "wt")
+    out = weighted_avg_agg(spark, root, DOC_QUERIES, attrs, "n_chars", "wt")
+    return out.select(
+        "query_id", F.round("weighted_avg", 6).alias("weighted_avg")
     )
 
 
@@ -1748,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_agg": _q_pipeline_agg,
         "adjacency_matrix": _q_adjacency_matrix,
         "synonym_topk": _q_synonym_topk,
+        "bool_query_topk": _q_bool_query,
+        "weighted_avg_agg": _q_weighted_avg,
         "date_histogram_agg": _q_date_histogram,
         "top_metrics_agg": _q_top_metrics,
         "deterministic_sample": _q_deterministic_sample,
@@ -2400,6 +2480,78 @@ GROUP BY s.doc_id
 """
 
 
+def _terms_values(d: dict[str, str]) -> str:
+    rows = []
+    for qid, text in d.items():
+        for t in sorted(set(spec.tokenize(text))):
+            rows.append(f"('{qid}', '{t}')")
+    return ", ".join(rows)
+
+
+def _bool_sql() -> str:
+    """Composed bool query: conjunctive scored must + should boosts +
+    must_not exclusion + n_chars filter context (plans/boolquery.bool_topk
+    semantics, msm=0 with a must present)."""
+    return f"""
+WITH mterms(query_id, term) AS (VALUES {_terms_values(BOOL_MUST)}),
+sterms(query_id, term) AS (VALUES {_terms_values(BOOL_SHOULD)}),
+nterms(query_id, term) AS (VALUES {_nterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+mn AS (SELECT query_id, count(*) AS n FROM mterms GROUP BY query_id),
+mrel AS (
+  SELECT m.query_id, tf.doc_id, sum({_BM25_WEIGHT_EXPR}) AS score,
+         count(*) AS cnt
+  FROM tf JOIN mterms m USING (term) JOIN lex USING (term)
+       JOIN dl USING (doc_id), st
+  GROUP BY m.query_id, tf.doc_id),
+must_ok AS (SELECT r.query_id, r.doc_id, r.score
+            FROM mrel r JOIN mn USING (query_id) WHERE r.cnt = mn.n),
+srel AS (
+  SELECT s.query_id, tf.doc_id, sum({_BM25_WEIGHT_EXPR}) AS score
+  FROM tf JOIN sterms s USING (term) JOIN lex USING (term)
+       JOIN dl USING (doc_id), st
+  GROUP BY s.query_id, tf.doc_id),
+comb AS (
+  SELECT m.query_id, m.doc_id, m.score + coalesce(s.score, 0) AS score
+  FROM must_ok m LEFT JOIN srel s
+    ON s.query_id = m.query_id AND s.doc_id = m.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf x JOIN nterms e
+      ON e.term = x.term AND e.query_id = m.query_id
+    WHERE x.doc_id = m.doc_id)),
+flt AS (
+  SELECT c.* FROM comb c JOIN documents d USING (doc_id)
+  WHERE d.n_chars >= {_BOOL_FILTER_MIN})
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT f.query_id, f.doc_id, f.score,
+             row_number() OVER (PARTITION BY f.query_id
+                                ORDER BY f.score DESC, f.doc_id ASC) AS rank
+      FROM flt f)
+WHERE rank <= 10
+"""
+
+
+def _weighted_avg_sql() -> str:
+    """ES weighted_avg: sum(v*w)/sum(w) over each match set
+    (plans/stats.weighted_avg_agg semantics)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+m AS (SELECT DISTINCT qterms.query_id, tf.doc_id
+      FROM tf JOIN qterms USING (term))
+SELECT m.query_id,
+       ROUND(sum(d.n_chars * (d.n_chars % 7 + 1))
+             / CAST(sum(d.n_chars % 7 + 1) AS DOUBLE), 6) AS weighted_avg
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id
+"""
+
+
 def _synclause_values() -> str:
     """(query_id, clause, term) rows: each DOC_QUERY token's synonym
     group (the token itself always a member), clause keyed by the
@@ -2540,7 +2692,10 @@ SELECT query_id, bucket_key, CAST(n_hits AS BIGINT) AS n_hits,
        CAST(sum(n_hits) OVER (PARTITION BY query_id ORDER BY bucket_key
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
        CAST(n_hits - lag(n_hits) OVER (PARTITION BY query_id
-                                       ORDER BY bucket_key) AS BIGINT) AS deriv
+                                       ORDER BY bucket_key) AS BIGINT) AS deriv,
+       ROUND(avg(n_hits) OVER (PARTITION BY query_id ORDER BY bucket_key
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6)
+         AS moving_avg
 FROM h
 """
 
@@ -3251,6 +3406,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "pipeline_agg": _pipeline_sql(),
         "adjacency_matrix": _adjacency_sql(),
         "synonym_topk": _synonym_sql(),
+        "bool_query_topk": _bool_sql(),
+        "weighted_avg_agg": _weighted_avg_sql(),
         "date_histogram_agg": """
             SELECT CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_start,
                    event_type, count(*) AS n,

@@ -624,6 +624,7 @@ def histogram_pipeline(
     interval: float,
     offset: float = 0.0,
     mode: str = spec.MODE_DISJUNCTIVE,
+    moving_window: int | None = None,
 ) -> DataFrame:
     """Elasticsearch PIPELINE aggregations (`cumulative_sum` and
     `derivative`) riding a histogram: (query_id, bucket_key, n_hits,
@@ -634,6 +635,10 @@ def histogram_pipeline(
     are absent here (module convention), so deriv differences skip
     gaps — ES's gap_policy=skip shape on a min_doc_count=1 histogram;
     callers needing zero-filled buckets outer-join the key grid first.
+
+    moving_window=w adds `moving_avg` — ES `moving_fn` (unshifted): the
+    mean of the PREVIOUS w present buckets' n_hits, current excluded,
+    null on each query's first bucket (empty window).
 
     Scale shape: pipeline aggs are POST-aggregation arithmetic — the
     corpus-scale work is histogram_counts' single join + partial count;
@@ -646,14 +651,46 @@ def histogram_pipeline(
         spark, index_root, queries, attrs, value_col, interval, offset, mode
     )
     w = Window.partitionBy("query_id").orderBy("bucket_key")
-    return h.select(
-        "query_id",
-        "bucket_key",
-        "n_hits",
+    cols = [
         F.sum("n_hits")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum_hits"),
         (F.col("n_hits") - F.lag("n_hits").over(w)).alias("deriv"),
+    ]
+    if moving_window is not None:
+        cols.append(
+            F.avg("n_hits")
+            .over(w.rowsBetween(-int(moving_window), -1))
+            .alias("moving_avg")
+        )
+    return h.select("query_id", "bucket_key", "n_hits", *cols)
+
+
+def weighted_avg_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `weighted_avg` aggregation over the exact match
+    set: (query_id, weighted_avg) = sum(value*weight)/sum(weight)
+    across each query's hit docs; rows with a NULL value or weight are
+    dropped (ES's missing-less default).  Same one-join facet_counts
+    scale shape; the ratio is computed from two partial-aggregated sums,
+    never a second pass."""
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select("doc_id", value_col, weight_col).dropna(), "doc_id")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.col(value_col) * F.col(weight_col))
+                / F.sum(weight_col)
+            ).alias("weighted_avg")
+        )
     )
 
 
