@@ -125,6 +125,9 @@ JOB_EQUIV_REVS = {
     "67f7278": "23c0dc3",  # synonyms + events aggs — scaling leg never
                            # imports plans/synonyms or
                            # functions/events_agg
+    "d2aeb36": "23c0dc3",  # bool_query + weighted_avg/moving_fn aggs —
+                           # scaling leg never imports plans/{boolquery,
+                           # stats}
 }
 
 
