@@ -1716,6 +1716,78 @@ def _q_text_fingerprints(spark, sf_dir):
     return ta.fingerprints(_docs(spark, sf_dir))
 
 
+def _pii_augmented(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (doc_id-keyed,
+    engine-reproducible) so the scrub pass has non-zero signal to verify."""
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" from 10.0.0.1 and 192.168.1.255"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """PII scrub pass (functions/webtext.pii_stats): detect + redact
+    emails / NANP phones / IPv4 (C4/CCNet hygiene); counts over the
+    original text, md5 fingerprint of the redacted text.  Scan-local
+    codegen — no shuffle, no UDF."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import pii_stats
+
+    return pii_stats(_pii_augmented(spark, sf_dir))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition/shape filters (functions/webtext.repetition_stats):
+    distinct-token ratio, top-bigram fraction (longest equal run over the
+    SORTED bigram array — an aggregate() fold, zero shuffle), mean word
+    length, symbol-to-word ratio."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import (
+        repetition_stats,
+    )
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_ratio", 6).alias("distinct_token_ratio"),
+        "top_bigram_count",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+    )
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """Cross-document duplicate-span accounting (functions/webtext
+    .chunk_dedup — CCNet paragraph dedup over non-overlapping 10-token
+    chunks): per-doc fraction of chunks seen in ≥2 distinct docs."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import chunk_dedup
+
+    out = chunk_dedup(_docs(spark, sf_dir), min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round("dup_chunk_frac", 6).alias("dup_chunk_frac"),
+    )
+
+
 def _q_extract_structured(spark, sf_dir):
     """Reference-parity HTML extraction over the synthesized webtext corpus
     (non-SQL-expressible: recursive DOM traversal; rows-only check)."""
@@ -1860,6 +1932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
+        "pii_redaction": _q_pii_redaction,
+        "repetition_stats": _q_repetition_stats,
+        "chunk_dedup": _q_chunk_dedup,
         "extract_structured": _q_extract_structured,
     }
 
@@ -3684,6 +3759,73 @@ WHERE rank <= 10
             mins AS (SELECT doc_id, min(md5(shingle)) AS fp_min FROM sh GROUP BY doc_id)
             SELECT d.doc_id, md5(d.text) AS fp_full, mins.fp_min
             FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id
+        """,
+        "pii_redaction": """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.0.1 and 192.168.1.255' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t,
+       '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t,
+       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+      AS redacted_fp
+FROM aug
+        """,
+        "repetition_stats": """
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])) AS b
+       FROM t),
+topb AS (SELECT doc_id, max(c) AS top_cnt
+         FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+         GROUP BY 1)
+SELECT t.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+    AS distinct_token_ratio,
+  CAST(coalesce(topb.top_cnt, 0) AS BIGINT) AS top_bigram_count,
+  ROUND(coalesce(topb.top_cnt, 0)
+        / greatest(greatest(len(toks) - 1, 0), 1), 6) AS top_bigram_frac,
+  ROUND(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+        / greatest(len(toks), 1), 6) AS mean_word_len,
+  ROUND(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+        / greatest(len(toks), 1), 6) AS symbol_word_ratio
+FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id
+        """,
+        "chunk_dedup": """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks), 1) + 1, 10),
+                    i -> array_to_string(list_slice(toks, i, i + 9), ' ')))
+               AS chunk
+      FROM t),
+cf AS (SELECT doc_id, md5(chunk) AS h FROM c WHERE chunk <> ''),
+dfreq AS (SELECT h, count(DISTINCT doc_id) AS chunk_df FROM cf GROUP BY 1)
+SELECT cf.doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(count(*) FILTER (WHERE chunk_df >= 2) AS BIGINT) AS n_dup_chunks,
+  ROUND(count(*) FILTER (WHERE chunk_df >= 2) / count(*), 6)
+    AS dup_chunk_frac
+FROM cf JOIN dfreq USING (h) GROUP BY 1
         """,
         # extract_structured: intentionally omitted (recursive DOM traversal is
         # not SQL-expressible; driver records the rows-only check)

@@ -1,0 +1,174 @@
+"""Webtext hygiene operators for large-scale training-data pipelines.
+
+Three pre-training data-prep passes the reference engine's corpus would go
+through before indexing/training, each expressed JVM-side (built-in
+pyspark.sql.functions only — no Python UDFs) so whole-stage codegen applies
+and the ops scale linearly to 100 TB:
+
+* ``pii_stats``        — PII detection + redaction (emails / NANP phone
+                         numbers / IPv4 addresses), the C4/CCNet scrub pass.
+* ``repetition_stats`` — Gopher-style repetition & shape signals (Rae et
+                         al. 2021 §A1.1): distinct-token ratio, top-bigram
+                         fraction, mean word length, symbol-to-word ratio.
+                         The top-bigram count is computed WITHOUT a shuffle:
+                         sort the bigram array and take the longest equal
+                         run via ``aggregate`` — pure codegen per row.
+* ``chunk_dedup``      — cross-document duplicate-span accounting (CCNet
+                         paragraph dedup, adapted to word n-gram chunks):
+                         non-overlapping 10-token chunks are hashed and
+                         counted corpus-wide; a doc's ``dup_chunk_frac`` is
+                         the fraction of its chunks seen in ≥ ``min_docs``
+                         distinct documents.  Two linear shuffles (chunk
+                         df, then doc re-agg) — no all-pairs stage.
+
+Input contract: a DataFrame with (doc_id: long, text: string).  Every
+operator has a value-checked DuckDB oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Same tokenizer as the index / text_analysis (spec.TOKEN_RE)
+TOKENS_EXPR = r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+# RE2-compatible (DuckDB) AND java.util.regex-compatible patterns — no
+# lookaround, no backrefs, so both engines match the same spans.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+CHUNK_TOKENS = 10  # non-overlapping span width for chunk_dedup
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ipv4, redacted_fp).
+
+    Counts are over the ORIGINAL text; ``redacted_fp`` is md5 of the text
+    after replacing, in order, emails → phones → IPv4 with typed tags.
+    Scan-local (one projection, no shuffle, no UDF)."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), 0))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_fp"),
+    )
+
+
+# Longest equal run in a SORTED string array == max multiplicity — a pure
+# codegen fold, so the per-doc "most repeated bigram" needs no explode/shuffle.
+_MAX_RUN_EXPR = """
+aggregate(
+  sort_array({arr}),
+  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run',  CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                 THEN acc.run + 1L ELSE 1L END,
+    'best', greatest(acc.best,
+                     CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                          THEN acc.run + 1L ELSE 1L END)),
+  acc -> acc.best)
+"""
+
+_BIGRAMS_EXPR = """
+CASE WHEN size(tokens) < 2 THEN array()
+     ELSE transform(sequence(1, size(tokens) - 1),
+                    i -> concat(element_at(tokens, i), ' ',
+                                element_at(tokens, i + 1)))
+END
+"""
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher repetition/shape signals per doc:
+    (doc_id, n_tokens, distinct_token_ratio, top_bigram_count,
+     top_bigram_frac, mean_word_len, symbol_word_ratio)."""
+    d = docs.select(
+        "doc_id", "text", F.expr(TOKENS_EXPR).alias("tokens")
+    ).withColumn("bigrams", F.expr(_BIGRAMS_EXPR))
+    n = F.greatest(F.size("tokens"), F.lit(1))
+    nbg = F.greatest(F.size("bigrams"), F.lit(1))
+    top = F.expr(_MAX_RUN_EXPR.format(arr="bigrams"))
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("tokens")) / n).alias("distinct_token_ratio"),
+        top.alias("top_bigram_count"),
+        (top / nbg).alias("top_bigram_frac"),
+        (
+            F.expr("aggregate(tokens, 0L, (a, x) -> a + length(x))") / n
+        ).alias("mean_word_len"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0)) / n
+        ).alias("symbol_word_ratio"),
+    )
+
+
+def _chunks(docs: DataFrame, width: int) -> DataFrame:
+    """Explode non-overlapping ``width``-token chunks: (doc_id, chunk)."""
+    expr = (
+        f"transform(sequence(1, greatest(size(tokens), 1), {width}),"
+        f" i -> concat_ws(' ', slice(tokens, i, {width})))"
+    )
+    return (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("tokens"))
+        .select("doc_id", F.explode(F.expr(expr)).alias("chunk"))
+        .filter(F.col("chunk") != "")
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, min_docs: int = 2, width: int = CHUNK_TOKENS
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_chunk_frac): per-doc share of
+    word-chunk spans that occur in ≥ ``min_docs`` DISTINCT documents.
+
+    Plan shape (scale-linear): explode chunks → md5 → distinct(doc, hash)
+    → groupBy(hash) for document-frequency (partial-agg combines map-side)
+    → broadcast-or-shuffle join back on hash → groupBy(doc_id).  No
+    all-pairs joins; skew is bounded because chunk hashes are uniform."""
+    ch = _chunks(docs, width).select(
+        "doc_id", F.md5(F.encode("chunk", "UTF-8")).alias("h")
+    )
+    dfreq = (
+        ch.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("chunk_df"))
+    )
+    return (
+        ch.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("chunk_df") >= min_docs, 1).otherwise(0)
+            ).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long"),
+            F.col("n_dup_chunks").cast("long"),
+            (F.col("n_dup_chunks") / F.col("n_chunks")).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )
