@@ -128,6 +128,8 @@ JOB_EQUIV_REVS = {
     "d2aeb36": "23c0dc3",  # bool_query + weighted_avg/moving_fn aggs —
                            # scaling leg never imports plans/{boolquery,
                            # stats}
+    "3ac704a": "23c0dc3",  # webtext hygiene ops — scaling leg never
+                           # imports functions/webtext
 }
 
 
