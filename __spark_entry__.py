@@ -1215,6 +1215,113 @@ def _q_adjacency_matrix(spark, sf_dir):
     )
 
 
+def _doc_attrs(spark, sf_dir, *cols):
+    """(index doc_id, <cols...>) attribute table: docmap url -> original
+    document row (the entry corpus convention used by facet_counts)."""
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), *cols
+    )
+    return (
+        Catalog(root).read(spark, "docmap").join(src, "url")
+        .select("doc_id", *cols)
+    )
+
+
+def _q_multi_terms(spark, sf_dir):
+    """ES `multi_terms` aggregation (plans/stats.multi_terms_agg): match-set
+    buckets keyed by the (source, 200-char length bucket) TUPLE, with the
+    ES-style '|'-joined compound `key` column."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import multi_terms_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "source", "n_chars").select(
+        "doc_id",
+        "source",
+        (F.floor(F.col("n_chars") / 200) * 200).cast("long").alias("len_bucket"),
+    )
+    out = multi_terms_agg(
+        spark, root, DOC_QUERIES, attrs, ["source", "len_bucket"]
+    )
+    return out.select(
+        "query_id",
+        "key",
+        "source",
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+_RARE_MAX_DOC_COUNT = 1
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES `rare_terms` aggregation (plans/stats.rare_terms_agg): the
+    long-tail complement of facet_counts — buckets of the high-cardinality
+    `n_chars` field with exactly one hit (ES's canonical rare_terms use
+    case).  Exact (no CuckooFilter needed: the HAVING runs distributed on
+    already-reduced bucket rows)."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import rare_terms_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = rare_terms_agg(
+        spark, root, DOC_QUERIES, attrs, "n_chars", _RARE_MAX_DOC_COUNT
+    )
+    return out.select(
+        "query_id",
+        F.col("facet").cast("long").alias("facet"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+# Named-filter buckets for the ES `filters` aggregation entry: boolean SQL
+# over the documents attributes, valid in both Spark F.expr and DuckDB.
+_NAMED_FILTERS = {
+    "short": "n_chars < 250",
+    "mid": "n_chars >= 250 AND n_chars < 400",
+    "long": "n_chars >= 400",
+    "srclow": "source IN ('src0', 'src1', 'src2', 'src3', 'src4')",
+}
+
+
+def _q_filters_agg(spark, sf_dir):
+    """ES `filters` aggregation (plans/stats.filters_agg): named
+    (overlapping) predicate buckets over each match set, counted in ONE
+    join + ONE agg pass via conditional-count columns."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import filters_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "source", "n_chars")
+    out = filters_agg(spark, root, DOC_QUERIES, attrs, _NAMED_FILTERS)
+    return out.select(
+        "query_id", "bucket", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def _q_terms_pipeline(spark, sf_dir):
+    """ES `bucket_selector` + `bucket_sort` pipeline riding a terms agg
+    (plans/stats.terms_pipeline): per-source (n_hits, avg n_chars) buckets,
+    buckets with n < 3 dropped, survivors ranked by avg desc / facet asc,
+    top 5 kept."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import terms_pipeline
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "source", "n_chars")
+    out = terms_pipeline(
+        spark, root, DOC_QUERIES, attrs, "source", "n_chars", "n >= 3", 5
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket_rank").cast("int").alias("bucket_rank"),
+        "facet",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round("avg_v", 6).alias("avg_chars"),
+    )
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.25, "s0"
 _STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.2}
 _STRATA_DEFAULT = 0.05
@@ -1897,6 +2004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _q_composite_agg,
         "pipeline_agg": _q_pipeline_agg,
         "adjacency_matrix": _q_adjacency_matrix,
+        "multi_terms_agg": _q_multi_terms,
+        "rare_terms_agg": _q_rare_terms,
+        "filters_agg": _q_filters_agg,
+        "terms_pipeline_agg": _q_terms_pipeline,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -2794,6 +2905,86 @@ GROUP BY 1, 2
 """
 
 
+_MATCHED_DOCS_CTE = """
+docs AS (SELECT doc_id, source, n_chars,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+matched AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM (SELECT doc_id, unnest(toks) AS term FROM docs) t
+            JOIN qterms q USING (term))
+"""
+
+
+def _multi_terms_sql() -> str:
+    """Compound (source, 200-char len bucket) terms buckets with the
+    '|'-joined ES key — plans/stats.multi_terms_agg semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+b AS (SELECT m.query_id, d.source,
+             CAST(floor(d.n_chars / 200) * 200 AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM matched m JOIN docs d USING (doc_id)
+      GROUP BY 1, 2, 3)
+SELECT query_id, source || '|' || CAST(len_bucket AS VARCHAR) AS key,
+       source, len_bucket, n_hits
+FROM b
+"""
+
+
+def _rare_terms_sql() -> str:
+    """facet_counts filtered to buckets with <= max_doc_count hits —
+    plans/stats.rare_terms_agg semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE}
+SELECT m.query_id, CAST(d.n_chars AS BIGINT) AS facet,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM matched m JOIN docs d USING (doc_id)
+GROUP BY 1, 2
+HAVING count(*) <= {_RARE_MAX_DOC_COUNT}
+"""
+
+
+def _filters_agg_sql() -> str:
+    """Named predicate buckets (overlapping) over each match set —
+    plans/stats.filters_agg semantics; the same boolean expressions the
+    Spark entry passes to F.expr run verbatim in DuckDB."""
+    branches = " UNION ALL ".join(
+        f"SELECT query_id, '{n}' AS bucket, "
+        f"CAST(sum(CASE WHEN {e} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits "
+        f"FROM j GROUP BY query_id"
+        for n, e in sorted(_NAMED_FILTERS.items())
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+j AS (SELECT m.query_id, d.source, d.n_chars
+      FROM matched m JOIN docs d USING (doc_id))
+SELECT query_id, bucket, n_hits FROM ({branches}) WHERE n_hits > 0
+"""
+
+
+def _terms_pipeline_sql() -> str:
+    """bucket_selector (n >= 3) + bucket_sort (avg desc, facet asc, size 5)
+    over per-source terms buckets — plans/stats.terms_pipeline semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+b AS (SELECT m.query_id, d.source AS facet, count(*) AS n,
+             avg(d.n_chars) AS avg_v
+      FROM matched m JOIN docs d USING (doc_id)
+      GROUP BY 1, 2),
+k AS (SELECT query_id, facet, n, avg_v,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY avg_v DESC, facet ASC) AS bucket_rank
+      FROM b WHERE n >= 3)
+SELECT query_id, CAST(bucket_rank AS INTEGER) AS bucket_rank, facet,
+       CAST(n AS BIGINT) AS n_hits, ROUND(avg_v, 6) AS avg_chars
+FROM k WHERE bucket_rank <= 5
+"""
+
+
 def _regexp_sql() -> str:
     """Each pattern's anchored-regex expansion over the vocabulary
     (DuckDB regexp_full_match == Python re.fullmatch on this RE2-safe
@@ -3480,6 +3671,10 @@ FROM hits h JOIN documents d USING (doc_id)
         "composite_agg": _composite_sql(),
         "pipeline_agg": _pipeline_sql(),
         "adjacency_matrix": _adjacency_sql(),
+        "multi_terms_agg": _multi_terms_sql(),
+        "rare_terms_agg": _rare_terms_sql(),
+        "filters_agg": _filters_agg_sql(),
+        "terms_pipeline_agg": _terms_pipeline_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

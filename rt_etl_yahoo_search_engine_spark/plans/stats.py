@@ -732,3 +732,138 @@ def adjacency_matrix(
         .groupBy("filter_a", "filter_b")
         .agg(F.count("*").alias("doc_count"))
     )
+
+
+def multi_terms_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    facet_cols: list[str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `multi_terms` aggregation: buckets keyed by a TUPLE
+    of document attributes — (query_id, <facet_cols...>, key, n_hits),
+    `key` the ES-style '|'-joined compound key.  Same single-join
+    facet_counts scale shape: the compound key adds no extra exchange,
+    it just widens the groupBy key."""
+    fcols = [F.col(c) for c in facet_cols]
+    return (
+        match_docs(spark, index_root, queries, mode)
+        .join(attrs.select("doc_id", *facet_cols), "doc_id")
+        .groupBy("query_id", *fcols)
+        .agg(F.count("*").alias("n_hits"))
+        .withColumn(
+            "key", F.concat_ws("|", *[F.col(c).cast("string") for c in facet_cols])
+        )
+    )
+
+
+def rare_terms_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    facet_col: str,
+    max_doc_count: int = 1,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `rare_terms` aggregation: the long-tail complement
+    of `terms` — only buckets whose hit count is <= ``max_doc_count``
+    survive: (query_id, facet, n_hits).  ES approximates this with a
+    CuckooFilter to avoid shipping every unique term to the coordinator;
+    relationally the exact answer is a post-aggregation filter on the
+    partial-combined counts, which is already coordinator-free in Spark
+    — the HAVING runs distributed on the reduced bucket rows, so the
+    exact form scales where ES had to approximate."""
+    return (
+        facet_counts(spark, index_root, queries, attrs, facet_col, mode)
+        .filter(F.col("n_hits") <= max_doc_count)
+    )
+
+
+def filters_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    filters: dict[str, str],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `filters` aggregation: NAMED predicate buckets over
+    the match set — (query_id, bucket, n_hits), one row per named filter
+    whose predicate (a boolean SQL expression over `attrs` columns)
+    matched >= 1 hit doc.  A doc can land in several buckets (ES filters
+    buckets are not disjoint).
+
+    Scale shape: ONE join + ONE aggregation pass — every named filter
+    becomes a conditional-count column (codegen CASE, map-side partial),
+    and the per-bucket rows are unpivoted AFTER reduction via a stack()
+    over result-scale rows; the corpus is never scanned per filter."""
+    names = sorted(filters)
+    joined = match_docs(spark, index_root, queries, mode).join(
+        attrs, "doc_id"
+    )
+    counts = joined.groupBy("query_id").agg(
+        *[
+            F.sum(F.when(F.expr(filters[n]), 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    stack = ", ".join(f"'{n}', c_{i}" for i, n in enumerate(names))
+    return (
+        counts.select(
+            "query_id",
+            F.expr(
+                f"stack({len(names)}, {stack}) AS (bucket, n_hits)"
+            ),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def terms_pipeline(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    facet_col: str,
+    value_col: str,
+    having: str,
+    k: int,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `bucket_selector` + `bucket_sort` pipeline riding a
+    terms aggregation: per query, terms buckets of ``facet_col`` with
+    (n_hits, avg_v of ``value_col``), buckets failing the ``having``
+    boolean expression dropped (bucket_selector), survivors ranked by
+    avg_v desc / facet asc and truncated to the top ``k`` (bucket_sort's
+    sort+size): (query_id, bucket_rank, facet, n_hits, avg_v).
+
+    Scale shape: the selector/sort are post-aggregation arithmetic on
+    result-scale bucket rows (exactly where ES runs them, on the reduced
+    response) — corpus-scale work is the one facet_stats join+agg."""
+    from pyspark.sql import Window
+
+    b = facet_stats(
+        spark, index_root, queries, attrs, value_col, facet_col, mode
+    ).select(
+        "query_id", F.col(facet_col).alias("facet"), "n", "avg_v"
+    )
+    kept = b.filter(F.expr(having))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("avg_v").desc(), F.col("facet").asc()
+    )
+    return (
+        kept.withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= k)
+        .select(
+            "query_id",
+            "bucket_rank",
+            "facet",
+            F.col("n").alias("n_hits"),
+            "avg_v",
+        )
+    )
