@@ -130,6 +130,9 @@ JOB_EQUIV_REVS = {
                            # stats}
     "3ac704a": "23c0dc3",  # webtext hygiene ops — scaling leg never
                            # imports functions/webtext
+    "3ce720e": "23c0dc3",  # multi_terms/rare_terms/filters/bucket-sort
+                           # aggs in plans/stats — scaling leg never
+                           # imports plans/stats
 }
 
 
