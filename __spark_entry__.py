@@ -1322,6 +1322,95 @@ def _q_terms_pipeline(spark, sf_dir):
     )
 
 
+def _q_sibling_pipeline(spark, sf_dir):
+    """ES SIBLING pipeline aggs (plans/stats.sibling_pipeline —
+    avg/min/max/sum/stats_bucket): one row per DOC_QUERY summarizing its
+    100-char n_chars histogram's bucket hit counts."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import sibling_pipeline
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = sibling_pipeline(spark, root, DOC_QUERIES, attrs, "n_chars", 100.0)
+    return out.select(
+        "query_id",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("min_hits").cast("long").alias("min_hits"),
+        F.col("max_hits").cast("long").alias("max_hits"),
+        F.col("sum_hits").cast("long").alias("sum_hits"),
+        F.round("avg_hits", 6).alias("avg_hits"),
+    )
+
+
+def _q_bucket_script(spark, sf_dir):
+    """ES `bucket_script` + `serial_diff` pipeline aggs
+    (plans/stats.bucket_script_pipeline): per 100-char histogram bucket,
+    hit count + sum of n_chars, the script `sum_v / n_hits` (per-bucket
+    mean via bucket_script), and the lag-2 serial difference of the hit
+    count."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import (
+        bucket_script_pipeline,
+    )
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = bucket_script_pipeline(
+        spark, root, DOC_QUERIES, attrs, "n_chars", 100.0,
+        "sum_v / n_hits", lag_n=2,
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket_key").cast("double").alias("bucket_key"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.round("script_v", 6).alias("script_v"),
+        F.col("serial_diff").cast("long").alias("serial_diff"),
+    )
+
+
+_TV_N_DOCS = 5
+
+
+def _q_term_vectors(spark, sf_dir):
+    """ES `_termvectors` API (plans/termvectors.term_vectors): per-term
+    in-doc tf + doc_len from the index's doc-major tokens store and
+    corpus df/cf from the lexicon — never re-tokenizes source text — for
+    the 5 lowest-id English documents.  Output keyed by ORIGINAL doc_id
+    (docmap url convention)."""
+    from rt_etl_yahoo_search_engine_spark.plans.termvectors import (
+        term_vectors,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    orig_ids = [
+        r.doc_id
+        for r in _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(_TV_N_DOCS)
+        .collect()
+    ]
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    idx_ids = [
+        r.doc_id
+        for r in dm.filter(F.col("orig_id").isin(orig_ids)).collect()
+    ]
+    out = term_vectors(spark, root, idx_ids)
+    return dm.join(F.broadcast(out), "doc_id").select(
+        F.col("orig_id").alias("doc_id"),
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.25, "s0"
 _STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.2}
 _STRATA_DEFAULT = 0.05
@@ -2008,6 +2097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms_agg": _q_rare_terms,
         "filters_agg": _q_filters_agg,
         "terms_pipeline_agg": _q_terms_pipeline,
+        "sibling_pipeline_agg": _q_sibling_pipeline,
+        "bucket_script_agg": _q_bucket_script,
+        "term_vectors": _q_term_vectors,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -2985,6 +3077,69 @@ FROM k WHERE bucket_rank <= 5
 """
 
 
+def _sibling_pipeline_sql() -> str:
+    """Per-query scalar stats over the 100-char n_chars histogram's
+    bucket counts — plans/stats.sibling_pipeline semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+h AS (SELECT m.query_id,
+             floor(CAST(d.n_chars AS DOUBLE) / 100.0) * 100.0 AS bucket_key,
+             count(*) AS n_hits
+      FROM matched m JOIN docs d USING (doc_id)
+      GROUP BY 1, 2)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n_hits) AS BIGINT) AS min_hits,
+       CAST(max(n_hits) AS BIGINT) AS max_hits,
+       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       ROUND(avg(n_hits), 6) AS avg_hits
+FROM h GROUP BY query_id
+"""
+
+
+def _bucket_script_sql() -> str:
+    """Per-bucket metrics + bucket_script (sum_v / n_hits) + lag-2
+    serial_diff — plans/stats.bucket_script_pipeline semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+b AS (SELECT m.query_id,
+             floor(CAST(d.n_chars AS DOUBLE) / 100.0) * 100.0 AS bucket_key,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(sum(d.n_chars) AS BIGINT) AS sum_v
+      FROM matched m JOIN docs d USING (doc_id)
+      GROUP BY 1, 2)
+SELECT query_id, bucket_key, n_hits, sum_v,
+       ROUND(CAST(sum_v AS DOUBLE) / n_hits, 6) AS script_v,
+       CAST(n_hits - lag(n_hits, 2) OVER (PARTITION BY query_id
+                                          ORDER BY bucket_key) AS BIGINT)
+         AS serial_diff
+FROM b
+"""
+
+
+def _term_vectors_sql() -> str:
+    """Per-term tf/doc_len + corpus df/cf for the 5 lowest-id English
+    docs — plans/termvectors.term_vectors semantics (the oracle
+    re-derives from text what the engine reads from the index)."""
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE lang = 'en'),
+sel AS (SELECT doc_id FROM documents WHERE lang = 'en'
+        ORDER BY doc_id LIMIT {_TV_N_DOCS}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+lex AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term)
+SELECT t.doc_id, t.term, CAST(t.tf AS INTEGER) AS tf,
+       CAST(dl.doc_len AS INTEGER) AS doc_len,
+       CAST(lex.df AS BIGINT) AS df, CAST(lex.cf AS BIGINT) AS cf
+FROM tf t JOIN sel USING (doc_id) JOIN dl USING (doc_id)
+JOIN lex USING (term)
+"""
+
+
 def _regexp_sql() -> str:
     """Each pattern's anchored-regex expansion over the vocabulary
     (DuckDB regexp_full_match == Python re.fullmatch on this RE2-safe
@@ -3675,6 +3830,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "rare_terms_agg": _rare_terms_sql(),
         "filters_agg": _filters_agg_sql(),
         "terms_pipeline_agg": _terms_pipeline_sql(),
+        "sibling_pipeline_agg": _sibling_pipeline_sql(),
+        "bucket_script_agg": _bucket_script_sql(),
+        "term_vectors": _term_vectors_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

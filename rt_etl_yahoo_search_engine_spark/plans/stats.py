@@ -867,3 +867,94 @@ def terms_pipeline(
             "avg_v",
         )
     )
+
+
+def sibling_pipeline(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    interval: float,
+    offset: float = 0.0,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch SIBLING pipeline aggregations (`avg_bucket` /
+    `min_bucket` / `max_bucket` / `sum_bucket` / `stats_bucket`): one row
+    per query summarizing its histogram's bucket n_hits — (query_id,
+    n_buckets, min_hits, max_hits, sum_hits, avg_hits).
+
+    Scale shape: like every pipeline agg, this is post-aggregation
+    arithmetic — one more reduction over the already-reduced bucket rows
+    (result-scale), exactly where ES's coordinator computes siblings.
+    The corpus-scale work remains histogram_counts' single join+count."""
+    h = histogram_counts(
+        spark, index_root, queries, attrs, value_col, interval, offset, mode
+    )
+    return h.groupBy("query_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.min("n_hits").alias("min_hits"),
+        F.max("n_hits").alias("max_hits"),
+        F.sum("n_hits").alias("sum_hits"),
+        F.avg("n_hits").alias("avg_hits"),
+    )
+
+
+def bucket_script_pipeline(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    interval: float,
+    script: str,
+    lag_n: int = 1,
+    offset: float = 0.0,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `bucket_script` + `serial_diff` pipeline aggs riding
+    a value histogram that carries per-bucket METRICS, not just counts:
+    per (query, bucket) the hit count `n_hits` and `sum_v` of
+    ``value_col``, plus
+
+      * script_v    — ``script``, a SQL expression over the bucket's
+                      metric columns (n_hits, sum_v) evaluated per bucket
+                      (ES bucket_script's painless params, relationally);
+      * serial_diff — n_hits minus the n_hits of the bucket ``lag_n``
+                      PRESENT buckets earlier in key order (ES
+                      `serial_diff` with gap_policy=skip; null while the
+                      lag window is incomplete).
+
+    Scale shape: the bucketed metrics are ONE facet_stats join+agg (the
+    bucket key is a derived column of the attribute row — no extra
+    exchange); script/serial_diff are result-scale window arithmetic."""
+    from pyspark.sql import Window
+
+    bucketed = attrs.select(
+        "doc_id",
+        (
+            F.floor((F.col(value_col) - F.lit(offset)) / F.lit(interval))
+            * F.lit(interval)
+            + F.lit(offset)
+        ).alias("bucket_key"),
+        F.col(value_col).alias("_v"),
+    )
+    b = facet_stats(
+        spark, index_root, queries, bucketed, "_v", "bucket_key", mode
+    ).select(
+        "query_id",
+        "bucket_key",
+        F.col("n").alias("n_hits"),
+        F.col("sum_v"),
+    )
+    w = Window.partitionBy("query_id").orderBy("bucket_key")
+    return b.select(
+        "query_id",
+        "bucket_key",
+        "n_hits",
+        "sum_v",
+        F.expr(script).alias("script_v"),
+        (F.col("n_hits") - F.lag("n_hits", lag_n).over(w)).alias(
+            "serial_diff"
+        ),
+    )
