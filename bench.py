@@ -133,6 +133,10 @@ JOB_EQUIV_REVS = {
     "3ce720e": "23c0dc3",  # multi_terms/rare_terms/filters/bucket-sort
                            # aggs in plans/stats — scaling leg never
                            # imports plans/stats
+    "9523226": "23c0dc3",  # SURVEY.md doc-only
+    "168f74f": "23c0dc3",  # sibling/bucket_script pipelines + termvectors
+                           # — scaling leg never imports plans/{stats,
+                           # termvectors}
 }
 
 
