@@ -1411,6 +1411,97 @@ def _q_term_vectors(spark, sf_dir):
     )
 
 
+_PCTRANK_VALUES = [200.0, 300.0, 500.0]
+
+
+def _q_percentile_ranks(spark, sf_dir):
+    """ES `percentile_ranks` aggregation (plans/stats.percentile_ranks_agg):
+    for probe values 200/300/500 of n_chars, the exact percentage of each
+    DOC_QUERY's hit docs at or below the value — the inverse CDF lookup
+    of the percentiles entry."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import (
+        percentile_ranks_agg,
+    )
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = percentile_ranks_agg(
+        spark, root, DOC_QUERIES, attrs, "n_chars", _PCTRANK_VALUES
+    )
+    return out.select(
+        "query_id",
+        F.col("value").cast("double").alias("value"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+    )
+
+
+def _q_string_stats(spark, sf_dir):
+    """ES `string_stats` aggregation (plans/stats.string_stats_agg) of the
+    `source` keyword field over each DOC_QUERY's match set: count,
+    min/max/avg length, and Shannon entropy (bits) of the character
+    distribution across the bucket's values."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import string_stats_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "source")
+    out = string_stats_agg(spark, root, DOC_QUERIES, attrs, "source")
+    return out.select(
+        "query_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("min_len").cast("int").alias("min_len"),
+        F.col("max_len").cast("int").alias("max_len"),
+        F.round("avg_len", 6).alias("avg_len"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+_ANN_FILTER = "label IN (0, 1, 2)"
+
+
+def _q_ann_filtered(spark, sf_dir):
+    """Filtered kNN (functions/similarity.filtered_cosine_topk — ES `knn`
+    with `filter`): exact cosine top-10 over only the corpus vectors with
+    label in {0,1,2} (pre-filter semantics, filter pushed into the scan);
+    query vectors are vec_ids 0-4 from the unfiltered table."""
+    from rt_etl_yahoo_search_engine_spark.functions.similarity import (
+        filtered_cosine_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = filtered_cosine_topk(emb, ANN_QUERY_IDS, _ANN_FILTER, k=10)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+# Phrase-suggester inputs: misspelled multi-word queries (ps5 is fully
+# in-vocabulary — zero corrections expected).
+PHRASE_SUGGEST_QUERIES = {
+    "ps1": "joinx tabl",
+    "ps2": "windom agg",
+    "ps3": "slow filtrr scan",
+    "ps4": "vectr",
+    "ps5": "join hash",
+}
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    """Whole-query "did you mean" (plans/suggest.phrase_suggest — ES
+    `phrase` suggester, direct-generator form): OOV words replaced by
+    their best spelling candidate (dist asc, df desc, term asc), tokens
+    rejoined in order."""
+    from rt_etl_yahoo_search_engine_spark.plans.suggest import phrase_suggest
+
+    root = _index_for(spark, sf_dir)
+    rows = phrase_suggest(root, PHRASE_SUGGEST_QUERIES)
+    return spark.createDataFrame(
+        rows, "query_id string, corrected string, n_corrected long"
+    )
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.25, "s0"
 _STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.2}
 _STRATA_DEFAULT = 0.05
@@ -2100,6 +2191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sibling_pipeline_agg": _q_sibling_pipeline,
         "bucket_script_agg": _q_bucket_script,
         "term_vectors": _q_term_vectors,
+        "percentile_ranks_agg": _q_percentile_ranks,
+        "string_stats_agg": _q_string_stats,
+        "ann_filtered_topk": _q_ann_filtered,
+        "phrase_suggest": _q_phrase_suggest,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -3140,6 +3235,87 @@ JOIN lex USING (term)
 """
 
 
+def _percentile_ranks_sql() -> str:
+    """Exact empirical-CDF percentage at each probe value —
+    plans/stats.percentile_ranks_agg semantics."""
+    branches = " UNION ALL ".join(
+        f"SELECT query_id, CAST({v} AS DOUBLE) AS value, "
+        f"ROUND(100.0 * sum(CASE WHEN n_chars <= {v} THEN 1 ELSE 0 END)"
+        f" / count(*), 6) AS pct_rank FROM j GROUP BY query_id"
+        for v in _PCTRANK_VALUES
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+j AS (SELECT m.query_id, d.n_chars
+      FROM matched m JOIN docs d USING (doc_id))
+SELECT query_id, value, pct_rank FROM ({branches})
+"""
+
+
+def _string_stats_sql() -> str:
+    """count / min / max / avg length + character-distribution Shannon
+    entropy of `source` per match set — plans/stats.string_stats_agg."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+j AS (SELECT m.query_id, d.source
+      FROM matched m JOIN docs d USING (doc_id)),
+base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(length(source)) AS INTEGER) AS min_len,
+                CAST(max(length(source)) AS INTEGER) AS max_len,
+                ROUND(avg(length(source)), 6) AS avg_len
+         FROM j GROUP BY query_id),
+chars AS (SELECT query_id, substr(source, CAST(i AS INTEGER), 1) AS ch
+          FROM j, unnest(range(1, length(source) + 1)) AS u(i)),
+freq AS (SELECT query_id, ch, count(*) AS cnt
+         FROM chars GROUP BY query_id, ch),
+ent AS (SELECT query_id,
+               ROUND(sum(-(cnt / tot) * log2(cnt / tot)), 6) AS entropy
+        FROM (SELECT query_id, ch, cnt,
+                     sum(cnt) OVER (PARTITION BY query_id) AS tot
+              FROM freq)
+        GROUP BY query_id)
+SELECT b.query_id, b.n, b.min_len, b.max_len, b.avg_len, e.entropy
+FROM base b JOIN ent e USING (query_id)
+"""
+
+
+def _phrase_suggest_sql() -> str:
+    """Per-token best spelling candidate (dist asc, df desc, term asc),
+    OOV words replaced, rejoined in order — plans/suggest.phrase_suggest
+    semantics (DuckDB levenshtein == the plan's banded DP)."""
+    qtok = [
+        f"('{qid}', {i}, '{t}')"
+        for qid, text in PHRASE_SUGGEST_QUERIES.items()
+        for i, t in enumerate(spec.tokenize(text))
+    ]
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+       GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qtok(query_id, pos, term) AS (VALUES {", ".join(qtok)}),
+cand AS (SELECT qt.query_id, qt.pos, l.term AS sug, l.df,
+                levenshtein(qt.term, l.term) AS dist
+         FROM qtok qt JOIN lex l ON levenshtein(qt.term, l.term) <= 2
+         WHERE qt.term NOT IN (SELECT term FROM lex)),
+best AS (SELECT query_id, pos, sug,
+                row_number() OVER (PARTITION BY query_id, pos
+                                   ORDER BY dist ASC, df DESC, sug ASC) AS rn
+         FROM cand),
+fixed AS (SELECT qt.query_id, qt.pos, coalesce(b.sug, qt.term) AS w,
+                 CASE WHEN b.sug IS NOT NULL THEN 1 ELSE 0 END AS corr
+          FROM qtok qt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+            ON b.query_id = qt.query_id AND b.pos = qt.pos)
+SELECT query_id, string_agg(w, ' ' ORDER BY pos) AS corrected,
+       CAST(sum(corr) AS BIGINT) AS n_corrected
+FROM fixed GROUP BY query_id
+"""
+
+
 def _regexp_sql() -> str:
     """Each pattern's anchored-regex expansion over the vocabulary
     (DuckDB regexp_full_match == Python re.fullmatch on this RE2-safe
@@ -3833,6 +4009,13 @@ FROM hits h JOIN documents d USING (doc_id)
         "sibling_pipeline_agg": _sibling_pipeline_sql(),
         "bucket_script_agg": _bucket_script_sql(),
         "term_vectors": _term_vectors_sql(),
+        "percentile_ranks_agg": _percentile_ranks_sql(),
+        "string_stats_agg": _string_stats_sql(),
+        "ann_filtered_topk": _COS_SQL_BODY.format(
+            join_extra=" JOIN embeddings em ON em.vec_id = e.vec_id",
+            where_extra=f" AND em.{_ANN_FILTER}",
+        ),
+        "phrase_suggest": _phrase_suggest_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

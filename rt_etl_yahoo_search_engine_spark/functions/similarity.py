@@ -59,6 +59,46 @@ def cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    predicate: str,
+    k: int = 10,
+) -> DataFrame:
+    """Filtered kNN (ES `knn` with `filter` / pre-filtered vector search):
+    exact cosine top-k over ONLY the corpus vectors satisfying
+    ``predicate`` (a boolean SQL expression over the embeddings table's
+    metadata columns).  PRE-filter semantics: the filter restricts the
+    candidate set before ranking, so the result always has k hits when k
+    survivors exist — never the post-filter's k-minus-dropped gap.
+
+    Scale shape: the predicate is applied before scoring, so Catalyst
+    pushes it into the parquet scan (row-group pruning on metadata
+    columns) and only survivors pay the dot product; query vectors are
+    drawn from the UNFILTERED table and broadcast, same as cosine_topk."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    cand = embeddings.filter(F.expr(predicate))
+    joined = cand.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cos",
+        F.expr(DOT_EXPR.format(a="embedding", b="qemb"))
+        / (
+            F.expr(NORM_EXPR.format(a="embedding"))
+            * F.expr(NORM_EXPR.format(a="qemb"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
 def sign_bucket(col: str, n_planes: int = 8):
     """LSH bucket key: sign bits of the first n_planes dimensions."""
     return F.expr(

@@ -958,3 +958,98 @@ def bucket_script_pipeline(
             "serial_diff"
         ),
     )
+
+
+def percentile_ranks_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    values: list[float],
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `percentile_ranks` aggregation — the inverse of
+    `percentiles`: for each probe value v, the percentage of the query's
+    hit docs whose ``value_col`` is <= v — (query_id, value, pct_rank).
+    EXACT (the empirical CDF at v, times 100) where ES interpolates a
+    t-digest; docs with a NULL value are excluded (SQL semantics).
+
+    Scale shape: like filters_agg, every probe value becomes one
+    conditional-count column in a single join+agg pass (map-side
+    partial), unpivoted after reduction — result-scale rows only."""
+    vals = [float(v) for v in values]
+    j = match_docs(spark, index_root, queries, mode).join(
+        attrs.select("doc_id", value_col).dropna(), "doc_id"
+    )
+    counts = j.groupBy("query_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.when(F.col(value_col) <= v, 1).otherwise(0)).alias(
+                f"c_{i}"
+            )
+            for i, v in enumerate(vals)
+        ],
+    )
+    # 100D not 100.0: a bare decimal literal would make the whole
+    # expression DECIMAL, and the oracle compares DOUBLE.
+    stack = ", ".join(
+        f"CAST({v} AS DOUBLE), 100D * c_{i} / _n" for i, v in enumerate(vals)
+    )
+    return counts.select(
+        "query_id",
+        F.expr(f"stack({len(vals)}, {stack}) AS (value, pct_rank)"),
+    )
+
+
+def string_stats_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    str_col: str,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `string_stats` aggregation over the exact match set:
+    (query_id, n, min_len, max_len, avg_len, entropy) of a keyword field
+    — entropy is the Shannon entropy (bits) of the CHARACTER distribution
+    across all of the bucket's values, ES's definition.
+
+    Scale shape: lengths reduce in the one join+agg pass; the character
+    distribution explodes hit rows by string length — bounded by total
+    field bytes in the match set (keyword fields are short), partial
+    count per (query, char), then a result-scale entropy fold.  Nothing
+    corpus-scale moves beyond the match relation itself."""
+    from pyspark.sql import Window
+
+    j = match_docs(spark, index_root, queries, mode).join(
+        attrs.select("doc_id", str_col).dropna(), "doc_id"
+    )
+    base = j.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.min(F.length(str_col)).alias("min_len"),
+        F.max(F.length(str_col)).alias("max_len"),
+        F.avg(F.length(str_col)).alias("avg_len"),
+    )
+    chars = (
+        j.select(
+            "query_id",
+            F.explode(F.split(F.col(str_col), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("query_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ent = (
+        chars.withColumn(
+            "tot", F.sum("cnt").over(Window.partitionBy("query_id"))
+        )
+        .withColumn(
+            "term",
+            -(F.col("cnt") / F.col("tot"))
+            * F.log2(F.col("cnt") / F.col("tot")),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("term").alias("entropy"))
+    )
+    return base.join(ent, "query_id")

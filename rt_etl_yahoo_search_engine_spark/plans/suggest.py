@@ -80,3 +80,37 @@ def suggest(
         cand.sort()
         out[q] = [(term, -ndf, d) for d, ndf, term in cand[:per_term]]
     return out
+
+
+def phrase_suggest(
+    index_root: str,
+    queries: dict[str, str],
+    max_dist: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Whole-query "did you mean" — Elasticsearch's `phrase` suggester,
+    deterministic direct-generator form: each tokenized word of each
+    query is kept if in-vocabulary, else replaced by its best spelling
+    candidate (dist asc, df desc, term asc — the term suggester's
+    ranking); words with no candidate within ``max_dist`` stay verbatim.
+    Returns [(query_id, corrected_text, n_corrected)] with tokens
+    rejoined in their original order.
+
+    ES re-scores whole candidate phrases with a word n-gram language
+    model; this direct form is the deterministic subset an exact oracle
+    can verify — per-word independence, corpus-frequency ranked.  The
+    vocabulary-scan economics (and the SymSpell upgrade path at scale)
+    are `suggest`'s, documented above."""
+    out: list[tuple[str, str, int]] = []
+    for qid, text in sorted(queries.items()):
+        toks = spec.tokenize(text)
+        per = suggest(index_root, text, max_dist=max_dist, per_term=1)
+        fixed, n_corr = [], 0
+        for t in toks:
+            best = per.get(t) or []
+            if best:
+                fixed.append(best[0][0])
+                n_corr += 1
+            else:
+                fixed.append(t)
+        out.append((qid, " ".join(fixed), n_corr))
+    return out
