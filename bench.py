@@ -137,6 +137,10 @@ JOB_EQUIV_REVS = {
     "168f74f": "23c0dc3",  # sibling/bucket_script pipelines + termvectors
                            # — scaling leg never imports plans/{stats,
                            # termvectors}
+    "acfd3c0": "23c0dc3",  # ledger-map-only
+    "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
+                           # phrase-suggest — scaling leg never imports
+                           # plans/{stats,suggest} or functions/similarity
 }
 
 
