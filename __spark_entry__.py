@@ -1502,6 +1502,82 @@ def _q_phrase_suggest(spark, sf_dir):
     )
 
 
+# Ordered-proximity queries (Lucene SpanNearQuery in_order=true): two
+# common bigrams, one trigram, the reversed bigram (order sensitivity
+# control — unordered NEAR would match these identically), and an
+# out-of-vocab control that must return nothing.
+SPAN_QUERIES = {
+    "sn1": "join column",
+    "sn2": "table hash",
+    "sn3": "window table key",
+    "sn4": "column join",
+    "sn5": "join zzznope",
+}
+SPAN_SLOP = 3
+
+
+def _q_span_near(spark, sf_dir):
+    """Ordered span-near top-k (plans/near.span_near_topk — Lucene
+    SpanNearQuery in_order=true, slop=3): terms in query order within a
+    bounded span, conjunctive-BM25 ranked.  Output keyed by ORIGINAL
+    doc_id (docmap url convention)."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_near_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = span_near_topk(spark, root, SPAN_QUERIES, slop=SPAN_SLOP, k=10)
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_SAMPLER_SIZE, _SAMPLER_MAX_PER_KEY = 50, 3
+
+
+def _q_sampler(spark, sf_dir):
+    """ES `sampler` aggregation (plans/stats.sampler_agg): `source` facet
+    counts over only each DOC_QUERY's 50 best-scoring hits (global exact
+    top-N where ES samples per shard)."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import sampler_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "source")
+    out = sampler_agg(spark, root, DOC_QUERIES, attrs, "source", _SAMPLER_SIZE)
+    return out.select(
+        "query_id", "facet", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def _q_diversified_sampler(spark, sf_dir):
+    """ES `diversified_sampler` aggregation (plans/stats.sampler_agg with
+    dedup_col): at most 3 docs per 100-char length bucket survive (rank
+    order) BEFORE the top-50 cut, then `source` facet counts — the
+    de-biased sample."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import sampler_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "source", "n_chars").select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("lb"),
+    )
+    out = sampler_agg(
+        spark, root, DOC_QUERIES, attrs, "source", _SAMPLER_SIZE,
+        dedup_col="lb", max_docs_per_value=_SAMPLER_MAX_PER_KEY,
+    )
+    return out.select(
+        "query_id", "facet", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
 _SAMPLE_FRACTION, _SAMPLE_SALT = 0.25, "s0"
 _STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.2}
 _STRATA_DEFAULT = 0.05
@@ -2195,6 +2271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats_agg": _q_string_stats,
         "ann_filtered_topk": _q_ann_filtered,
         "phrase_suggest": _q_phrase_suggest,
+        "sampler_agg": _q_sampler,
+        "diversified_sampler_agg": _q_diversified_sampler,
+        "span_near_topk": _q_span_near,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -3316,6 +3395,105 @@ FROM fixed GROUP BY query_id
 """
 
 
+def _sampler_sql(diversified: bool) -> str:
+    """Facet counts over the top-N scored hits, optionally de-biased to
+    max 3 docs per length bucket first — plans/stats.sampler_agg
+    semantics (selection order score desc, doc_id asc in both engines;
+    the oracle's original-id tiebreak matches the engine's index-id
+    tiebreak because index ids are assigned in url == zero-padded
+    original-id order)."""
+    pre = (
+        f"""dd AS (SELECT *, row_number() OVER (PARTITION BY query_id, lb
+                              ORDER BY score DESC, doc_id ASC) AS dn
+       FROM j),
+pool AS (SELECT * FROM dd WHERE dn <= {_SAMPLER_MAX_PER_KEY}),"""
+        if diversified
+        else "pool AS (SELECT * FROM j),"
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+j AS (SELECT s.query_id, s.doc_id, s.score, d.source,
+             CAST(floor(d.n_chars / 100) AS BIGINT) AS lb
+      FROM scored s JOIN documents d USING (doc_id)),
+{pre}
+top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+        FROM pool)
+SELECT query_id, source AS facet, CAST(count(*) AS BIGINT) AS n_hits
+FROM top WHERE rn <= {_SAMPLER_SIZE}
+GROUP BY 1, 2
+"""
+
+
+def _span_near_sql() -> str:
+    """Ordered span-near: per query an n-way ordered position join with
+    the total-span bound p_n - p_1 <= slop + n - 1, conjunctive BM25
+    rank — plans/near.span_near_topk semantics."""
+    qt = [
+        f"('{qid}', '{t}')"
+        for qid, text in SPAN_QUERIES.items()
+        for t in sorted(set(spec.tokenize(text)))
+    ]
+    branches = []
+    for qid, text in sorted(SPAN_QUERIES.items()):
+        toks = spec.tokenize(text)
+        n = len(toks)
+        froms = ", ".join(f"pos p{i}" for i in range(n))
+        conds = [f"p{i}.term = '{toks[i]}'" for i in range(n)]
+        conds += [f"p{i}.doc_id = p0.doc_id" for i in range(1, n)]
+        conds += [f"p{i}.p > p{i - 1}.p" for i in range(1, n)]
+        if n > 1:
+            conds.append(f"p{n - 1}.p <= p0.p + {SPAN_SLOP + n - 1}")
+        branches.append(
+            f"SELECT '{qid}' AS query_id, p0.doc_id FROM {froms} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score,
+         count(*) AS matched
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+matched AS (SELECT DISTINCT query_id, doc_id
+            FROM ({" UNION ALL ".join(branches)}))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      JOIN qn ON s.query_id = qn.query_id
+      JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+      WHERE s.matched = qn.n_terms)
+WHERE rank <= 10
+"""
+
+
 def _regexp_sql() -> str:
     """Each pattern's anchored-regex expansion over the vocabulary
     (DuckDB regexp_full_match == Python re.fullmatch on this RE2-safe
@@ -4016,6 +4194,9 @@ FROM hits h JOIN documents d USING (doc_id)
             where_extra=f" AND em.{_ANN_FILTER}",
         ),
         "phrase_suggest": _phrase_suggest_sql(),
+        "sampler_agg": _sampler_sql(False),
+        "diversified_sampler_agg": _sampler_sql(True),
+        "span_near_topk": _span_near_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

@@ -128,3 +128,102 @@ def near_topk(
         .filter(F.col("rank") <= k)
         .select(*cols)
     )
+
+
+def span_near_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    slop: int = 0,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """ORDERED proximity — Lucene SpanNearQuery(in_order=true, slop):
+    a doc matches iff its tokens contain occurrences p_1 < p_2 < ... <
+    p_n of the query's terms IN QUERY ORDER with total span width
+    p_n - p_1 <= slop + n - 1 (slop = extra positions allowed between
+    the ordered terms; slop=0 is exactly the quoted phrase).  Matched
+    docs are ranked by conjunctive BM25, top-k per query — near_topk's
+    contract with order enforced.
+
+    Verify plan (relational; positions sidecar required): per query
+    length n the ordered-match decision folds n-1 GREEDY join+min
+    rounds — from each occurrence `start` of the first term, chain the
+    SMALLEST next-term position > the current end (min-aggregated per
+    start, so each round's rows stay one-per-start).  Greedy minimality
+    makes the fold exact: a feasible ordered assignment within the span
+    bound exists iff the greedy chain stays within it.  Every round
+    shuffles only (query, doc, start, cur) int rows for conjunctively
+    pre-filtered candidates — the same O(sum df) economics as
+    near_topk, times the (tiny, fixed) query length.
+    """
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+    )
+    qseq = {qid: spec.tokenize(t) for qid, t in queries.items()}
+    live = {qid: ts for qid, ts in qseq.items() if ts}
+    if not live:
+        return empty
+
+    reg = Catalog(index_root).read_registry()
+    n_docs = int(reg["n_docs"])
+    candidates = bm25.topk(
+        spark,
+        index_root,
+        {qid: " ".join(sorted(set(ts))) for qid, ts in live.items()},
+        mode=spec.MODE_CONJUNCTIVE,
+        k=max(n_docs, 1),
+    ).drop("rank")
+
+    seq_rows = [
+        (qid, i, t, len(ts))
+        for qid, ts in live.items()
+        for i, t in enumerate(ts)
+    ]
+    qt = spark.createDataFrame(
+        seq_rows, "query_id string, idx int, term string, n_terms int"
+    )
+    terms = sorted({t for ts in live.values() for t in ts})
+    pos = read_positions(spark, index_root, terms)
+    ex = (
+        pos.join(F.broadcast(qt), "term")
+        .join(candidates.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .select(
+            "query_id", "doc_id", "idx", "n_terms",
+            F.explode("positions").alias("p"),
+        )
+    )
+    parts = []
+    for n in sorted({len(ts) for ts in live.values()}):
+        exn = ex.filter(F.col("n_terms") == n)
+        m = exn.filter(F.col("idx") == 0).select(
+            "query_id", "doc_id",
+            F.col("p").alias("start"), F.col("p").alias("cur"),
+        )
+        bound = slop + n - 1
+        for i in range(1, n):
+            nxt = exn.filter(F.col("idx") == i).select(
+                "query_id", "doc_id", "p"
+            )
+            m = (
+                m.join(nxt, ["query_id", "doc_id"])
+                .filter(
+                    (F.col("p") > F.col("cur"))
+                    & (F.col("p") <= F.col("start") + F.lit(bound))
+                )
+                .groupBy("query_id", "doc_id", "start")
+                .agg(F.min("p").alias("cur"))
+            )
+        parts.append(m.select("query_id", "doc_id").distinct())
+    matched = parts[0]
+    for p_ in parts[1:]:
+        matched = matched.unionByName(p_)
+    verified = candidates.join(matched, ["query_id", "doc_id"])
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

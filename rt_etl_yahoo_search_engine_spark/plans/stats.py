@@ -1053,3 +1053,53 @@ def string_stats_agg(
         .agg(F.sum("term").alias("entropy"))
     )
     return base.join(ent, "query_id")
+
+
+def sampler_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    facet_col: str,
+    shard_size: int,
+    dedup_col: str | None = None,
+    max_docs_per_value: int = 1,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `sampler` / `diversified_sampler` aggregation:
+    restrict a sub-aggregation's scope to the ``shard_size``
+    BEST-SCORING hits, then bucket those by ``facet_col`` —
+    (query_id, facet, n_hits).  With ``dedup_col`` set, at most
+    ``max_docs_per_value`` docs per distinct dedup value survive BEFORE
+    the size cut (the diversified form — de-biasing a sample dominated
+    by one source).  Selection order is (score desc, doc_id asc), the
+    engine's global rank order, so the sample is deterministic.
+
+    ES samples per SHARD (shard_size each, approximate); over the exact
+    scored relation we take the strictly stronger GLOBAL top-N.  Scale
+    shape: score_docs' narrow (query, doc, score) rows, one window per
+    query (two when diversified) on result-scale rows, one attribute
+    join.  At 100 TB the documented upgrade is unit-local pre-top-N
+    inside the scoring kernel (each doc-range unit already holds its
+    docs' complete scores), which reproduces ES's per-shard semantics
+    exactly while bounding the window input."""
+    from pyspark.sql import Window
+
+    s = score_docs(spark, index_root, queries, mode)
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    cols = ["doc_id", facet_col] + ([dedup_col] if dedup_col else [])
+    j = s.join(attrs.select(*dict.fromkeys(cols)), "doc_id")
+    if dedup_col is not None:
+        wd = Window.partitionBy("query_id", dedup_col).orderBy(*order)
+        j = (
+            j.withColumn("_dn", F.row_number().over(wd))
+            .filter(F.col("_dn") <= max_docs_per_value)
+            .drop("_dn")
+        )
+    wq = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        j.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= shard_size)
+        .groupBy("query_id", F.col(facet_col).alias("facet"))
+        .agg(F.count("*").alias("n_hits"))
+    )

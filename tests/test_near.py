@@ -124,3 +124,77 @@ def test_bad_window_rejected(spark, near_index):
     root, _ = near_index
     with pytest.raises(ValueError, match="window"):
         near_topk(spark, root, {"q": "alpha"}, window=0)
+
+
+# --- ordered span-near (plans/near.span_near_topk) --------------------------
+
+
+def _ordered_match(toks_by_doc, terms, slop):
+    """Greedy ordered-assignment oracle: p_1 < ... < p_n in term order,
+    p_n - p_1 <= slop + n - 1."""
+    n = len(terms)
+    want = set()
+    for d, seq in toks_by_doc.items():
+        hit = False
+        for i, tok in enumerate(seq):
+            if tok != terms[0]:
+                continue
+            cur, ok = i, True
+            for t in terms[1:]:
+                nxt = next(
+                    (
+                        j
+                        for j in range(cur + 1, min(len(seq), i + slop + n))
+                        if seq[j] == t
+                    ),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok:
+                hit = True
+                break
+        if hit:
+            want.add(d)
+    return want
+
+
+@pytest.mark.parametrize("slop", [0, 1, 3, 10])
+def test_span_near_equals_ordered_oracle(spark, near_index, slop):
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_near_topk
+
+    root, toks = near_index
+    queries = {
+        "ab": "alpha beta",
+        "ba": "beta alpha",
+        "abg": "alpha beta gamma",
+        "a": "alpha",
+        "unknown": "alpha zzznope",
+    }
+    out = span_near_topk(spark, root, queries, slop=slop, k=10)
+    got = {qid: set() for qid in queries}
+    for r in out.collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for qid, text in queries.items():
+        want = (
+            set()
+            if qid == "unknown"
+            else _ordered_match(toks, spec.tokenize(text), slop)
+        )
+        assert got[qid] == want, (qid, slop, got[qid], want)
+
+
+def test_span_near_slop0_equals_phrase(spark, near_index):
+    """slop=0 IS the quoted phrase: same match set as the phrase plan."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_near_topk
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_topk
+
+    root, _ = near_index
+    queries = {"p1": "alpha beta", "p2": "gamma gamma"}
+    spans = span_near_topk(spark, root, queries, slop=0, k=10)
+    phrases = phrase_topk(spark, root, queries, k=10)
+    s = {(r["query_id"], r["doc_id"]) for r in spans.collect()}
+    p = {(r["query_id"], r["doc_id"]) for r in phrases.collect()}
+    assert s == p
