@@ -141,6 +141,9 @@ JOB_EQUIV_REVS = {
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
+    "829860f": "23c0dc3",  # ledger-map-only
+    "f932667": "23c0dc3",  # sampler aggs + ordered span-near — scaling
+                           # leg never imports plans/{stats,near}
 }
 
 
