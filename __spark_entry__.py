@@ -1502,6 +1502,47 @@ def _q_phrase_suggest(spark, sf_dir):
     )
 
 
+# match_phrase_prefix queries (the LAST token is the prefix stem): two
+# single-expansion bigrams, a bare prefix, a 6-expansion stem (max-combine
+# across expansions), and a void-prefix control that must return nothing.
+MPP_QUERIES = {
+    "mp1": "join col",
+    "mp2": "table ha",
+    "mp3": "wind",
+    "mp4": "join s",
+    "mp5": "join zzz",
+}
+MPP_MAX_EXPANSIONS = 10
+
+
+def _q_match_phrase_prefix(spark, sf_dir):
+    """Search-as-you-type (plans/phrase.match_phrase_prefix_topk — ES
+    `match_phrase_prefix`): the last token expands against the lexicon
+    (highest-df max_expansions), docs match any completed phrase and
+    score as the best matching expansion's phrase BM25.  Output keyed by
+    ORIGINAL doc_id."""
+    from rt_etl_yahoo_search_engine_spark.plans.phrase import (
+        match_phrase_prefix_topk,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = match_phrase_prefix_topk(
+        spark, root, MPP_QUERIES, max_expansions=MPP_MAX_EXPANSIONS, k=10
+    )
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # Ordered-proximity queries (Lucene SpanNearQuery in_order=true): two
 # common bigrams, one trigram, the reversed bigram (order sensitivity
 # control — unordered NEAR would match these identically), and an
@@ -2274,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_agg": _q_sampler,
         "diversified_sampler_agg": _q_diversified_sampler,
         "span_near_topk": _q_span_near,
+        "match_phrase_prefix_topk": _q_match_phrase_prefix,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -3438,6 +3480,74 @@ GROUP BY 1, 2
 """
 
 
+def _mpp_sql() -> str:
+    """match_phrase_prefix: per query, lexicon expansion of the last
+    token (df desc, term asc, LIMIT max_expansions), docs containing any
+    completed phrase contiguously, per-doc MAX phrase score (conjunctive
+    BM25 over that phrase's distinct terms) —
+    plans/phrase.match_phrase_prefix_topk semantics."""
+    branches, ctes = [], []
+    for qid, text in sorted(MPP_QUERIES.items()):
+        toks = spec.tokenize(text)
+        fixed, pfx = toks[:-1], toks[-1]
+        fset = sorted(set(fixed))
+        flist = ", ".join(f"'{t}'" for t in fset)
+        ctes.append(
+            f"exp_{qid} AS (SELECT term AS e FROM ("
+            f"SELECT term, df FROM lex WHERE term LIKE '{pfx}%' "
+            f"ORDER BY df DESC, term ASC LIMIT {MPP_MAX_EXPANSIONS}))"
+        )
+        needle = (
+            f"' {' '.join(fixed)} ' || e.e || ' '"
+            if fixed
+            else "' ' || e.e || ' '"
+        )
+        if fixed:
+            ctes.append(
+                f"f_{qid} AS (SELECT doc_id, sum(wt) AS s_fixed FROM w "
+                f"WHERE term IN ({flist}) GROUP BY doc_id "
+                f"HAVING count(*) = {len(fset)})"
+            )
+            branches.append(
+                f"SELECT '{qid}' AS query_id, f.doc_id, "
+                f"max(f.s_fixed + CASE WHEN e.e IN ({flist}) THEN 0 "
+                f"ELSE we.wt END) AS score "
+                f"FROM f_{qid} f CROSS JOIN exp_{qid} e "
+                f"JOIN w we ON we.doc_id = f.doc_id AND we.term = e.e "
+                f"JOIN seqs sq ON sq.doc_id = f.doc_id "
+                f"WHERE contains(sq.seq, {needle}) GROUP BY f.doc_id"
+            )
+        else:
+            branches.append(
+                f"SELECT '{qid}' AS query_id, we.doc_id, "
+                f"max(we.wt) AS score "
+                f"FROM exp_{qid} e JOIN w we ON we.term = e.e "
+                f"JOIN seqs sq ON sq.doc_id = we.doc_id "
+                f"WHERE contains(sq.seq, {needle}) GROUP BY we.doc_id"
+            )
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE lang = 'en'),
+seqs AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS seq FROM docs),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+w AS (SELECT tf.doc_id, tf.term,
+             {_BM25_WEIGHT_EXPR} AS wt
+      FROM tf JOIN lex USING (term) JOIN dl USING (doc_id), st),
+{", ".join(ctes)}
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM ({" UNION ALL ".join(branches)}))
+WHERE rank <= 10
+"""
+
+
 def _span_near_sql() -> str:
     """Ordered span-near: per query an n-way ordered position join with
     the total-span bound p_n - p_1 <= slop + n - 1, conjunctive BM25
@@ -4197,6 +4307,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "sampler_agg": _sampler_sql(False),
         "diversified_sampler_agg": _sampler_sql(True),
         "span_near_topk": _span_near_sql(),
+        "match_phrase_prefix_topk": _mpp_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

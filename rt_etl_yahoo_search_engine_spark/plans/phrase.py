@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from .. import spec
 from ..sources.catalog import Catalog
-from .bm25 import topk
+from .bm25 import expand_prefix, topk
 
 # tokens of a text column, as a JVM expression (same regex as spec.tokenize)
 _TOKENS_EXPR = r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
@@ -204,4 +204,70 @@ def phrase_topk(
         verified.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*cols)
+    )
+
+
+# ASCII unit separator: joins (query_id, expansion) into a sub-query key
+# that cannot collide with user query ids or [a-z0-9]+ terms.
+_MPP_SEP = "\x1f"
+
+
+def match_phrase_prefix_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    max_expansions: int = 50,
+    k: int = spec.TOP_K_DEFAULT,
+    docs_text: DataFrame | None = None,
+    verify: str = "auto",
+) -> DataFrame:
+    """Elasticsearch `match_phrase_prefix` — search-as-you-type: the
+    query's last token is a PREFIX; each lexicon term completing it (the
+    ``max_expansions`` highest-df, ES's cap) forms a candidate phrase,
+    a doc matches if it contains ANY of them contiguously, and scores as
+    the BEST matching expansion's phrase score (conjunctive BM25 over
+    that phrase's distinct terms) — (query_id, rank, doc_id, score).
+
+    Composition, not new machinery: prefix expansion is the lexicon
+    range read of the `pre*` search operator (bm25.expand_prefix), each
+    expanded phrase rides the ordinary phrase plan IN ONE BATCH, and the
+    per-doc max over expansions is a result-scale groupBy.  Exactness of
+    top-k from per-expansion top-k: if a doc is in the final top-k via
+    expansion e, fewer than k docs outrank it within e (their final
+    scores are >= their e-scores), so it is in e's top-k — the union of
+    per-expansion top-k lists covers the final list.
+
+    Queries whose prefix expands to nothing return no rows (ES: zero
+    hits, not an error)."""
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+    )
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    expanded: dict[str, str] = {}
+    for qid, text in queries.items():
+        toks = spec.tokenize(text)
+        if not toks:
+            continue
+        for e in expand_prefix(cat, reg, toks[-1], max_expansions):
+            expanded[f"{qid}{_MPP_SEP}{e}"] = " ".join(toks[:-1] + [e])
+    if not expanded:
+        return empty
+    sub = phrase_topk(
+        spark, index_root, expanded, docs_text=docs_text, k=k, verify=verify
+    )
+    best = (
+        sub.withColumn(
+            "query_id", F.substring_index("query_id", _MPP_SEP, 1)
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
