@@ -1502,6 +1502,58 @@ def _q_phrase_suggest(spark, sf_dir):
     )
 
 
+_DECAY_ORIGIN, _DECAY_SCALE, _DECAY_RATE = 300.0, 200.0, 0.5
+
+
+def _q_decay_score(spark, sf_dir):
+    """ES function_score decay (plans/funcscore.decay_score_topk, linear
+    shape): BM25 multiplied by a distance decay on n_chars around origin
+    300 (d(0)=1, d(200)=0.5) — freshness/recency-style re-ranking.
+    Linear shape keeps the arithmetic rational, so the oracle is
+    bit-faithful."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        decay_score_topk,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    vals = _doc_attrs(spark, sf_dir, "n_chars")
+    out = decay_score_topk(
+        spark, root, DOC_QUERIES, vals,
+        origin=_DECAY_ORIGIN, scale=_DECAY_SCALE, decay=_DECAY_RATE, k=10,
+    )
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# Completion-suggester prefixes: a wide one (6 vocabulary completions),
+# two narrow ones, and a void control that must emit nothing.
+COMPLETION_PREFIXES = {"c1": "s", "c2": "co", "c3": "wind", "c4": "zzz"}
+
+
+def _q_completion_suggest(spark, sf_dir):
+    """ES `completion` suggester (plans/suggest.completion_suggest):
+    top-5 vocabulary completions per prefix, df desc / term asc."""
+    from rt_etl_yahoo_search_engine_spark.plans.suggest import (
+        completion_suggest,
+    )
+
+    root = _index_for(spark, sf_dir)
+    rows = completion_suggest(root, COMPLETION_PREFIXES, per_prefix=5)
+    return spark.createDataFrame(
+        rows, "prefix_id string, rank int, term string, df long"
+    )
+
+
 # match_phrase_prefix queries (the LAST token is the prefix stem): two
 # single-expansion bigrams, a bare prefix, a 6-expansion stem (max-combine
 # across expansions), and a void-prefix control that must return nothing.
@@ -2316,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sampler_agg": _q_diversified_sampler,
         "span_near_topk": _q_span_near,
         "match_phrase_prefix_topk": _q_match_phrase_prefix,
+        "decay_score_topk": _q_decay_score,
+        "completion_suggest": _q_completion_suggest,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -3480,6 +3534,64 @@ GROUP BY 1, 2
 """
 
 
+def _decay_score_sql() -> str:
+    """BM25 x linear distance decay on n_chars —
+    plans/funcscore.decay_score_topk semantics (same rational arithmetic
+    order: dist = greatest(0, |v-origin| - 0), mult = greatest(0,
+    (s - dist)/s) with s = scale/(1-decay))."""
+    s = _DECAY_SCALE / (1.0 - _DECAY_RATE)
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, n_chars, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+final AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * greatest(0.0,
+           ({s} - greatest(0.0,
+              abs(CAST(d.n_chars AS DOUBLE) - {_DECAY_ORIGIN}) - 0.0))
+           / {s}) AS final
+  FROM scored s JOIN docs d USING (doc_id))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(final, 6) AS score
+FROM (SELECT query_id, doc_id, final,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY final DESC, doc_id ASC) AS rank
+      FROM final)
+WHERE rank <= 10
+"""
+
+
+def _completion_sql() -> str:
+    """Top-5 vocabulary completions per prefix, df desc / term asc —
+    plans/suggest.completion_suggest semantics."""
+    vals = ", ".join(f"('{pid}', '{p}')" for pid, p in COMPLETION_PREFIXES.items())
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+       GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pfx(prefix_id, p) AS (VALUES {vals}),
+cand AS (SELECT pfx.prefix_id, lex.term, lex.df,
+                row_number() OVER (PARTITION BY pfx.prefix_id
+                                   ORDER BY lex.df DESC, lex.term ASC) AS rank
+         FROM pfx JOIN lex ON lex.term LIKE pfx.p || '%')
+SELECT prefix_id, CAST(rank AS INTEGER) AS rank, term, CAST(df AS BIGINT) AS df
+FROM cand WHERE rank <= 5
+"""
+
+
 def _mpp_sql() -> str:
     """match_phrase_prefix: per query, lexicon expansion of the last
     token (df desc, term asc, LIMIT max_expansions), docs containing any
@@ -4308,6 +4420,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "diversified_sampler_agg": _sampler_sql(True),
         "span_near_topk": _span_near_sql(),
         "match_phrase_prefix_topk": _mpp_sql(),
+        "decay_score_topk": _decay_score_sql(),
+        "completion_suggest": _completion_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

@@ -75,3 +75,80 @@ def function_score_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+DECAY_LINEAR = "linear"
+DECAY_GAUSS = "gauss"
+DECAY_EXP = "exp"
+
+
+def decay_score_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    values: DataFrame,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    shape: str = DECAY_LINEAR,
+    k: int = spec.TOP_K_DEFAULT,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `function_score` DECAY functions (`linear` /
+    `gauss` / `exp` on a numeric field): final = bm25 * d(dist), where
+    dist = max(0, |v - origin| - offset) and d is the shape with
+    d(0)=1, d(scale)=decay —
+
+        linear: max(0, (s - dist) / s),        s = scale / (1 - decay)
+        gauss:  exp(-dist^2 / (2 sigma^2)),    sigma^2 = -scale^2 / (2 ln decay)
+        exp:    exp(lambda * dist),            lambda = ln(decay) / scale
+
+    Docs missing from `values` (a (doc_id, v) DataFrame) keep their BM25
+    score (multiplier 1, ES's missing-field behaviour).  Same
+    full-scored-relation exactness argument and scale shape as
+    function_score_topk (a decayed doc can only FALL in rank, but a
+    missing-field doc can overtake the decayed top-k, so the full
+    relation is still required).
+
+    Note for oracle-faithful use: the `linear` shape is pure rational
+    arithmetic — bit-identical across engines; gauss/exp depend on the
+    platform's libm exp()."""
+    import math
+
+    if shape not in (DECAY_LINEAR, DECAY_GAUSS, DECAY_EXP):
+        raise ValueError(f"unknown decay shape: {shape!r}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    val_col = [c for c in values.columns if c != "doc_id"][0]
+    rel = score_docs(spark, index_root, queries, mode).join(
+        values.select("doc_id", val_col), "doc_id", "left"
+    )
+    dist = F.greatest(
+        F.lit(0.0),
+        F.abs(F.col(val_col).cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)),
+    )
+    if shape == DECAY_LINEAR:
+        s = scale / (1.0 - decay)
+        mult = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+    elif shape == DECAY_GAUSS:
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        mult = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    else:
+        lam = math.log(decay) / scale
+        mult = F.exp(F.lit(lam) * dist)
+    combined = F.when(
+        F.col(val_col).isNull(), F.col("score")
+    ).otherwise(F.col("score") * mult)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("final"), F.asc("doc_id")
+    )
+    return (
+        rel.withColumn("final", combined)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", F.col("final").alias("score")
+        )
+    )

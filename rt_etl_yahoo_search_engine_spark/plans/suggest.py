@@ -114,3 +114,41 @@ def phrase_suggest(
                 fixed.append(t)
         out.append((qid, " ".join(fixed), n_corr))
     return out
+
+
+def completion_suggest(
+    index_root: str,
+    prefixes: dict[str, str],
+    per_prefix: int = 5,
+) -> list[tuple[str, int, str, int]]:
+    """Elasticsearch `completion` suggester over the index vocabulary:
+    for each input prefix, the top ``per_prefix`` completing lexicon
+    terms ranked by document frequency desc (ES ranks by suggestion
+    weight; df is the corpus-derived weight), term asc tie-break —
+    [(prefix_id, rank, term, df)].  Prefixes completing nothing emit no
+    rows.
+
+    Economics: one term-sorted lexicon RANGE read per prefix
+    ([pfx, pfx+0x7f), a few row groups regardless of vocabulary size —
+    bm25.expand_prefix's read), driver-side like the other suggesters;
+    the production-scale upgrade is the same FST/sidecar note."""
+    import pyarrow.dataset as ds
+
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    lex = ds.dataset(cat.path(reg["lexicon_dir"]))
+    out: list[tuple[str, int, str, int]] = []
+    for pid, pfx in sorted(prefixes.items()):
+        tbl = lex.to_table(
+            columns=["term", "df"],
+            filter=(ds.field("term") >= pfx)
+            & (ds.field("term") < pfx + "\x7f"),
+        )
+        pairs = sorted(
+            zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()),
+            key=lambda p: (-p[1], p[0]),
+        )[:per_prefix]
+        out.extend(
+            (pid, i + 1, term, int(df)) for i, (term, df) in enumerate(pairs)
+        )
+    return out
