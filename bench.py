@@ -144,6 +144,11 @@ JOB_EQUIV_REVS = {
     "829860f": "23c0dc3",  # ledger-map-only
     "f932667": "23c0dc3",  # sampler aggs + ordered span-near — scaling
                            # leg never imports plans/{stats,near}
+    "b8d03aa": "23c0dc3",  # ledger-map-only
+    "bf693f0": "23c0dc3",  # match_phrase_prefix — leg never imports
+                           # plans/phrase
+    "041ac3f": "23c0dc3",  # decay scoring + completion suggester — leg
+                           # never imports plans/{funcscore,suggest}
 }
 
 
