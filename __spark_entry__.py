@@ -1502,6 +1502,44 @@ def _q_phrase_suggest(spark, sf_dir):
     )
 
 
+_AUTO_HISTO_TARGET = 50
+
+
+def _q_auto_date_histogram(spark, sf_dir):
+    """ES `auto_date_histogram` (functions/events_agg.auto_date_histogram):
+    the engine picks the smallest calendar interval with <= 50 distinct
+    buckets (day, for the 30-day events corpus) and buckets by it."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        auto_date_histogram,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = auto_date_histogram(ev, _AUTO_HISTO_TARGET)
+    return out.select(
+        "interval",
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_epoch"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality proxy (functions/text_analysis.
+    unigram_logprob): per-doc total and mean ln-probability under the
+    corpus's own unigram model — the threshold column a perplexity
+    filter would cut on."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        unigram_logprob,
+    )
+
+    out = unigram_logprob(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("logprob_sum", 6).alias("logprob_sum"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
 _DECAY_ORIGIN, _DECAY_SCALE, _DECAY_RATE = 300.0, 200.0, 0.5
 
 
@@ -2370,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_prefix_topk": _q_match_phrase_prefix,
         "decay_score_topk": _q_decay_score,
         "completion_suggest": _q_completion_suggest,
+        "auto_date_histogram": _q_auto_date_histogram,
+        "unigram_logprob": _q_unigram_logprob,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -3534,6 +3574,57 @@ GROUP BY 1, 2
 """
 
 
+def _auto_histo_sql() -> str:
+    """Ladder selection (smallest calendar interval with <= target
+    distinct buckets) replicated in SQL, then the chosen bucketing —
+    functions/events_agg.auto_date_histogram semantics."""
+    t = _AUTO_HISTO_TARGET
+    return f"""
+WITH c AS (SELECT count(DISTINCT date_trunc('minute', ts)) AS cmin,
+                  count(DISTINCT date_trunc('hour', ts)) AS chour,
+                  count(DISTINCT date_trunc('day', ts)) AS cday,
+                  count(DISTINCT date_trunc('week', ts)) AS cweek,
+                  count(DISTINCT date_trunc('month', ts)) AS cmonth
+           FROM events),
+choice AS (SELECT CASE WHEN cmin <= {t} THEN 'minute'
+                       WHEN chour <= {t} THEN 'hour'
+                       WHEN cday <= {t} THEN 'day'
+                       WHEN cweek <= {t} THEN 'week'
+                       WHEN cmonth <= {t} THEN 'month'
+                       ELSE 'year' END AS iv
+           FROM c)
+SELECT ch.iv AS interval,
+       CAST(epoch(CASE ch.iv
+         WHEN 'minute' THEN date_trunc('minute', e.ts)
+         WHEN 'hour' THEN date_trunc('hour', e.ts)
+         WHEN 'day' THEN date_trunc('day', e.ts)
+         WHEN 'week' THEN date_trunc('week', e.ts)
+         WHEN 'month' THEN date_trunc('month', e.ts)
+         ELSE date_trunc('year', e.ts) END) AS BIGINT) AS bucket_epoch,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e, choice ch
+GROUP BY 1, 2
+"""
+
+
+def _unigram_logprob_sql() -> str:
+    """Per-doc sum/mean ln unigram probability under the corpus's own
+    model — functions/text_analysis.unigram_logprob semantics."""
+    return f"""
+WITH tf AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOKS_ALL}))
+            GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf) AS total FROM cf)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(sum(tf.tf * ln(cf.cf / tot.total)), 6) AS logprob_sum,
+       ROUND(sum(tf.tf * ln(cf.cf / tot.total)) / sum(tf.tf), 6)
+         AS avg_logprob
+FROM tf JOIN cf USING (term), tot
+GROUP BY tf.doc_id
+"""
+
+
 def _decay_score_sql() -> str:
     """BM25 x linear distance decay on n_chars —
     plans/funcscore.decay_score_topk semantics (same rational arithmetic
@@ -4422,6 +4513,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "match_phrase_prefix_topk": _mpp_sql(),
         "decay_score_topk": _decay_score_sql(),
         "completion_suggest": _completion_sql(),
+        "auto_date_histogram": _auto_histo_sql(),
+        "unigram_logprob": _unigram_logprob_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

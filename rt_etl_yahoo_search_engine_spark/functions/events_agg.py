@@ -79,3 +79,44 @@ def top_metrics(
         *bucket_cols,
         *[F.col(f"_top.{c}").alias(c) for c in [sort_col] + metric_cols],
     )
+
+
+AUTO_HISTO_LADDER = ["minute", "hour", "day", "week", "month", "year"]
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    target_buckets: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(interval, bucket_start, n) — ES `auto_date_histogram`: the engine
+    PICKS the interval instead of the caller — the smallest calendar
+    interval from the ladder minute < hour < day < week < month < year
+    whose distinct-bucket count is <= ``target_buckets`` (falling back
+    to 'year' if none is), then buckets by it.  `interval` is a constant
+    column naming the choice (ES reports `interval` in the response).
+
+    The selection pass computes every ladder rung's count(DISTINCT
+    date_trunc(...)) in ONE aggregation over the events (map-side
+    partial distincts), collects the single decision row, and the
+    bucketing pass is an ordinary calendar histogram — two scans total,
+    no per-rung jobs."""
+    counts = events.select(
+        *[
+            F.count_distinct(F.date_trunc(iv, F.col(ts_col))).alias(iv)
+            for iv in AUTO_HISTO_LADDER
+        ]
+    ).collect()[0]
+    chosen = AUTO_HISTO_LADDER[-1]
+    for iv in AUTO_HISTO_LADDER:
+        if counts[iv] <= target_buckets:
+            chosen = iv
+            break
+    return (
+        events.withColumn(
+            "bucket_start", F.date_trunc(chosen, F.col(ts_col))
+        )
+        .groupBy("bucket_start")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(chosen).alias("interval"), "bucket_start", "n")
+    )

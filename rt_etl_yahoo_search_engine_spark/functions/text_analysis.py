@@ -105,3 +105,39 @@ def fingerprints(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
             F.transform(F.col("shingles"), lambda s: F.md5(F.encode(s, "UTF-8")))
         ).alias("fp_min"),
     )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, logprob_sum, avg_logprob) — the CCNet-style
+    language-model quality proxy with the corpus's OWN unigram model
+    standing in for KenLM (the external-LM hookup is the same join
+    against a (term, logp) table): P(t) = cf(t) / total_tokens over the
+    input corpus, logprob_sum = sum over token occurrences of ln P(t),
+    avg_logprob = logprob_sum / n_tokens.  More-negative avg = rarer
+    vocabulary; pipelines threshold or bucket on it (CCNet keeps the
+    middle perplexity band).
+
+    Scale shape: per-doc tf (map-side combine), corpus cf from one more
+    reduction of the SAME tf relation, a term-keyed join back (the only
+    corpus-scale shuffle — at 100 TB swap in a broadcast of the
+    vocabulary table or the lexicon sidecar the index already has), and
+    a single-row total carried by cross-join, never a driver collect."""
+    toks = with_tokens(docs).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    per_term = tf.join(cf, "term").crossJoin(F.broadcast(total))
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * F.log(F.col("cf") / F.col("total"))
+            ).alias("logprob_sum"),
+        )
+        .withColumn(
+            "avg_logprob", F.col("logprob_sum") / F.col("n_tokens")
+        )
+    )
