@@ -149,6 +149,10 @@ JOB_EQUIV_REVS = {
                            # plans/phrase
     "041ac3f": "23c0dc3",  # decay scoring + completion suggester — leg
                            # never imports plans/{funcscore,suggest}
+    "884d07e": "23c0dc3",  # ledger-map-only
+    "e6cd7b3": "23c0dc3",  # auto_date_histogram + unigram_logprob — new
+                           # functions in events_agg/text_analysis the
+                           # scaling leg never calls
 }
 
 
