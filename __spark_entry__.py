@@ -1540,6 +1540,72 @@ def _q_unigram_logprob(spark, sf_dir):
     )
 
 
+_MATRIX_FIELDS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _q_matrix_stats(spark, sf_dir):
+    """ES `matrix_stats` (functions/numstats.matrix_stats): population
+    covariance + Pearson correlation for every ordered pair of three
+    lineitem numerics, from exact DECIMAL sums so the result is
+    bit-identical to the single-threaded oracle."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        matrix_stats,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return matrix_stats(li, _MATRIX_FIELDS)
+
+
+def _matrix_stats_sql() -> str:
+    """Same exact-decimal-sums + scalar-double formulas as
+    functions/numstats.matrix_stats, built with identical operation
+    order."""
+    fs = _MATRIX_FIELDS
+    # DuckDB's decimal->double cast goes hugeint->double / 10^scale (two
+    # roundings, can be 1 ulp off); routing through VARCHAR gets the
+    # correctly-rounded conversion Spark's decimal->double already does.
+    sums = [f"count(*) AS n"]
+    for f in fs:
+        sums.append(
+            f"CAST(CAST(sum(CAST({f} AS DECIMAL(18,2))) AS VARCHAR)"
+            f" AS DOUBLE) AS s_{f}"
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(fs) for b in fs[i:]
+    ]
+    for a, b in pairs:
+        sums.append(
+            f"CAST(CAST(sum(CAST({a} AS DECIMAL(18,2)) *"
+            f" CAST({b} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+            f" AS p_{a}_{b}"
+        )
+    covs = [
+        f"(p_{a}_{b} - s_{a} * s_{b} / n) / n AS c_{a}_{b}"
+        for a, b in pairs
+    ]
+
+    def c(a, b):
+        return f"c_{a}_{b}" if (a, b) in pairs else f"c_{b}_{a}"
+
+    rows = []
+    for a in fs:
+        for b in fs:
+            rows.append(
+                f"SELECT '{a}' AS field_a, '{b}' AS field_b,"
+                f" CAST(n AS BIGINT) AS n,"
+                f" ROUND(s_{a} / n, 6) AS mean_a,"
+                f" ROUND({c(a, b)}, 6) AS covariance,"
+                f" ROUND({c(a, b)} / sqrt({c(a, a)} * {c(b, b)}), 6)"
+                f" AS correlation FROM cv"
+            )
+        body = "\nUNION ALL\n".join(rows)
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem),\n"
+        "cv AS (SELECT n, " + ", ".join(f"s_{f}" for f in fs) + ", "
+        + ", ".join(covs) + " FROM s)\n" + body
+    )
+
+
 _DECAY_ORIGIN, _DECAY_SCALE, _DECAY_RATE = 300.0, 200.0, 0.5
 
 
@@ -2282,6 +2348,18 @@ def _q_chunk_dedup(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4 line-level cross-doc dedup + doc reconstruction (functions/
+    webtext.line_dedup): duplicate 10-token lines dropped corpus-wide
+    except their first (doc_id, line_no) occurrence; clean_fp is md5 of
+    each rebuilt document."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "n_lines", "n_kept", "kept_frac", "clean_fp"
+    )
+
+
 def _q_extract_structured(spark, sf_dir):
     """Reference-parity HTML extraction over the synthesized webtext corpus
     (non-SQL-expressible: recursive DOM traversal; rows-only check)."""
@@ -2410,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _q_completion_suggest,
         "auto_date_histogram": _q_auto_date_histogram,
         "unigram_logprob": _q_unigram_logprob,
+        "matrix_stats_agg": _q_matrix_stats,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -2448,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "repetition_stats": _q_repetition_stats,
         "chunk_dedup": _q_chunk_dedup,
+        "c4_line_dedup": _q_line_dedup,
         "extract_structured": _q_extract_structured,
     }
 
@@ -4515,6 +4595,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "completion_suggest": _completion_sql(),
         "auto_date_histogram": _auto_histo_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
+        "matrix_stats_agg": _matrix_stats_sql(),
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),
@@ -4861,6 +4942,31 @@ SELECT cf.doc_id,
   ROUND(count(*) FILTER (WHERE chunk_df >= 2) / count(*), 6)
     AS dup_chunk_frac
 FROM cf JOIN dfreq USING (h) GROUP BY 1
+        """,
+        "c4_line_dedup": """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks,
+             CAST(unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+                  AS BIGINT) AS line_no
+      FROM t),
+l AS (SELECT doc_id, line_no,
+             array_to_string(
+               list_slice(toks, line_no * 10 + 1, line_no * 10 + 10), ' ')
+               AS line
+      FROM p),
+k AS (SELECT doc_id, line_no, line,
+             row_number() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rn
+      FROM l WHERE line <> '')
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+  ROUND(count(*) FILTER (WHERE rn = 1) / count(*), 6) AS kept_frac,
+  md5(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no))
+    AS clean_fp
+FROM k GROUP BY 1 HAVING count(*) FILTER (WHERE rn = 1) > 0
         """,
         # extract_structured: intentionally omitted (recursive DOM traversal is
         # not SQL-expressible; driver records the rows-only check)

@@ -172,3 +172,76 @@ def chunk_dedup(
             ),
         )
     )
+
+
+def line_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
+    """(doc_id, n_lines, n_kept, kept_frac, clean_fp) — the C4 line-level
+    cross-document dedup TRANSFORM (Raffel et al. 2020 §2.2: any line
+    occurring more than once in the corpus is dropped everywhere except
+    its first occurrence), followed by document reconstruction.  The
+    "line" unit is the same non-overlapping ``width``-token span
+    ``chunk_dedup`` accounts over (the synth corpus has no newlines).
+    First occurrence = lexicographic min over (doc_id, line_no), a total
+    order.  Docs whose every line is dropped vanish from the output (C4
+    drops emptied docs); ``clean_fp`` is md5 of the reconstructed text
+    (surviving lines in original order, space-joined).
+
+    Plan shape (scale-linear, no all-pairs): explode lines → groupBy
+    line-hash taking min(struct(doc_id, line_no)) (partial-agg combines
+    map-side; hash keys are uniform so no skew) → one hash-keyed join
+    back → one groupBy(doc_id) that counts AND reconstructs in the same
+    aggregation (collect_list skips the nulls of dropped lines).  Line
+    text is shuffled once, as join payload; the keeper side carries only
+    (hash, doc_id, line_no)."""
+    chunk_expr = (
+        f"transform(sequence(1, greatest(size(tokens), 1), {width}),"
+        f" i -> concat_ws(' ', slice(tokens, i, {width})))"
+    )
+    lines = (
+        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("tokens"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(chunk_expr)).alias("line_no", "line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("h", F.md5(F.encode("line", "UTF-8")))
+    )
+    keeper = lines.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("keep_at")
+    )
+    marked = lines.join(keeper, "h").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("keep_at.doc_id"))
+        & (F.col("line_no") == F.col("keep_at.line_no")),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .filter(F.col("n_kept") > 0)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_lines"), 6).alias(
+                "kept_frac"
+            ),
+            F.md5(F.encode("clean_text", "UTF-8")).alias("clean_fp"),
+        )
+    )
