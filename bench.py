@@ -153,6 +153,10 @@ JOB_EQUIV_REVS = {
     "e6cd7b3": "23c0dc3",  # auto_date_histogram + unigram_logprob — new
                            # functions in events_agg/text_analysis the
                            # scaling leg never calls
+    "bf1165e": "23c0dc3",  # ledger-map-only
+    "9d2118d": "23c0dc3",  # line_dedup + numstats.matrix_stats — the
+                           # scaling leg never imports functions/
+                           # {webtext,numstats}
 }
 
 
