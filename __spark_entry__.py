@@ -2360,6 +2360,23 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span detection (functions/webtext
+    .dup_spans, after Lee et al. 2021): sliding 10-token windows hashed
+    corpus-wide; windows seen >=2 times are merged per doc into maximal
+    duplicated spans (interval union)."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        "dup_frac",
+        "longest_span",
+    )
+
+
 def _q_extract_structured(spark, sf_dir):
     """Reference-parity HTML extraction over the synthesized webtext corpus
     (non-SQL-expressible: recursive DOM traversal; rows-only check)."""
@@ -2528,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "chunk_dedup": _q_chunk_dedup,
         "c4_line_dedup": _q_line_dedup,
+        "exact_substr_spans": _q_dup_spans,
         "extract_structured": _q_extract_structured,
     }
 
@@ -4967,6 +4985,44 @@ SELECT doc_id,
   md5(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no))
     AS clean_fp
 FROM k GROUP BY 1 HAVING count(*) FILTER (WHERE rn = 1) > 0
+        """,
+        "exact_substr_spans": """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+g0 AS (SELECT doc_id, toks,
+              CAST(unnest(range(0, n_tokens - 9)) AS BIGINT) AS pos
+       FROM b WHERE n_tokens >= 10),
+g AS (SELECT doc_id, pos,
+             md5(array_to_string(
+                 list_slice(toks, pos + 1, pos + 10), ' ')) AS h
+      FROM g0),
+occ AS (SELECT h, count(*) AS occ FROM g GROUP BY 1),
+hits AS (SELECT doc_id, pos FROM g JOIN occ USING (h) WHERE occ >= 2),
+m AS (SELECT doc_id, pos,
+             max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM hits),
+mg AS (SELECT doc_id, pos,
+              sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       FROM m),
+sp AS (SELECT doc_id, grp, max(pos) + 10 - min(pos) AS span_len
+       FROM mg GROUP BY 1, 2),
+agg AS (SELECT doc_id, count(*) AS n_dup_spans,
+               sum(span_len) AS dup_tokens,
+               max(span_len) AS longest_span
+        FROM sp GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  ROUND(coalesce(dup_tokens, 0) / greatest(b.n_tokens, 1), 6)
+    AS dup_frac,
+  CAST(coalesce(longest_span, 0) AS BIGINT) AS longest_span
+FROM b LEFT JOIN agg USING (doc_id)
         """,
         # extract_structured: intentionally omitted (recursive DOM traversal is
         # not SQL-expressible; driver records the rows-only check)

@@ -245,3 +245,99 @@ def line_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
             F.md5(F.encode("clean_text", "UTF-8")).alias("clean_fp"),
         )
     )
+
+
+def dup_spans(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac,
+    longest_span) — ExactSubstr-style duplicate-SPAN detection (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every SLIDING ``width``-token window (stride 1, unlike
+    ``chunk_dedup``'s non-overlapping chunks) is hashed; a window whose
+    hash occurs ≥2 times anywhere in the corpus (other docs OR a repeat
+    within the same doc) is a duplicated substring hit.  Per doc, hit
+    windows [pos, pos+width-1] are merged into their interval UNION
+    (maximal duplicated spans), the unit ExactSubstr would cut out.
+    ``dup_tokens`` is the unioned token coverage, ``longest_span`` the
+    longest merged span (0 when none).  Docs shorter than ``width``
+    tokens have no windows and report zeros.
+
+    Plan shape: explode sliding windows → groupBy window-hash occurrence
+    count (map-side combine, uniform keys) → hash-keyed join back →
+    per-doc interval union via a doc-partitioned window (running max of
+    covered-end, then adjacent-group sum) — partitions are single docs,
+    so the window state is bounded by doc length, never corpus-scale →
+    one groupBy(doc_id).  Linear in corpus size; the sliding explode is
+    ~width× the token count, the price ExactSubstr pays for stride-1
+    resolution."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", F.expr(TOKENS_EXPR).alias("tokens")
+    ).select("doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+    win_expr = (
+        f"transform(sequence(0, size(tokens) - {width}),"
+        f" i -> concat_ws(' ', slice(tokens, i + 1, {width})))"
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= width)
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(win_expr)).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id", "pos", F.md5(F.encode("gram", "UTF-8")).alias("h")
+        )
+    )
+    occ = grams.groupBy("h").agg(F.count("*").alias("occ"))
+    hits = (
+        grams.join(occ, "h")
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + width - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "new_span",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("new_span").over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            (
+                F.max("pos") + width - F.min("pos")
+            ).alias("span_len")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum("span_len").cast("long").alias("dup_tokens"),
+            F.max("span_len").cast("long").alias("longest_span"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            F.coalesce("longest_span", F.lit(0)).cast("long").alias(
+                "longest_span"
+            ),
+        )
+    )
