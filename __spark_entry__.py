@@ -1606,6 +1606,119 @@ def _matrix_stats_sql() -> str:
     )
 
 
+def _q_t_test(spark, sf_dir):
+    """ES `t_test` agg, Welch flavor (functions/numstats.t_test):
+    l_extendedprice of returnflag 'R' vs 'A', exact-decimal moments."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import t_test
+
+    li = _read(spark, sf_dir, "lineitem")
+    return t_test(li, "l_extendedprice", "l_returnflag", "R", "A")
+
+
+def _t_test_sql() -> str:
+    """Verbatim mirror of functions/numstats.t_test scalar arithmetic
+    (decimal sums routed through VARCHAR for correctly-rounded
+    decimal->double, as matrix_stats)."""
+    parts = []
+    for tag, g in (("a", "R"), ("b", "A")):
+        flt = f"FILTER (WHERE l_returnflag = '{g}')"
+        parts += [
+            f"count(*) {flt} AS n_{tag}",
+            f"CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))"
+            f" {flt} AS VARCHAR) AS DOUBLE) AS s_{tag}",
+            f"CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *"
+            f" CAST(l_extendedprice AS DECIMAL(18,2))) {flt}"
+            f" AS VARCHAR) AS DOUBLE) AS p_{tag}",
+        ]
+    return (
+        "WITH s AS (SELECT " + ", ".join(parts) + " FROM lineitem),\n"
+        "q AS (SELECT n_a, n_b, s_a / n_a AS m_a, s_b / n_b AS m_b,\n"
+        "  ((p_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS q_a,\n"
+        "  ((p_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS q_b FROM s)\n"
+        "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,\n"
+        "  ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,\n"
+        "  ROUND((m_a - m_b) / sqrt(q_a + q_b), 6) AS t_stat,\n"
+        "  ROUND(((q_a + q_b) * (q_a + q_b)) /\n"
+        "        (q_a * q_a / (n_a - 1) + q_b * q_b / (n_b - 1)), 6)\n"
+        "    AS df\nFROM q"
+    )
+
+
+def _q_mad(spark, sf_dir):
+    """ES `median_absolute_deviation` agg, exact (functions/numstats
+    .mad): per-returnflag median and MAD of l_extendedprice."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import mad
+
+    li = _read(spark, sf_dir, "lineitem")
+    return mad(li, "l_extendedprice", "l_returnflag")
+
+
+_MAD_SQL = """
+WITH med AS (SELECT l_returnflag AS grp,
+                    quantile_cont(l_extendedprice, 0.5) AS median,
+                    count(l_extendedprice) AS n
+             FROM lineitem GROUP BY 1)
+SELECT m.grp, CAST(m.n AS BIGINT) AS n, ROUND(m.median, 6) AS median,
+  ROUND(quantile_cont(abs(l.l_extendedprice - m.median), 0.5), 6) AS mad
+FROM lineitem l JOIN med m ON l.l_returnflag = m.grp
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_cumulative_cardinality(spark, sf_dir):
+    """ES `cumulative_cardinality` pipeline agg (functions/events_agg
+    .cumulative_cardinality): exact distinct users seen up to each day,
+    via first-seen-day reduction."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        cumulative_cardinality,
+    )
+
+    out = cumulative_cardinality(_read(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_timestamp("day").cast("long").alias("day_epoch"),
+        F.col("n_new").cast("long").alias("n_new"),
+        "cum_users",
+    )
+
+
+_CUMCARD_SQL = """
+WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+            FROM events GROUP BY 1),
+nn AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1),
+d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+SELECT CAST(epoch(d.day) AS BIGINT) AS day_epoch,
+  CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+    AS cum_users
+FROM d LEFT JOIN nn USING (day)
+"""
+
+
+def _q_normalize_pipeline(spark, sf_dir):
+    """ES `normalize` pipeline agg, percent_of_sum method (functions/
+    events_agg.normalize_pipeline) over a daily event-count histogram."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        normalize_pipeline,
+    )
+
+    out = normalize_pipeline(_read(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_timestamp("day").cast("long").alias("day_epoch"),
+        "n",
+        "percent_of_sum",
+    )
+
+
+_NORMALIZE_SQL = """
+WITH b AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM b)
+SELECT CAST(epoch(day) AS BIGINT) AS day_epoch, CAST(n AS BIGINT) AS n,
+  ROUND(n / total * 100, 6) AS percent_of_sum
+FROM b, t
+"""
+
+
 _DECAY_ORIGIN, _DECAY_SCALE, _DECAY_RATE = 300.0, 200.0, 0.5
 
 
@@ -2506,6 +2619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": _q_auto_date_histogram,
         "unigram_logprob": _q_unigram_logprob,
         "matrix_stats_agg": _q_matrix_stats,
+        "t_test_agg": _q_t_test,
+        "mad_agg": _q_mad,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "normalize_pipeline_agg": _q_normalize_pipeline,
         "synonym_topk": _q_synonym_topk,
         "bool_query_topk": _q_bool_query,
         "weighted_avg_agg": _q_weighted_avg,
@@ -4614,6 +4731,10 @@ FROM hits h JOIN documents d USING (doc_id)
         "auto_date_histogram": _auto_histo_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "matrix_stats_agg": _matrix_stats_sql(),
+        "t_test_agg": _t_test_sql(),
+        "mad_agg": _MAD_SQL,
+        "cumulative_cardinality": _CUMCARD_SQL,
+        "normalize_pipeline_agg": _NORMALIZE_SQL,
         "synonym_topk": _synonym_sql(),
         "bool_query_topk": _bool_sql(),
         "weighted_avg_agg": _weighted_avg_sql(),

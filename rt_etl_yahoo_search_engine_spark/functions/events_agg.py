@@ -120,3 +120,59 @@ def auto_date_histogram(
         .agg(F.count("*").alias("n"))
         .select(F.lit(chosen).alias("interval"), "bucket_start", "n")
     )
+
+
+def cumulative_cardinality(
+    events: DataFrame, ts_col: str = "ts", id_col: str = "user_id"
+) -> DataFrame:
+    """(day, n_new, cum_users) — ES `cumulative_cardinality` pipeline
+    aggregation over a daily date_histogram: distinct ``id_col`` seen up
+    to and including each bucket.  Exact, where ES accumulates HLL
+    sketches.
+
+    Scale shape: the naive form (per-day distinct sets, then a running
+    union) re-shuffles the corpus per bucket; instead each id reduces to
+    its FIRST-SEEN day (one groupBy over ids, map-side combine), the
+    per-day new-id counts are bucket-scale, and the running sum is a
+    window over the tiny bucket table (left-joined onto every day the
+    histogram emits, zero-filled)."""
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col(ts_col))
+    first_seen = (
+        events.groupBy(id_col)
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    all_days = events.select(day.alias("day")).distinct()
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        all_days.join(first_seen, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+    )
+
+
+def normalize_pipeline(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """(day, n, percent_of_sum) — ES `normalize` pipeline aggregation
+    (method percent_of_sum) over a daily date_histogram of event counts.
+    The total rides a broadcast single-row cross join — no
+    one-partition window over the bucket table, no driver collect."""
+    day = F.date_trunc("day", F.col(ts_col))
+    buckets = events.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = buckets.agg(F.sum("n").alias("total"))
+    return buckets.crossJoin(F.broadcast(total)).select(
+        "day",
+        "n",
+        F.round(F.col("n") / F.col("total") * 100, 6).alias(
+            "percent_of_sum"
+        ),
+    )

@@ -74,3 +74,84 @@ def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
     return row.select(
         F.explode(F.array(*pair_rows)).alias("r")
     ).select("r.*")
+
+
+def t_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One row (n_a, n_b, mean_a, mean_b, t_stat, df) — ES `t_test`
+    aggregation, heteroscedastic (Welch) flavor: t between the
+    ``value_col`` populations of two filter groups, with the
+    Welch–Satterthwaite degrees of freedom.  (ES also returns the
+    p-value; the CDF needs an incomplete-beta the caller can apply to
+    (t_stat, df) — the distributed part is the moments.)
+
+    Same determinism contract as :func:`matrix_stats`: one aggregation
+    pass producing exact DECIMAL(18,2) conditional sums (FILTER-style
+    ``sum(when(group=…))``), then scalar double arithmetic mirrored
+    verbatim by the oracle SQL.  Sample (n-1) variance, per Welch."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    aggs = []
+    for tag, g in (("a", group_a), ("b", group_b)):
+        cond = F.col(group_col) == g
+        aggs += [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, v)).cast("double").alias(f"s_{tag}"),
+            F.sum(F.when(cond, v * v)).cast("double").alias(f"p_{tag}"),
+        ]
+    row = df.agg(*aggs)
+    # var = (p - s*s/n)/(n-1); q = var/n — scalar doubles, oracle order
+    exprs = {}
+    for tag in ("a", "b"):
+        n, s, p = (F.col(f"n_{tag}"), F.col(f"s_{tag}"), F.col(f"p_{tag}"))
+        exprs[f"m_{tag}"] = s / n
+        exprs[f"q_{tag}"] = ((p - s * s / n) / (n - 1)) / n
+    qa, qb = exprs["q_a"], exprs["q_b"]
+    t_stat = (exprs["m_a"] - exprs["m_b"]) / F.sqrt(qa + qb)
+    wdf = ((qa + qb) * (qa + qb)) / (
+        qa * qa / (F.col("n_a") - 1) + qb * qb / (F.col("n_b") - 1)
+    )
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(exprs["m_a"], 6).alias("mean_a"),
+        F.round(exprs["m_b"], 6).alias("mean_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(wdf, 6).alias("df"),
+    )
+
+
+def mad(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """(grp, n, median, mad) per ``group_col`` — ES
+    `median_absolute_deviation` aggregation, EXACT where ES ships a
+    t-digest approximation: mad = median(|x - median(x)|), both medians
+    linear-interpolated (Spark `percentile` == DuckDB quantile_cont).
+
+    Two aggregation passes (medians need the value multiset twice); the
+    group medians table is tiny and broadcast back for the deviation
+    pass.  Exactness caveat as plans/stats.percentiles_agg: per-group
+    value multisets land on one reducer each — at 100 TB swap
+    percentile→approx_percentile for the ES-parity t-digest."""
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("median"),
+        F.count(value_col).cast("long").alias("n"),
+    )
+    return (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col, "n", "median")
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("median")), F.lit(0.5)
+            ).alias("mad")
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            "n",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
