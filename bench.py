@@ -157,6 +157,10 @@ JOB_EQUIV_REVS = {
     "9d2118d": "23c0dc3",  # line_dedup + numstats.matrix_stats — the
                            # scaling leg never imports functions/
                            # {webtext,numstats}
+    "289fa31": "23c0dc3",  # ledger-map-only
+    "6e97b35": "23c0dc3",  # webtext.dup_spans — leg never imports it
+    "64b0d09": "23c0dc3",  # t_test/mad/cumcard/normalize — leg never
+                           # imports functions/{numstats,events_agg}
 }
 
 
