@@ -1606,6 +1606,37 @@ def _matrix_stats_sql() -> str:
     )
 
 
+def _q_percolate(spark, sf_dir):
+    """ES percolator (plans/percolate.percolate): which stored queries
+    (DOC_QUERIES, conjunctive) match each document — broadcast of the
+    stored-query term table, one corpus scan."""
+    from rt_etl_yahoo_search_engine_spark.plans.percolate import percolate
+
+    return percolate(_docs(spark, sf_dir), DOC_QUERIES)
+
+
+def _percolate_sql() -> str:
+    """Same stored-query term table as a VALUES list, same conjunctive
+    count-equals-required match."""
+    from rt_etl_yahoo_search_engine_spark.plans.percolate import query_terms
+
+    vals = ", ".join(
+        f"('{qid}', '{t}', {n})" for qid, t, n in query_terms(DOC_QUERIES)
+    )
+    return f"""
+WITH q(query_id, term, n_terms) AS (VALUES {vals}),
+t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+SELECT dt.doc_id, q.query_id,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM dt JOIN q USING (term)
+GROUP BY dt.doc_id, q.query_id, q.n_terms
+HAVING count(*) >= q.n_terms
+"""
+
+
 def _q_t_test(spark, sf_dir):
     """ES `t_test` agg, Welch flavor (functions/numstats.t_test):
     l_extendedprice of returnflag 'R' vs 'A', exact-decimal moments."""
@@ -2619,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": _q_auto_date_histogram,
         "unigram_logprob": _q_unigram_logprob,
         "matrix_stats_agg": _q_matrix_stats,
+        "percolate_matches": _q_percolate,
         "t_test_agg": _q_t_test,
         "mad_agg": _q_mad,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -4731,6 +4763,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "auto_date_histogram": _auto_histo_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "matrix_stats_agg": _matrix_stats_sql(),
+        "percolate_matches": _percolate_sql(),
         "t_test_agg": _t_test_sql(),
         "mad_agg": _MAD_SQL,
         "cumulative_cardinality": _CUMCARD_SQL,
