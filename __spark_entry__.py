@@ -1637,6 +1637,62 @@ HAVING count(*) >= q.n_terms
 """
 
 
+_RANK_EVAL_K = 10
+
+
+def _q_rank_eval(spark, sf_dir):
+    """ES _rank_eval API (plans/rankeval.rank_eval): precision@10,
+    recall@10, MRR, nDCG@10 of the disjunctive BM25 top-10 against
+    deterministic qrels = conjunctive all-terms match sets."""
+    from rt_etl_yahoo_search_engine_spark.plans.percolate import percolate
+    from rt_etl_yahoo_search_engine_spark.plans.rankeval import rank_eval
+
+    ranked = _bm25(spark, sf_dir, spec.MODE_DISJUNCTIVE).select(
+        "query_id", "rank", "doc_id"
+    )
+    qrels = percolate(
+        _docs(spark, sf_dir).filter(F.col("lang") == "en"), DOC_QUERIES
+    ).select("query_id", "doc_id")
+    return rank_eval(ranked, qrels, k=_RANK_EVAL_K)
+
+
+def _rank_eval_sql() -> str:
+    """Ranked list = the bm25_topk_disjunctive oracle (nested, its CTEs
+    shadowed); qrels = the percolator oracle's conjunctive match sets
+    over en docs; metric arithmetic mirrored from plans/rankeval."""
+    k = _RANK_EVAL_K
+    return f"""
+WITH ranked AS (SELECT query_id, rank, doc_id
+                FROM ({_bm25_sql("disjunctive")}) b),
+eq(query_id, term) AS (VALUES {_qterms_values()}),
+eqn AS (SELECT query_id, count(*) AS n_terms FROM eq GROUP BY 1),
+edocs AS (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents WHERE lang = 'en'),
+edt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM edocs),
+qrels AS (SELECT edt.doc_id, eq.query_id
+          FROM edt JOIN eq USING (term) JOIN eqn USING (query_id)
+          GROUP BY edt.doc_id, eq.query_id, eqn.n_terms
+          HAVING count(*) = eqn.n_terms),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+hits AS (SELECT r.query_id, count(*) AS n_hits,
+                min(r.rank) AS first_rank,
+                sum(1.0 / log2(r.rank + 1.0)) AS dcg
+         FROM ranked r JOIN qrels q
+           ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+         WHERE r.rank <= {k} GROUP BY 1)
+SELECT n.query_id, CAST(n.n_rel AS BIGINT) AS n_rel,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  ROUND(coalesce(h.n_hits, 0) / {k}, 6) AS precision_at_k,
+  ROUND(coalesce(h.n_hits, 0) / n.n_rel, 6) AS recall_at_k,
+  ROUND(coalesce(1.0 / h.first_rank, 0.0), 6) AS rr,
+  ROUND(coalesce(h.dcg, 0.0) /
+        list_sum(list_transform(range(1, least(n.n_rel, {k}) + 1),
+                                i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+FROM nrel n LEFT JOIN hits h ON n.query_id = h.query_id
+"""
+
+
 def _q_t_test(spark, sf_dir):
     """ES `t_test` agg, Welch flavor (functions/numstats.t_test):
     l_extendedprice of returnflag 'R' vs 'A', exact-decimal moments."""
@@ -2651,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "matrix_stats_agg": _q_matrix_stats,
         "percolate_matches": _q_percolate,
+        "rank_eval": _q_rank_eval,
         "t_test_agg": _q_t_test,
         "mad_agg": _q_mad,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -4764,6 +4821,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "unigram_logprob": _unigram_logprob_sql(),
         "matrix_stats_agg": _matrix_stats_sql(),
         "percolate_matches": _percolate_sql(),
+        "rank_eval": _rank_eval_sql(),
         "t_test_agg": _t_test_sql(),
         "mad_agg": _MAD_SQL,
         "cumulative_cardinality": _CUMCARD_SQL,
