@@ -1936,6 +1936,87 @@ def _q_span_near(spark, sf_dir):
     )
 
 
+# span_not: (include, exclude) term pairs.  snx2 reverses snx1's roles;
+# snx3's exclude never co-occurs tightly (all include docs survive unless
+# adjacent); snx4 excludes the include term itself — overlap at p is
+# always in [p-pre, p+post], so it MUST return empty (control).
+SPAN_NOT_QUERIES = {
+    "snx1": ("join", "column"),
+    "snx2": ("column", "join"),
+    "snx3": ("window", "zzznope"),
+    "snx4": ("hash", "hash"),
+}
+SPAN_NOT_PRE, SPAN_NOT_POST = 2, 2
+
+
+def _q_span_not(spark, sf_dir):
+    """Span-not top-k (plans/near.span_not_topk — Lucene SpanNotQuery,
+    pre=post=2): docs with an include-term occurrence having no
+    exclude-term occurrence within 2 positions, BM25-ranked.  Output
+    keyed by ORIGINAL doc_id (docmap url convention)."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_not_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    out = span_not_topk(
+        spark,
+        root,
+        SPAN_NOT_QUERIES,
+        pre=SPAN_NOT_PRE,
+        post=SPAN_NOT_POST,
+        k=10,
+    )
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _span_not_sql() -> str:
+    """Include occurrences with no exclude occurrence in the pre/post
+    window (NOT EXISTS), single-term BM25 rank — plans/near
+    .span_not_topk semantics."""
+    qt = ", ".join(
+        f"('{qid}', '{inc}')" for qid, (inc, _) in SPAN_NOT_QUERIES.items()
+    )
+    branches = [
+        f"""SELECT '{qid}' AS query_id, i.doc_id FROM pos i
+WHERE i.term = '{inc}' AND NOT EXISTS (
+  SELECT 1 FROM pos e WHERE e.doc_id = i.doc_id AND e.term = '{exc}'
+  AND e.p >= i.p - {SPAN_NOT_PRE} AND e.p <= i.p + {SPAN_NOT_POST})"""
+        for qid, (inc, exc) in sorted(SPAN_NOT_QUERIES.items())
+    ]
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qt}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+matched AS (SELECT DISTINCT query_id, doc_id
+            FROM ({" UNION ALL ".join(branches)}))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id)
+WHERE rank <= 10
+"""
+
+
 _SAMPLER_SIZE, _SAMPLER_MAX_PER_KEY = 50, 3
 
 
@@ -2700,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_agg": _q_sampler,
         "diversified_sampler_agg": _q_diversified_sampler,
         "span_near_topk": _q_span_near,
+        "span_not_topk": _q_span_not,
         "match_phrase_prefix_topk": _q_match_phrase_prefix,
         "decay_score_topk": _q_decay_score,
         "completion_suggest": _q_completion_suggest,
@@ -4814,6 +4896,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "sampler_agg": _sampler_sql(False),
         "diversified_sampler_agg": _sampler_sql(True),
         "span_near_topk": _span_near_sql(),
+        "span_not_topk": _span_not_sql(),
         "match_phrase_prefix_topk": _mpp_sql(),
         "decay_score_topk": _decay_score_sql(),
         "completion_suggest": _completion_sql(),

@@ -227,3 +227,93 @@ def span_near_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def span_not_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, tuple[str, str]],
+    pre: int = 0,
+    post: int = 0,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Lucene/ES SpanNotQuery: ``queries`` maps qid -> (include_term,
+    exclude_term); a doc matches iff SOME occurrence p of the include
+    term has NO exclude-term occurrence within [p - pre, p + post]
+    (ES span_not's pre/post margins; pre=post=0 is same-position
+    overlap only).  Surviving docs rank by the include term's BM25,
+    top-k, score DESC / doc_id ASC — the span family's contract.
+
+    Verify plan: include occurrences for candidate docs (the include
+    term's match set) LEFT ANTI join exclude occurrences on (query,
+    doc) + the position window — one shuffle of int occurrence rows,
+    O(df_include + df_exclude) per query, never corpus-scale.  An
+    exclude term absent from a doc excludes nothing (anti join keeps
+    all its include occurrences), matching ES."""
+    if pre < 0 or post < 0:
+        raise ValueError(f"pre/post must be >= 0, got {pre}/{post}")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+    )
+    live = {
+        qid: (spec.tokenize(inc), spec.tokenize(exc))
+        for qid, (inc, exc) in queries.items()
+    }
+    live = {
+        qid: (inc[0], exc[0])
+        for qid, (inc, exc) in live.items()
+        if len(inc) == 1 and len(exc) == 1
+    }
+    if not live:
+        return empty
+
+    reg = Catalog(index_root).read_registry()
+    n_docs = int(reg["n_docs"])
+    candidates = bm25.topk(
+        spark,
+        index_root,
+        {qid: inc for qid, (inc, _) in live.items()},
+        mode=spec.MODE_CONJUNCTIVE,
+        k=max(n_docs, 1),
+    ).drop("rank")
+
+    qinc = spark.createDataFrame(
+        [(qid, inc) for qid, (inc, _) in live.items()],
+        "query_id string, term string",
+    )
+    qexc = spark.createDataFrame(
+        [(qid, exc) for qid, (_, exc) in live.items()],
+        "query_id string, term string",
+    )
+    terms = sorted(
+        {t for pair in live.values() for t in pair}
+    )
+    pos = read_positions(spark, index_root, terms)
+    inc_occ = (
+        pos.join(F.broadcast(qinc), "term")
+        .join(candidates.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", F.explode("positions").alias("p"))
+    )
+    exc_occ = (
+        pos.join(F.broadcast(qexc), "term")
+        .select(
+            "query_id", "doc_id", F.explode("positions").alias("e_p")
+        )
+    )
+    surviving = inc_occ.join(
+        exc_occ,
+        (inc_occ["query_id"] == exc_occ["query_id"])
+        & (inc_occ["doc_id"] == exc_occ["doc_id"])
+        & (exc_occ["e_p"] >= inc_occ["p"] - F.lit(pre))
+        & (exc_occ["e_p"] <= inc_occ["p"] + F.lit(post)),
+        "left_anti",
+    )
+    matched = surviving.select("query_id", "doc_id").distinct()
+    verified = candidates.join(matched, ["query_id", "doc_id"])
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
