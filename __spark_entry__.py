@@ -2641,6 +2641,77 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_quality_funnel(spark, sf_dir):
+    """Quality-filter funnel report (functions/webtext.quality_funnel):
+    docs lost per ordered rule (lang -> length -> word_len ->
+    repetition), first-failure attribution, plus the kept share.
+    Thresholds calibrated non-vacuous at sf0.01 AND sf0.1."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import (
+        quality_funnel,
+    )
+
+    return quality_funnel(_docs(spark, sf_dir))
+
+
+_FUNNEL_SQL = """
+WITH t AS (SELECT doc_id, lang,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, len(toks) AS n,
+             list_sum(list_transform(toks, x -> length(x)))
+               / greatest(len(toks), 1) AS mwl,
+             len(list_distinct(toks)) / greatest(len(toks), 1) AS dr
+      FROM t),
+g AS (SELECT CASE WHEN lang != 'en' THEN 'lang'
+                  WHEN n < 16 OR n > 200 THEN 'length'
+                  WHEN mwl < 4.0 OR mwl > 5.05 THEN 'word_len'
+                  WHEN dr < 0.32 THEN 'repetition'
+                  ELSE 'kept' END AS stage
+      FROM s),
+tot AS (SELECT count(*) AS total FROM t)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(count(*) / total, 6) AS share
+FROM g, tot GROUP BY stage, total
+"""
+
+
+_HISTO_MIN0_UNIT = "hour"
+
+
+def _q_date_histogram_min0(spark, sf_dir):
+    """ES date_histogram with min_doc_count=0 + extended_bounds
+    (functions/events_agg.date_histogram_min0): hourly counts of rare
+    purchase events (value > 90), every hour in the data range emitted,
+    zeros included."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        date_histogram_min0,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    cond = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    out = date_histogram_min0(ev, cond, unit=_HISTO_MIN0_UNIT)
+    return out.select(
+        F.unix_timestamp("bucket").cast("long").alias("bucket_epoch"),
+        "n",
+    )
+
+
+_HISTO_MIN0_SQL = """
+WITH bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                       max(date_trunc('hour', ts)) AS hi
+                FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket
+          FROM bounds),
+c AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+      FROM events WHERE event_type = 'purchase' AND value > 90
+      GROUP BY 1)
+SELECT CAST(epoch(s.bucket) AS BIGINT) AS bucket_epoch,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN c USING (bucket)
+"""
+
+
 def _q_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicate-span detection (functions/webtext
     .dup_spans, after Lee et al. 2021): sliding 10-token windows hashed
@@ -2834,6 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "c4_line_dedup": _q_line_dedup,
         "exact_substr_spans": _q_dup_spans,
+        "quality_funnel": _q_quality_funnel,
+        "date_histogram_min0": _q_date_histogram_min0,
         "extract_structured": _q_extract_structured,
     }
 
@@ -4904,6 +4977,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "unigram_logprob": _unigram_logprob_sql(),
         "matrix_stats_agg": _matrix_stats_sql(),
         "percolate_matches": _percolate_sql(),
+        "quality_funnel": _FUNNEL_SQL,
+        "date_histogram_min0": _HISTO_MIN0_SQL,
         "rank_eval": _rank_eval_sql(),
         "t_test_agg": _t_test_sql(),
         "mad_agg": _MAD_SQL,

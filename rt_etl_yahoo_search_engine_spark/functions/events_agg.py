@@ -176,3 +176,39 @@ def normalize_pipeline(
             "percent_of_sum"
         ),
     )
+
+
+def date_histogram_min0(
+    events: DataFrame,
+    cond,
+    unit: str = "hour",
+) -> DataFrame:
+    """(bucket, n) — ES date_histogram with ``min_doc_count: 0`` and
+    ``extended_bounds`` pinned to the data range: EVERY calendar bucket
+    between the full relation's min and max timestamp appears, with n =
+    rows satisfying ``cond`` (a boolean Column), zero when none — the
+    gap-free series a dashboard or anomaly detector needs.
+
+    The spine is one aggregated (lo, hi) row exploded through
+    ``sequence(lo, hi, interval)`` — bucket-scale, never a driver-side
+    loop — left-joined by the filtered counts (filter pushed to the
+    scan)."""
+    trunc = F.date_trunc(unit, F.col("ts"))
+    bounds = events.agg(
+        F.min(trunc).alias("lo"), F.max(trunc).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr(f"interval 1 {unit}")
+            )
+        ).alias("bucket")
+    )
+    counts = (
+        events.filter(cond)
+        .groupBy(trunc.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return spine.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )

@@ -341,3 +341,63 @@ def dup_spans(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
             ),
         )
     )
+
+
+# Ordered funnel stages; first failing rule attributes the drop.
+FUNNEL_STAGES = ["lang", "length", "word_len", "repetition", "kept"]
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 16,
+    max_tokens: int = 200,
+    min_mwl: float = 4.0,
+    max_mwl: float = 5.05,
+    min_distinct: float = 0.32,
+) -> DataFrame:
+    """(doc_id, stage) — the C4/Gopher/RefinedWeb-style quality FUNNEL
+    decision: ordered rules, each doc attributed to its FIRST failing
+    rule (the funnel report real pipelines publish — how much each rule
+    costs), 'kept' if all pass.  Rules, in order:
+
+      lang        not English (C4's langdetect gate)
+      length      token count outside [min_tokens, max_tokens] (Gopher
+                  §A1.1 doc-length bounds, scaled to this corpus)
+      word_len    mean word length outside [min_mwl, max_mwl] (Gopher)
+      repetition  distinct-token ratio < min_distinct (Gopher repetition)
+
+    Pure scan-local codegen: one projection, no shuffle, no UDF — the
+    100 TB shape of every real quality gate.  Thresholds are calibrated
+    so each stage is non-vacuous on the synth corpus (see entry)."""
+    d = docs.select(
+        "doc_id", "lang", F.expr(TOKENS_EXPR).alias("tokens")
+    )
+    n = F.size("tokens")
+    safe_n = F.greatest(n, F.lit(1))
+    mwl = F.expr("aggregate(tokens, 0L, (a, x) -> a + length(x))") / safe_n
+    dr = F.size(F.array_distinct("tokens")) / safe_n
+    stage = (
+        F.when(F.col("lang") != "en", "lang")
+        .when((n < min_tokens) | (n > max_tokens), "length")
+        .when((mwl < min_mwl) | (mwl > max_mwl), "word_len")
+        .when(dr < min_distinct, "repetition")
+        .otherwise("kept")
+    )
+    return d.select("doc_id", stage.alias("stage"))
+
+
+def quality_funnel(docs: DataFrame, **thresholds) -> DataFrame:
+    """(stage, n_docs, share) — the aggregate funnel report over
+    :func:`quality_gate`: documents lost to each rule (first-failure
+    attribution) and the surviving share.  One scan + one tiny groupBy."""
+    gated = quality_gate(docs, **thresholds)
+    total = docs.count()
+    return (
+        gated.groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(total), 6).alias("share"),
+        )
+    )
