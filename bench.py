@@ -161,6 +161,15 @@ JOB_EQUIV_REVS = {
     "6e97b35": "23c0dc3",  # webtext.dup_spans — leg never imports it
     "64b0d09": "23c0dc3",  # t_test/mad/cumcard/normalize — leg never
                            # imports functions/{numstats,events_agg}
+    "aebdb60": "23c0dc3",  # ledger-map-only
+    "9abac95": "23c0dc3",  # percolator — leg never imports
+                           # plans/percolate
+    "a2c4bef": "23c0dc3",  # rank_eval — leg never imports
+                           # plans/{rankeval,percolate}
+    "4c3f460": "23c0dc3",  # span_not_topk — new function in plans/near,
+                           # which the leg's timed phases never import
+    "b435d73": "23c0dc3",  # quality funnel + min0 histogram — leg never
+                           # imports functions/{webtext,events_agg}
 }
 
 
