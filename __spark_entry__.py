@@ -1637,6 +1637,104 @@ HAVING count(*) >= q.n_terms
 """
 
 
+# ES pinned query: promoted ORIGINAL doc ids per query, in page order.
+# d4 has no pins (pure-organic control); ids are valid at every sf.
+_PINNED = {"d1": [7, 3], "d2": [1, 2], "d3": [10], "d5": [5, 499]}
+
+
+def _q_pinned(spark, sf_dir):
+    """ES `pinned` query (plans/pinned.pinned_topk): curated ids at the
+    top in list order (score 0.0, pinned=true), organic BM25 below with
+    pinned ids excluded."""
+    from rt_etl_yahoo_search_engine_spark.plans.pinned import pinned_topk
+
+    root = _index_for(spark, sf_dir)
+    out = pinned_topk(spark, root, DOC_QUERIES, _PINNED, k=10)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "pinned",
+    )
+
+
+def _pinned_sql() -> str:
+    """Organic ranking = the bm25_topk_disjunctive oracle over-fetched
+    by the max pin count, pins excluded via NOT EXISTS, ranks offset by
+    the per-query pin count — plans/pinned.pinned_topk semantics."""
+    m_max = max(len(v) for v in _PINNED.values())
+    pins = ", ".join(
+        f"('{qid}', {d}, {i + 1})"
+        for qid, ids in _PINNED.items()
+        for i, d in enumerate(ids)
+    )
+    return f"""
+WITH organic AS (SELECT query_id, rank, doc_id, score
+                 FROM ({_bm25_sql("disjunctive", k=10 + m_max)}) b),
+pins(query_id, doc_id, prank) AS (VALUES {pins}),
+cnt AS (SELECT query_id, count(*) AS m FROM pins GROUP BY 1),
+org AS (SELECT o.query_id,
+               row_number() OVER (PARTITION BY o.query_id
+                                  ORDER BY o.rank)
+                 + coalesce(c.m, 0) AS rank,
+               o.doc_id, o.score
+        FROM organic o LEFT JOIN cnt c USING (query_id)
+        WHERE NOT EXISTS (SELECT 1 FROM pins p
+                          WHERE p.query_id = o.query_id
+                            AND p.doc_id = o.doc_id))
+SELECT query_id, CAST(prank AS INTEGER) AS rank, doc_id,
+       0.0 AS score, TRUE AS pinned
+FROM pins
+UNION ALL
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score,
+       FALSE AS pinned
+FROM org WHERE rank <= 10
+"""
+
+
+# Data-mixing targets: share proportional to source index + 1 (sums to 1
+# over src0..src19), so every source's weight differs from natural.
+_MIX_TARGETS = {f"src{i}": (i + 1) / 210 for i in range(20)}
+
+
+def _q_mix_weights(spark, sf_dir):
+    """Training-data mixing table (functions/sampling.mix_weights):
+    per-source natural token share vs target share, re-weighting factor,
+    thin-only sample rate, expected tokens."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        mix_weights,
+    )
+
+    return mix_weights(_docs(spark, sf_dir), _MIX_TARGETS)
+
+
+def _mix_weights_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', {t!r})" for s, t in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+WITH tgt(source, target) AS (VALUES {vals}),
+per AS (SELECT source, count(*) AS n_docs,
+               sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                 AS n_tokens
+        FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_tokens) AS total FROM per),
+j AS (SELECT p.source, p.n_docs, p.n_tokens, t.target,
+             p.n_tokens / tot.total AS natural_share
+      FROM per p JOIN tgt t USING (source), tot),
+j2 AS (SELECT *, target / natural_share AS weight FROM j),
+mx AS (SELECT max(weight) AS max_w FROM j2)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(natural_share, 6) AS natural_share,
+  ROUND(weight, 6) AS weight,
+  ROUND(weight / max_w, 6) AS sample_rate,
+  ROUND(weight / max_w * n_tokens, 2) AS expected_tokens
+FROM j2, mx
+"""
+
+
 _RANK_EVAL_K = 10
 
 
@@ -2861,6 +2959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats_agg": _q_matrix_stats,
         "percolate_matches": _q_percolate,
         "rank_eval": _q_rank_eval,
+        "pinned_topk": _q_pinned,
+        "mix_weights": _q_mix_weights,
         "t_test_agg": _q_t_test,
         "mad_agg": _q_mad,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -4980,6 +5080,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "quality_funnel": _FUNNEL_SQL,
         "date_histogram_min0": _HISTO_MIN0_SQL,
         "rank_eval": _rank_eval_sql(),
+        "pinned_topk": _pinned_sql(),
+        "mix_weights": _mix_weights_sql(),
         "t_test_agg": _t_test_sql(),
         "mad_agg": _MAD_SQL,
         "cumulative_cardinality": _CUMCARD_SQL,

@@ -71,3 +71,65 @@ def stratified_sample(
             F.lit(_hex_threshold(frac)),
         ).otherwise(thr)
     return docs.filter(_key_hash(salt) < thr)
+
+
+def mix_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, natural_share, weight, sample_rate,
+    expected_tokens) — the data-MIXING planning table a training
+    pipeline computes before sampling (the DoReMi / Pile-style "target
+    mix vs natural mix" step): per source, the natural token share, the
+    re-weighting factor weight = target_share / natural_share, the
+    downsampling rate rate = weight / max(weight) (the largest
+    up-weighted source is kept whole, everything else thins — no
+    duplication), and the resulting expected token count.  Feed
+    ``sample_rate`` straight into :func:`stratified_sample`.
+
+    One scan (token counts are scan-local), one tiny groupBy on the
+    stratum, broadcast single-row total and max — source-table scale
+    thereafter, no corpus-wide second pass at any size."""
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    per = (
+        docs.select(
+            F.col(stratum_col).alias("source"),
+            F.size(F.expr(toks)).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    tgt = docs.sparkSession.createDataFrame(
+        sorted(targets.items()), "source string, target double"
+    )
+    total = per.agg(F.sum("n_tokens").alias("total"))
+    j = (
+        per.join(F.broadcast(tgt), "source")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "natural_share", F.col("n_tokens") / F.col("total")
+        )
+        .withColumn(
+            "weight", F.col("target") / F.col("natural_share")
+        )
+    )
+    mx = j.agg(F.max("weight").alias("max_w"))
+    return (
+        j.crossJoin(F.broadcast(mx))
+        .withColumn("sample_rate", F.col("weight") / F.col("max_w"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("natural_share", 6).alias("natural_share"),
+            F.round("weight", 6).alias("weight"),
+            F.round("sample_rate", 6).alias("sample_rate"),
+            F.round(F.col("sample_rate") * F.col("n_tokens"), 2).alias(
+                "expected_tokens"
+            ),
+        )
+    )
