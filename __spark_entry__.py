@@ -2810,6 +2810,72 @@ FROM spine s LEFT JOIN c USING (bucket)
 """
 
 
+_BSEL_MIN_N, _BSEL_MIN_AVG = 310, 49.5
+
+
+def _q_bucket_selector(spark, sf_dir):
+    """ES `bucket_selector` pipeline agg (functions/events_agg
+    .bucket_selector): daily buckets kept only where n >= 310 and
+    avg(value) >= 49.5 (16/30 and 19/30 buckets survive at sf0.01 /
+    sf0.1) — the aggs-DSL HAVING."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        bucket_selector,
+    )
+
+    out = bucket_selector(
+        _read(spark, sf_dir, "events"), _BSEL_MIN_N, _BSEL_MIN_AVG
+    )
+    return out.select(
+        F.unix_timestamp("day").cast("long").alias("day_epoch"),
+        "n",
+        "avg_value",
+    )
+
+
+def _bucket_selector_sql() -> str:
+    return f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+HAVING count(*) >= {_BSEL_MIN_N} AND avg(value) >= {_BSEL_MIN_AVG}
+"""
+
+
+_BPE_TOP_N = 50
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE trainer merge-round pair counts (functions/text_analysis
+    .bpe_pair_counts): top-50 adjacent character pairs within words,
+    corpus-wide."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    return bpe_pair_counts(
+        _docs(spark, sf_dir).select("doc_id", "text"), _BPE_TOP_N
+    )
+
+
+def _bpe_pairs_sql() -> str:
+    return f"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+w AS (SELECT unnest(toks) AS term FROM t),
+p AS (SELECT unnest(list_transform(
+               range(1, greatest(length(term) - 1, 0) + 1),
+               i -> substr(term, CAST(i AS INTEGER), 2))) AS pair
+      FROM w)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE length(pair) = 2
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {_BPE_TOP_N}
+"""
+
+
 def _q_dup_spans(spark, sf_dir):
     """ExactSubstr-style duplicate-span detection (functions/webtext
     .dup_spans, after Lee et al. 2021): sliding 10-token windows hashed
@@ -3007,6 +3073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": _q_dup_spans,
         "quality_funnel": _q_quality_funnel,
         "date_histogram_min0": _q_date_histogram_min0,
+        "bucket_selector_agg": _q_bucket_selector,
+        "bpe_pair_counts": _q_bpe_pairs,
         "extract_structured": _q_extract_structured,
     }
 
@@ -5079,6 +5147,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "percolate_matches": _percolate_sql(),
         "quality_funnel": _FUNNEL_SQL,
         "date_histogram_min0": _HISTO_MIN0_SQL,
+        "bucket_selector_agg": _bucket_selector_sql(),
+        "bpe_pair_counts": _bpe_pairs_sql(),
         "rank_eval": _rank_eval_sql(),
         "pinned_topk": _pinned_sql(),
         "mix_weights": _mix_weights_sql(),

@@ -212,3 +212,29 @@ def date_histogram_min0(
     return spine.join(counts, "bucket", "left").select(
         "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
+
+
+def bucket_selector(
+    events: DataFrame,
+    min_n: int,
+    min_avg_value: float,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, n, avg_value) — ES `bucket_selector` pipeline aggregation:
+    parent buckets (daily histogram with count + avg(value)) are KEPT
+    only where the bucket-level script holds (n >= min_n AND avg_value
+    >= min_avg_value) — the HAVING of the aggs DSL.  The predicate
+    runs on the bucket table (post-aggregation), so selectivity costs
+    nothing at corpus scale."""
+    return (
+        events.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg("value").alias("avg_value"),
+        )
+        .filter(
+            (F.col("n") >= min_n)
+            & (F.col("avg_value") >= min_avg_value)
+        )
+        .select("day", "n", F.round("avg_value", 6).alias("avg_value"))
+    )

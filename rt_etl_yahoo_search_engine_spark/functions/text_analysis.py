@@ -141,3 +141,37 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             "avg_logprob", F.col("logprob_sum") / F.col("n_tokens")
         )
     )
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """(pair, n) — the first merge round of BPE tokenizer TRAINING
+    (Sennrich et al. 2016): corpus-wide frequencies of adjacent
+    CHARACTER pairs within words, top ``top_n`` by count (count DESC,
+    pair ASC — the deterministic merge-pick order).  Iterating this
+    (count -> merge best pair -> recount) is the whole trainer; one
+    round exercises the corpus-scale part, the explode+count.
+
+    Scale shape: tokens explode to character bigrams entirely inside
+    codegen (transform over sequence, no UDF), partial aggregation
+    combines map-side, and only pair-vocabulary rows (bounded by
+    alphabet²) reach the final top-N — no corpus-scale shuffle
+    payload."""
+    pairs = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("term"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(term) - 1, 0)),"
+                    " i -> substring(term, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .filter(F.length("pair") == 2)
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )
