@@ -170,6 +170,11 @@ JOB_EQUIV_REVS = {
                            # which the leg's timed phases never import
     "b435d73": "23c0dc3",  # quality funnel + min0 histogram — leg never
                            # imports functions/{webtext,events_agg}
+    "c20cfe2": "23c0dc3",  # ledger-map-only
+    "12b2303": "23c0dc3",  # pinned query + mix_weights — leg never
+                           # imports plans/pinned or functions/sampling
+    "82a8e9c": "23c0dc3",  # bucket_selector + bpe pairs — leg never
+                           # imports functions/{events_agg,text_analysis}
 }
 
 
