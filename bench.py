@@ -175,6 +175,9 @@ JOB_EQUIV_REVS = {
                            # imports plans/pinned or functions/sampling
     "82a8e9c": "23c0dc3",  # bucket_selector + bpe pairs — leg never
                            # imports functions/{events_agg,text_analysis}
+    "3f72306": "23c0dc3",  # ledger-map-only
+    "17fc04c": "23c0dc3",  # streaming percolation — leg never imports
+                           # streaming/percolate_stream
 }
 
 
