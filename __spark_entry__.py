@@ -1904,6 +1904,45 @@ FROM b, t
 """
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality proxy (functions/text_analysis.bigram_logprob):
+    per-doc total and mean ln P(t|prev) under the corpus's own ML bigram
+    model — the order-aware CCNet-style perplexity column."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        bigram_logprob,
+    )
+
+    out = bigram_logprob(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("logprob_sum", 6).alias("logprob_sum"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+
+
+_BIGRAM_LP_SQL = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(
+                range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       FROM t),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+c2 AS (SELECT bg, sum(tf) AS c2 FROM tf GROUP BY 1),
+c1 AS (SELECT split_part(bg, ' ', 1) AS prev, sum(c2) AS c1
+       FROM c2 GROUP BY 1)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+  ROUND(sum(tf.tf * ln(c2.c2 / c1.c1)), 6) AS logprob_sum,
+  ROUND(sum(tf.tf * ln(c2.c2 / c1.c1)) / sum(tf.tf), 6) AS avg_logprob
+FROM tf JOIN c2 USING (bg)
+JOIN c1 ON split_part(tf.bg, ' ', 1) = c1.prev
+GROUP BY 1
+"""
+
+
 _DECAY_ORIGIN, _DECAY_SCALE, _DECAY_RATE = 300.0, 200.0, 0.5
 
 
@@ -3022,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _q_completion_suggest,
         "auto_date_histogram": _q_auto_date_histogram,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "matrix_stats_agg": _q_matrix_stats,
         "percolate_matches": _q_percolate,
         "rank_eval": _q_rank_eval,
@@ -5143,6 +5183,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "completion_suggest": _completion_sql(),
         "auto_date_histogram": _auto_histo_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
+        "bigram_logprob": _BIGRAM_LP_SQL,
         "matrix_stats_agg": _matrix_stats_sql(),
         "percolate_matches": _percolate_sql(),
         "quality_funnel": _FUNNEL_SQL,

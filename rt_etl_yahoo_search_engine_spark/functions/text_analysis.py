@@ -175,3 +175,58 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+_BIGRAM_EXPR = """
+CASE WHEN size(tokens) < 2 THEN array()
+     ELSE transform(sequence(1, size(tokens) - 1),
+                    i -> concat(element_at(tokens, i), ' ',
+                                element_at(tokens, i + 1)))
+END
+"""
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, logprob_sum, avg_logprob) — the order-aware
+    step up from :func:`unigram_logprob`: each document scored under the
+    corpus's own MAXIMUM-LIKELIHOOD BIGRAM model, P(t | prev) =
+    c2(prev, t) / c1(prev), where c2 counts corpus bigram occurrences
+    and c1(prev) = Σ_t c2(prev, t) (occurrences of ``prev`` as a
+    predecessor).  logprob_sum = Σ ln P over the doc's bigram positions;
+    docs with < 2 tokens have no bigrams and drop out.  The perplexity
+    column an n-gram-LM quality filter (CCNet's KenLM is a smoothed
+    5-gram of this shape) thresholds on — since every doc's bigrams come
+    FROM the corpus, ML probabilities are never zero.
+
+    Scale shape mirrors unigram_logprob: per-doc bigram tf (map-side
+    combine), corpus c2 by one more reduction of the SAME relation,
+    c1 by reducing c2 (bigram-vocab scale, not corpus scale), then one
+    bigram-keyed join back — the only corpus-scale shuffle."""
+    bg = with_tokens(docs).select(
+        "doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bg")
+    )
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    c2 = tf.groupBy("bg").agg(F.sum("tf").alias("c2"))
+    c1 = (
+        c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("prev"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    joined = (
+        tf.join(c2, "bg")
+        .withColumn(
+            "prev", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(c1, "prev")
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("tf") * F.log(F.col("c2") / F.col("c1"))
+            ).alias("logprob_sum"),
+        )
+        .withColumn(
+            "avg_logprob", F.col("logprob_sum") / F.col("n_bigrams")
+        )
+    )

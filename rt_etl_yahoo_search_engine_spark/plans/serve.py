@@ -693,6 +693,58 @@ class LocalSearcher:
             )
         return out
 
+    def mget(self, doc_ids: list[int]) -> list[dict]:
+        """ES _mget: one result dict per REQUESTED id, in request order —
+        {"doc_id", "found", "url"} — found=False for ids outside the
+        corpus AND for tombstoned docs (ES GET stops returning a doc the
+        moment it is deleted, before any merge reclaims it).  Same
+        doc_id-isin pruned docmap read as urls_for: never a full docmap
+        scan."""
+        umap = self.urls_for(doc_ids)
+        dead = self._deleted
+        out = []
+        for d in doc_ids:
+            gone = False
+            if dead is not None:
+                i = int(np.searchsorted(dead, d))
+                gone = i < len(dead) and int(dead[i]) == int(d)
+            url = umap.get(d)
+            out.append(
+                {
+                    "doc_id": d,
+                    "found": url is not None and not gone,
+                    "url": None if gone else url,
+                }
+            )
+        return out
+
+    def field_caps(self) -> list[dict]:
+        """ES _field_caps: what each field of this index supports,
+        derived from the registry (no data read).  `positional` reflects
+        whether the positions sidecar exists AND covers the current
+        corpus (a stale sidecar after extension reports un-positional,
+        matching the phrase plan's refusal)."""
+        reg = Catalog(self.root).read_registry()
+        has_pos = bool(reg.get("positions_dirs")) and int(
+            reg.get("positions_n_docs", -1)
+        ) == int(reg["n_docs"])
+        return [
+            {
+                "field": "text",
+                "type": "text",
+                "searchable": True,
+                "aggregatable": False,
+                "positional": has_pos,
+            },
+            {
+                "field": "url",
+                "type": "keyword",
+                "searchable": False,
+                "aggregatable": True,
+                "positional": False,
+            },
+        ]
+
     def search_batch(
         self,
         queries: dict[str, str],
