@@ -178,6 +178,10 @@ JOB_EQUIV_REVS = {
     "3f72306": "23c0dc3",  # ledger-map-only
     "17fc04c": "23c0dc3",  # streaming percolation — leg never imports
                            # streaming/percolate_stream
+    "8f0e63b": "23c0dc3",  # ledger-map-only
+    "6abc6d3": "23c0dc3",  # bigram LM + serve mget/field_caps — leg
+                           # never imports text_analysis; serve.py only
+                           # after timed phases, new methods uncalled
 }
 
 
