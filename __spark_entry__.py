@@ -1943,6 +1943,65 @@ GROUP BY 1
 """
 
 
+_WINNOW_K, _WINNOW_W = 5, 4
+
+
+def _q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (functions/text_analysis
+    .winnow_fingerprints, MOSS k=5 w=4): per-window min k-gram hash,
+    rightmost on ties, deduped — all scan-local codegen."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+    )
+
+
+def _winnow_sql() -> str:
+    """Relational rendition of the same selection: window spine ×
+    grams, argmin (h ASC, pos DESC) per window, distinct, digest over
+    the (h, pos)-sorted set."""
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_replace(lower(text), '[^a-z0-9]', '', 'g')
+                    AS norm
+           FROM documents),
+b AS (SELECT doc_id, norm,
+             greatest(length(norm) - {k} + 1, 0) AS g
+      FROM t),
+g0 AS (SELECT doc_id, norm,
+              CAST(unnest(range(1, g + 1)) AS INT) AS pos
+       FROM b),
+grams AS (SELECT doc_id, pos, md5(substr(norm, pos, {k})) AS h
+          FROM g0),
+wins AS (SELECT doc_id,
+                CAST(unnest(range(1, greatest(g - {w} + 1, 1) + 1))
+                     AS INT) AS j
+         FROM b WHERE g >= 1),
+cand AS (SELECT wi.doc_id, wi.j, gr.h, gr.pos,
+                row_number() OVER (PARTITION BY wi.doc_id, wi.j
+                                   ORDER BY gr.h ASC, gr.pos DESC)
+                  AS rn
+         FROM wins wi JOIN grams gr
+           ON gr.doc_id = wi.doc_id
+          AND gr.pos >= wi.j AND gr.pos < wi.j + {w}),
+sel AS (SELECT DISTINCT doc_id, h, pos FROM cand WHERE rn = 1),
+agg AS (SELECT doc_id, count(*) AS n_fp,
+               md5(string_agg(h || ':' || CAST(pos AS VARCHAR), ','
+                              ORDER BY h, pos)) AS fp_digest
+        FROM sel GROUP BY 1)
+SELECT b.doc_id, CAST(b.g AS BIGINT) AS n_grams,
+  CAST(coalesce(agg.n_fp, 0) AS BIGINT) AS n_fp,
+  coalesce(agg.fp_digest, md5('')) AS fp_digest
+FROM b LEFT JOIN agg USING (doc_id)
+"""
+
+
 _DECAY_ORIGIN, _DECAY_SCALE, _DECAY_RATE = 300.0, 200.0, 0.5
 
 
@@ -3062,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_date_histogram": _q_auto_date_histogram,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "winnow_fingerprints": _q_winnow,
         "matrix_stats_agg": _q_matrix_stats,
         "percolate_matches": _q_percolate,
         "rank_eval": _q_rank_eval,
@@ -5184,6 +5244,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "auto_date_histogram": _auto_histo_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "bigram_logprob": _BIGRAM_LP_SQL,
+        "winnow_fingerprints": _winnow_sql(),
         "matrix_stats_agg": _matrix_stats_sql(),
         "percolate_matches": _percolate_sql(),
         "quality_funnel": _FUNNEL_SQL,
