@@ -182,6 +182,9 @@ JOB_EQUIV_REVS = {
     "6abc6d3": "23c0dc3",  # bigram LM + serve mget/field_caps — leg
                            # never imports text_analysis; serve.py only
                            # after timed phases, new methods uncalled
+    "e086f32": "23c0dc3",  # ledger-map-only
+    "d39eb5f": "23c0dc3",  # winnowing fingerprints — leg never imports
+                           # functions/text_analysis
 }
 
 
