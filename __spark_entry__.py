@@ -1598,7 +1598,7 @@ def _matrix_stats_sql() -> str:
                 f" ROUND({c(a, b)} / sqrt({c(a, a)} * {c(b, b)}), 6)"
                 f" AS correlation FROM cv"
             )
-        body = "\nUNION ALL\n".join(rows)
+    body = "\nUNION ALL\n".join(rows)
     return (
         "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem),\n"
         "cv AS (SELECT n, " + ", ".join(f"s_{f}" for f in fs) + ", "

@@ -252,11 +252,15 @@ def winnow_fingerprints(
     whole-stage codegen; no explode, no shuffle, no UDF.  Cross-doc
     matching joins on the fingerprint hashes afterwards (bounded rows:
     ~n_grams/w selections per doc)."""
-    norm = "regexp_replace(lower(text), '[^a-z0-9]', '')"
+    norm = "regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '')"
+    # Spark's sequence(1, 0) yields [1, 0] (descending), so the empty
+    # case needs an explicit guard, not greatest(..., 0)
     grams = (
-        f"transform(sequence(1, greatest(length({norm}) - {k} + 1, 0)),"
+        f"CASE WHEN length({norm}) < {k} THEN"
+        f" CAST(array() AS array<struct<h: string, pos: int>>)"
+        f" ELSE transform(sequence(1, length({norm}) - {k} + 1),"
         f" i -> named_struct('h', md5(substring({norm}, i, {k})),"
-        f" 'pos', i))"
+        f" 'pos', i)) END"
     )
     # per window j: fold the w-slice picking (h ASC, pos DESC); the 'g'
     # sentinel sorts above every md5 hex char so the fold's init loses

@@ -391,13 +391,14 @@ def quality_funnel(docs: DataFrame, **thresholds) -> DataFrame:
     :func:`quality_gate`: documents lost to each rule (first-failure
     attribution) and the surviving share.  One scan + one tiny groupBy."""
     gated = quality_gate(docs, **thresholds)
-    total = docs.count()
-    return (
-        gated.groupBy("stage")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .select(
-            "stage",
-            "n_docs",
-            F.round(F.col("n_docs") / F.lit(total), 6).alias("share"),
-        )
+    per_stage = gated.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # every doc lands in exactly one stage, so the total comes from the
+    # tiny grouped table — no second corpus scan
+    total = per_stage.agg(F.sum("n_docs").alias("total"))
+    return per_stage.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
     )

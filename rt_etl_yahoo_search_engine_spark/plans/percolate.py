@@ -22,23 +22,20 @@ conjunction (AND of all query terms) with an optional
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
-
-# Same tokenizer as functions/webtext.TOKENS_EXPR / the index analyzer
-TOKENS_EXPR = r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+from .. import spec
+from ..functions.text_analysis import TOKENS_EXPR
 
 
 def query_terms(queries: dict[str, str]) -> list[tuple[str, str, int]]:
     """(query_id, term, n_terms) rows — distinct analyzed terms per
-    stored query, with the per-query required-term count."""
+    stored query (spec.tokenize, the repo's one analyzer), with the
+    per-query required-term count."""
     rows = []
     for qid, text in queries.items():
-        terms = sorted(set(_TOKEN_RE.findall(text.lower())))
+        terms = sorted(set(spec.tokenize(text)))
         rows += [(qid, t, len(terms)) for t in terms]
     return rows
 

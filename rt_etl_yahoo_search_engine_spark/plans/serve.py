@@ -725,7 +725,12 @@ class LocalSearcher:
         corpus (a stale sidecar after extension reports un-positional,
         matching the phrase plan's refusal)."""
         reg = Catalog(self.root).read_registry()
-        has_pos = bool(reg.get("positions_dirs")) and int(
+        # same dir resolution as operators.positions.read_positions
+        # (plural key, legacy singular fallback)
+        pos_dirs = reg.get("positions_dirs") or (
+            [reg["positions_dir"]] if reg.get("positions_dir") else None
+        )
+        has_pos = bool(pos_dirs) and int(
             reg.get("positions_n_docs", -1)
         ) == int(reg["n_docs"])
         return [

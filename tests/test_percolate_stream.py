@@ -1,10 +1,6 @@
 """Streaming percolation: the accumulated alert log equals the batch
 percolator over the full corpus; epoch replay is exactly-once."""
 
-import time
-
-from pyspark.sql import functions as F
-
 from rt_etl_yahoo_search_engine_spark.plans.percolate import percolate
 from rt_etl_yahoo_search_engine_spark.streaming.percolate_stream import (
     make_percolate_sink,
@@ -40,10 +36,7 @@ def test_stream_alerts_match_batch(spark, tmp_path):
 
     q = percolate_stream(spark, docs_dir, out_dir, ckpt, QUERIES)
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            q.processAllAvailable()
-            break
+        q.processAllAvailable()  # blocks until the backlog is drained
     finally:
         q.stop()
 
