@@ -185,6 +185,10 @@ JOB_EQUIV_REVS = {
     "e086f32": "23c0dc3",  # ledger-map-only
     "d39eb5f": "23c0dc3",  # winnowing fingerprints — leg never imports
                            # functions/text_analysis
+    "42fe222": "23c0dc3",  # ledger-map-only
+    "8bec070": "23c0dc3",  # review fixes in webtext/text_analysis/
+                           # percolate/serve(field_caps) — none on the
+                           # leg's timed import path
 }
 
 
