@@ -1735,6 +1735,61 @@ FROM j2, mx
 """
 
 
+_SHUFFLE_SEED, _SHUFFLE_TOP = "epoch0", 100
+
+
+def _q_seeded_shuffle(spark, sf_dir):
+    """Deterministic global shuffle / ES random_score (functions/
+    sampling.seeded_shuffle): docs ranked by md5('doc_id:seed'); first
+    100 rows of the permutation."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        seeded_shuffle,
+    )
+
+    out = seeded_shuffle(_docs(spark, sf_dir), seed=_SHUFFLE_SEED)
+    return out.filter(F.col("rank") <= _SHUFFLE_TOP)
+
+
+def _seeded_shuffle_sql() -> str:
+    return f"""
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, shuffle_key
+FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}')
+               AS shuffle_key,
+             row_number() OVER (ORDER BY
+               md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}'),
+               doc_id) AS rank
+      FROM documents)
+WHERE rank <= {_SHUFFLE_TOP}
+"""
+
+
+_N_SLICES = 4
+
+
+def _q_scroll_slices(spark, sf_dir):
+    """ES sliced scroll (functions/sampling.scroll_slices): the corpus
+    split into 4 disjoint md5-nibble slices; per-slice count and id
+    range."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        scroll_slices,
+    )
+
+    return scroll_slices(_docs(spark, sf_dir), _N_SLICES)
+
+
+def _scroll_slices_sql() -> str:
+    width = 16 // _N_SLICES
+    return f"""
+SELECT CAST((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+            // {width} AS INTEGER) AS slice_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
 _RANK_EVAL_K = 10
 
 
@@ -3127,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "pinned_topk": _q_pinned,
         "mix_weights": _q_mix_weights,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "scroll_slices": _q_scroll_slices,
         "t_test_agg": _q_t_test,
         "mad_agg": _q_mad,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -5254,6 +5311,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "rank_eval": _rank_eval_sql(),
         "pinned_topk": _pinned_sql(),
         "mix_weights": _mix_weights_sql(),
+        "seeded_shuffle": _seeded_shuffle_sql(),
+        "scroll_slices": _scroll_slices_sql(),
         "t_test_agg": _t_test_sql(),
         "mad_agg": _MAD_SQL,
         "cumulative_cardinality": _CUMCARD_SQL,

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""spark-submit entry point: the full training-data preparation pipeline.
+
+Chains the webtext hygiene operators end to end — the C4/RefinedWeb-shaped
+run a 100 TB corpus goes through before tokenizer/LM training:
+
+    1. quality gate      (functions/webtext.quality_gate — ordered
+                          lang/length/word-len/repetition rules,
+                          first-failure attribution)
+    2. C4 line dedup     (functions/webtext.line_dedup — duplicate
+                          10-token lines dropped corpus-wide, docs
+                          reconstructed; emptied docs vanish)
+    3. PII redaction     (the webtext scrub regexes — emails/phones/IPv4
+                          replaced with typed tags)
+    4. sequence packing  (functions/packing.pack_sequences — per-source
+                          concat-then-chunk slots for the training loader)
+
+Outputs under --out:
+    clean_docs/   (doc_id, source, lang, text)     — redacted, deduped
+    packed/       (doc_id, source, n_tokens, chunk_id, chunk_offset)
+    report/       one row per funnel stage + pipeline totals
+
+and prints a single JSON summary line (stage counts, token totals).
+
+    spark-submit --py-files dist/engine.zip jobs/pipeline_webtext.py \
+        --docs /data/documents.parquet --out /data/clean [--budget 2048]
+
+Every stage is a deterministic pure transform, so rerunning overwrites
+byte-identical outputs (idempotent by determinism, not by ledger).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="output root")
+    p.add_argument("--budget", type=int, default=2048,
+                   help="packing token budget per chunk")
+    p.add_argument("--master", default=None)
+    a = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from rt_etl_yahoo_search_engine_spark.functions.packing import (
+        pack_sequences,
+    )
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        line_dedup,
+        quality_gate,
+    )
+    from rt_etl_yahoo_search_engine_spark.session import get_spark
+
+    spark = get_spark(app="pipeline-webtext", master=a.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(a.docs)
+
+    # 1. quality funnel — keep survivors, report the rest per rule
+    gated = quality_gate(docs).persist()
+    stages = {
+        r["stage"]: r["n"]
+        for r in gated.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    kept = docs.join(
+        gated.filter(F.col("stage") == "kept").select("doc_id"), "doc_id"
+    )
+
+    # 2. C4 line-level cross-doc dedup + reconstruction
+    deduped = line_dedup(kept, keep_text=True).select("doc_id", "clean_text")
+
+    # 3. PII scrub on the reconstructed text
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("clean_text", EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    clean = (
+        deduped.join(kept.select("doc_id", "source", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", red.alias("text"))
+        .persist()
+    )
+    clean.write.mode("overwrite").parquet(f"{a.out}/clean_docs")
+
+    # 4. per-source sequence packing for the training loader
+    packed = pack_sequences(clean, budget=a.budget)
+    packed.write.mode("overwrite").parquet(f"{a.out}/packed")
+
+    totals = packed.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.count_distinct("source", "chunk_id")).alias("chunks"),
+    ).collect()[0]
+    report = [
+        {"stage": s, "n_docs": int(n)} for s, n in sorted(stages.items())
+    ]
+    spark.createDataFrame(report).write.mode("overwrite").parquet(
+        f"{a.out}/report"
+    )
+    print(
+        json.dumps(
+            {
+                "stages": {s: int(n) for s, n in sorted(stages.items())},
+                "clean_docs": int(totals["docs"]),
+                "clean_tokens": int(totals["tokens"]),
+                "packed_chunks": int(totals["chunks"]),
+                "budget": a.budget,
+                "out": a.out,
+            }
+        )
+    )
+    gated.unpersist()
+    clean.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -133,3 +133,64 @@ def mix_weights(
             ),
         )
     )
+
+
+def seeded_shuffle(docs: DataFrame, seed: str = "s0") -> DataFrame:
+    """(rank, doc_id, shuffle_key) — deterministic global shuffle: every
+    doc keyed by md5('doc_id:seed') (the cross-engine hash idiom above)
+    and ranked by that key — simultaneously ES function_score
+    `random_score` (seeded, consistent pseudo-random ordering) and the
+    training-data global order randomization applied before sequence
+    packing (hash order is reproducible across runs AND insensitive to
+    input partitioning, which a rand()-based shuffle is not).
+
+    Scale shape: the key is scan-local; the global rank is the one
+    unavoidable total-order sort (Spark range-partitions it).  For
+    training pipelines that only need shard-local shuffle, drop the
+    rank and sortWithinPartitions(shuffle_key) instead — same key, no
+    global exchange."""
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))
+        ).alias("shuffle_key"),
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "doc_id", "shuffle_key")
+
+
+def scroll_slices(docs: DataFrame, n_slices: int = 4) -> DataFrame:
+    """(slice_id, n_docs, min_doc, max_doc) — ES sliced scroll: the
+    result set split into ``n_slices`` disjoint, jointly-exhaustive
+    slices a client scrolls in parallel.  Slice assignment is the first
+    md5 hex nibble of the doc key bucketed into 16/n ranges — uniform,
+    deterministic, computable identically engine-side and client-side
+    (ES slices on _id hash the same way).  ``n_slices`` must divide 16.
+
+    Scan-local assignment + one bucket-scale groupBy; a real scroll
+    client filters `slice_id = i` with the same expression, which
+    pushes to the scan."""
+    if 16 % n_slices:
+        raise ValueError(f"n_slices must divide 16, got {n_slices}")
+    width = 16 // n_slices
+    # F.locate only takes a literal substring — use the SQL form
+    nib = F.expr(
+        "locate(substring(md5(cast(doc_id as string)), 1, 1),"
+        " '0123456789abcdef')"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.floor((nib - 1) / width).cast("int").alias("slice_id"),
+        )
+        .groupBy("slice_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -174,8 +174,11 @@ def chunk_dedup(
     )
 
 
-def line_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
-    """(doc_id, n_lines, n_kept, kept_frac, clean_fp) — the C4 line-level
+def line_dedup(
+    docs: DataFrame, width: int = CHUNK_TOKENS, keep_text: bool = False
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, kept_frac, clean_fp[, clean_text]) —
+    the C4 line-level
     cross-document dedup TRANSFORM (Raffel et al. 2020 §2.2: any line
     occurring more than once in the corpus is dropped everywhere except
     its first occurrence), followed by document reconstruction.  The
@@ -243,6 +246,7 @@ def line_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
                 "kept_frac"
             ),
             F.md5(F.encode("clean_text", "UTF-8")).alias("clean_fp"),
+            *(["clean_text"] if keep_text else []),
         )
     )
 
