@@ -189,6 +189,10 @@ JOB_EQUIV_REVS = {
     "8bec070": "23c0dc3",  # review fixes in webtext/text_analysis/
                            # percolate/serve(field_caps) — none on the
                            # leg's timed import path
+    "79a8840": "23c0dc3",  # ledger-map-only
+    "17c13a7": "23c0dc3",  # seeded_shuffle/scroll_slices + pipeline
+                           # job — leg never imports functions/
+                           # {sampling,webtext,packing} or jobs/
 }
 
 
