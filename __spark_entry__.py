@@ -1790,6 +1790,69 @@ GROUP BY 1
 """
 
 
+def _q_extended_stats(spark, sf_dir):
+    """ES `extended_stats` agg (functions/numstats.extended_stats):
+    per-returnflag moments of l_extendedprice from exact decimal sums,
+    sigma=2 std bounds."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        extended_stats,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return extended_stats(li, "l_extendedprice", "l_returnflag")
+
+
+_EXT_STATS_SQL = """
+WITH s AS (SELECT l_returnflag AS grp, count(*) AS n,
+  min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+       AS DOUBLE) AS s,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+       AS DOUBLE) AS p
+  FROM lineitem GROUP BY 1)
+SELECT grp, CAST(n AS BIGINT) AS n, mn AS min, mx AS max,
+  ROUND(s, 6) AS sum, ROUND(p, 6) AS sum_of_squares,
+  ROUND(s / n, 6) AS avg,
+  ROUND((p - s * s / n) / n, 6) AS variance,
+  ROUND(sqrt((p - s * s / n) / n), 6) AS std_dev,
+  ROUND(s / n + 2.0 * sqrt((p - s * s / n) / n), 6) AS upper_bound,
+  ROUND(s / n - 2.0 * sqrt((p - s * s / n) / n), 6) AS lower_bound
+FROM s
+"""
+
+
+_MOVP_DAYS, _MOVP_Q = 7, 0.5
+
+
+def _q_moving_percentiles(spark, sf_dir):
+    """ES `moving_percentiles` pipeline agg (functions/events_agg
+    .moving_percentiles): exact trailing-7-day median of the daily
+    event count."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        moving_percentiles,
+    )
+
+    out = moving_percentiles(
+        _read(spark, sf_dir, "events"), _MOVP_DAYS, _MOVP_Q
+    )
+    return out.select(
+        F.unix_timestamp("day").cast("long").alias("day_epoch"),
+        "n",
+        "moving_pq",
+    )
+
+
+_MOVP_SQL = """
+WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(epoch(day) AS BIGINT) AS day_epoch, CAST(n AS BIGINT) AS n,
+  ROUND(quantile_cont(n, 0.5) OVER (ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_pq
+FROM d
+"""
+
+
 _RANK_EVAL_K = 10
 
 
@@ -3185,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_shuffle": _q_seeded_shuffle,
         "scroll_slices": _q_scroll_slices,
         "t_test_agg": _q_t_test,
+        "extended_stats_agg": _q_extended_stats,
+        "moving_percentiles_agg": _q_moving_percentiles,
         "mad_agg": _q_mad,
         "cumulative_cardinality": _q_cumulative_cardinality,
         "normalize_pipeline_agg": _q_normalize_pipeline,
@@ -5314,6 +5379,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "seeded_shuffle": _seeded_shuffle_sql(),
         "scroll_slices": _scroll_slices_sql(),
         "t_test_agg": _t_test_sql(),
+        "extended_stats_agg": _EXT_STATS_SQL,
+        "moving_percentiles_agg": _MOVP_SQL,
         "mad_agg": _MAD_SQL,
         "cumulative_cardinality": _CUMCARD_SQL,
         "normalize_pipeline_agg": _NORMALIZE_SQL,

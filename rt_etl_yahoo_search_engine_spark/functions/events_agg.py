@@ -238,3 +238,35 @@ def bucket_selector(
         )
         .select("day", "n", F.round("avg_value", 6).alias("avg_value"))
     )
+
+
+def moving_percentiles(
+    events: DataFrame,
+    window_days: int = 7,
+    q: float = 0.5,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, n, moving_pq) — ES `moving_percentiles` pipeline agg: the
+    exact linear-interpolated q-percentile of the daily event COUNT over
+    a trailing ``window_days`` window (shorter at the series head, like
+    ES).  Exact where ES slides t-digests.
+
+    The corpus reduces to one row per day first; the windowed
+    percentile then runs on the bucket table — corpus-scale work is one
+    groupBy, the sliding pass is bucket-scale."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "n",
+        F.round(
+            F.percentile(F.col("n"), F.lit(float(q))).over(w), 6
+        ).alias("moving_pq"),
+    )

@@ -155,3 +155,40 @@ def mad(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+def extended_stats(
+    df: DataFrame, value_col: str, group_col: str, sigma: float = 2.0
+) -> DataFrame:
+    """(grp, n, min, max, sum, sum_of_squares, avg, variance, std_dev,
+    upper_bound, lower_bound) per group — ES `extended_stats`
+    aggregation, population variance, bounds = avg ± sigma·std.
+
+    Same determinism contract as :func:`matrix_stats`: the only numbers
+    leaving the aggregation are exact DECIMAL sums (cast to double
+    correctly-rounded) and exact min/max/count; every moment is scalar
+    double arithmetic mirrored by the oracle."""
+    v = F.col(value_col).cast("decimal(18,2)")
+    row = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("p"),
+    )
+    avg = F.col("s") / F.col("n")
+    var = (F.col("p") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    std = F.sqrt(var)
+    return row.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("mn").alias("min"),
+        F.col("mx").alias("max"),
+        F.round("s", 6).alias("sum"),
+        F.round("p", 6).alias("sum_of_squares"),
+        F.round(avg, 6).alias("avg"),
+        F.round(var, 6).alias("variance"),
+        F.round(std, 6).alias("std_dev"),
+        F.round(avg + F.lit(sigma) * std, 6).alias("upper_bound"),
+        F.round(avg - F.lit(sigma) * std, 6).alias("lower_bound"),
+    )
