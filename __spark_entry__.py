@@ -2191,12 +2191,24 @@ def _q_match_phrase_prefix(spark, sf_dir):
     (highest-df max_expansions), docs match any completed phrase and
     score as the best matching expansion's phrase BM25.  Output keyed by
     ORIGINAL doc_id."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
     from rt_etl_yahoo_search_engine_spark.plans.phrase import (
         match_phrase_prefix_topk,
     )
     from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
 
     root = _index_for(spark, sf_dir)
+    # entries must be order-independent: ensure the positional sidecar
+    # exists (resumes if already built) rather than relying on an earlier
+    # entry having built it into the shared cached index
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "lang",
+    )
+    build_positions(spark, pages, root, tokenizer="text")
     out = match_phrase_prefix_topk(
         spark, root, MPP_QUERIES, max_expansions=MPP_MAX_EXPANSIONS, k=10
     )
@@ -3163,6 +3175,79 @@ def _q_phrase_topk_positions(spark, sf_dir):
     )
 
 
+# ES boxplot aggregation probes: exact quartiles + Tukey whiskers of
+# n_chars over each DOC_QUERY's match set
+def _q_boxplot(spark, sf_dir):
+    """ES `boxplot` aggregation (plans/stats.boxplot_agg): exact
+    linear-interpolated quartiles of n_chars over each DOC_QUERY's hit
+    docs plus Tukey whiskers (nearest data points inside the 1.5*IQR
+    fences) — ES computes the same shape from a t-digest."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import boxplot_agg
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = boxplot_agg(spark, root, DOC_QUERIES, attrs, "n_chars")
+    return out.select(
+        "query_id",
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"),
+    )
+
+
+# ES date_range aggregation: named half-open [from, to) buckets over the
+# events timeline (Jan 2024), deliberately overlapping + one empty range
+DATE_RANGES = [
+    ("wk1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("wk2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    ("fortnight", "2024-01-01 00:00:00", "2024-01-15 00:00:00"),
+    ("to_mid", None, "2024-01-16 00:00:00"),
+    ("from_mid", "2024-01-16 00:00:00", None),
+    ("empty", "2030-01-01 00:00:00", "2030-02-01 00:00:00"),
+]
+
+
+def _q_date_range(spark, sf_dir):
+    """ES `date_range` aggregation (functions/events_agg.date_range_agg):
+    named half-open timestamp buckets (overlapping allowed, unbounded
+    ends, empty ranges kept) with event count + sum(value) each."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        date_range_agg,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = date_range_agg(ev, DATE_RANGES)
+    return out.select(
+        "range_key", "n", F.round("total", 4).alias("total")
+    )
+
+
+# ES frequent_item_sets: market-basket mining over per-doc token sets,
+# vocabulary-bounded a-priori lattice
+FIS_ITEMS = ["join", "hash", "window", "scan", "filter", "vector"]
+FIS_MIN_SUPPORT = 3
+
+
+def _q_frequent_item_sets(spark, sf_dir):
+    """ES `frequent_item_sets` aggregation
+    (functions/text_analysis.frequent_item_sets): itemsets of size 1-3
+    from the request vocabulary contained by >= min_support English
+    docs, ES-style '|'-joined sorted keys."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        frequent_item_sets,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    out = frequent_item_sets(docs, FIS_ITEMS, FIS_MIN_SUPPORT, max_size=3)
+    return out.select(
+        "items", F.col("size").cast("int").alias("size"), "support"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -3250,6 +3335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test_agg": _q_t_test,
         "extended_stats_agg": _q_extended_stats,
         "moving_percentiles_agg": _q_moving_percentiles,
+        "boxplot_agg": _q_boxplot,
+        "date_range_agg": _q_date_range,
+        "frequent_item_sets": _q_frequent_item_sets,
         "mad_agg": _q_mad,
         "cumulative_cardinality": _q_cumulative_cardinality,
         "normalize_pipeline_agg": _q_normalize_pipeline,
@@ -5264,6 +5352,80 @@ WHERE rank <= 10
 """
 
 
+def _boxplot_sql() -> str:
+    """Exact quartiles + Tukey whiskers of n_chars per match set —
+    plans/stats.boxplot_agg semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+{_MATCHED_DOCS_CTE},
+j AS (SELECT m.query_id, d.n_chars
+      FROM matched m JOIN docs d USING (doc_id)),
+q AS (SELECT query_id,
+             CAST(min(n_chars) AS DOUBLE) AS vmin,
+             CAST(max(n_chars) AS DOUBLE) AS vmax,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS q2,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+      FROM j GROUP BY query_id),
+f AS (SELECT j.query_id,
+             CAST(min(CASE WHEN n_chars >= q1 - 1.5 * (q3 - q1)
+                           THEN n_chars END) AS DOUBLE) AS lower,
+             CAST(max(CASE WHEN n_chars <= q3 + 1.5 * (q3 - q1)
+                           THEN n_chars END) AS DOUBLE) AS upper
+      FROM j JOIN q USING (query_id) GROUP BY j.query_id)
+SELECT query_id, ROUND(vmin, 6) AS "min", ROUND(vmax, 6) AS "max",
+       ROUND(q1, 6) AS q1, ROUND(q2, 6) AS q2, ROUND(q3, 6) AS q3,
+       ROUND(lower, 6) AS "lower", ROUND(upper, 6) AS "upper"
+FROM q JOIN f USING (query_id)
+"""
+
+
+def _date_range_sql() -> str:
+    """Named half-open [from, to) timestamp buckets with count + sum —
+    functions/events_agg.date_range_agg semantics."""
+    branches = []
+    for key, lo, hi in DATE_RANGES:
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        cond = " AND ".join(conds)
+        branches.append(
+            f"SELECT '{key}' AS range_key,"
+            f" CAST(count(*) FILTER (WHERE {cond}) AS BIGINT) AS n,"
+            f" ROUND(coalesce(sum(value) FILTER (WHERE {cond}), 0.0), 4)"
+            f" AS total FROM events"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def _fis_sql() -> str:
+    """Vocabulary-bounded itemset supports over per-doc token sets —
+    functions/text_analysis.frequent_item_sets semantics."""
+    from itertools import combinations
+
+    vocab = sorted(set(FIS_ITEMS))
+    branches = []
+    for size in (1, 2, 3):
+        for c in combinations(vocab, size):
+            key = "|".join(c)
+            conds = " AND ".join(
+                f"list_contains(toks, '{t}')" for t in c
+            )
+            branches.append(
+                f"SELECT '{key}' AS items, {size} AS size,"
+                f" CAST(count(*) AS BIGINT) AS support"
+                f" FROM fdocs WHERE {conds}"
+            )
+    return (
+        "WITH fdocs AS (SELECT regexp_extract_all(lower(text),"
+        " '[a-z0-9]+') AS toks FROM documents WHERE lang = 'en'),"
+        " u AS (" + " UNION ALL ".join(branches) + ")"
+        f" SELECT * FROM u WHERE support >= {FIS_MIN_SUPPORT}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"""
@@ -5381,6 +5543,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "t_test_agg": _t_test_sql(),
         "extended_stats_agg": _EXT_STATS_SQL,
         "moving_percentiles_agg": _MOVP_SQL,
+        "boxplot_agg": _boxplot_sql(),
+        "date_range_agg": _date_range_sql(),
+        "frequent_item_sets": _fis_sql(),
         "mad_agg": _MAD_SQL,
         "cumulative_cardinality": _CUMCARD_SQL,
         "normalize_pipeline_agg": _NORMALIZE_SQL,

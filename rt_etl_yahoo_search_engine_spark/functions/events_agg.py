@@ -270,3 +270,45 @@ def moving_percentiles(
             F.percentile(F.col("n"), F.lit(float(q))).over(w), 6
         ).alias("moving_pq"),
     )
+
+
+def date_range_agg(
+    events: DataFrame,
+    ranges: list[tuple[str, str | None, str | None]],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(range_key, n, total) — ES `date_range` aggregation: NAMED
+    half-open [from, to) timestamp buckets (None = unbounded), allowed
+    to overlap; n = event count, total = sum(value_col) with 0 / 0.0
+    for an empty range (ES keeps requested ranges in the response).
+
+    One conditional-aggregate scan: each range is a pair of when()
+    partial-aggregable columns, unpivoted to rows with stack() after
+    the reduction — no per-range job, no corpus-scale shuffle (one
+    exchange of the single partial row)."""
+    ts = F.col(ts_col)
+    aggs = []
+    for i, (_key, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (ts < F.lit(hi).cast("timestamp"))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"c_{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(cond, F.col(value_col)).otherwise(F.lit(0.0))
+            ).alias(f"s_{i}")
+        )
+    row = events.agg(*aggs)
+    stack = ", ".join(
+        f"'{key}', c_{i}, s_{i}" for i, (key, _lo, _hi) in enumerate(ranges)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(ranges)}, {stack}) AS (range_key, n, total)"
+        )
+    )

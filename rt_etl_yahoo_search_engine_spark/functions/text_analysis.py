@@ -299,3 +299,62 @@ def winnow_fingerprints(
             )
         ).alias("fp_digest"),
     )
+
+
+def frequent_item_sets(
+    docs: DataFrame,
+    items: list[str],
+    min_support: int,
+    max_size: int = 3,
+) -> DataFrame:
+    """(items, size, support) — ES `frequent_item_sets` aggregation over
+    the per-document DISTINCT token sets, restricted to the request's
+    `items` vocabulary: every itemset of size 1..max_size contained by
+    >= min_support documents, keyed ES-style by the '|'-joined sorted
+    member list.
+
+    Scale shape: the candidate lattice is REQUEST-bounded (C(|items|,
+    1..max_size) subsets, enumerated once on the driver as literals),
+    so each document contributes at most |lattice| boolean evaluations
+    — a doc-local JVM filter over its token array (whole-stage
+    codegen), then ONE partially-aggregated groupBy of (key) rows.  No
+    corpus self-join, no a-priori candidate re-scan rounds: with a
+    bounded vocabulary the one-pass lattice count IS the a-priori
+    closure."""
+    from itertools import combinations
+
+    vocab = sorted(set(items))
+    cands = [
+        list(c)
+        for size in range(1, max_size + 1)
+        for c in combinations(vocab, size)
+    ]
+    cand_lit = F.array(
+        *[
+            F.struct(
+                F.lit("|".join(c)).alias("key"),
+                F.lit(len(c)).alias("size"),
+                F.array(*[F.lit(t) for t in c]).alias("members"),
+            )
+            for c in cands
+        ]
+    )
+    toks = F.array_intersect(
+        F.expr(TOKENS_EXPR), F.array(*[F.lit(t) for t in vocab])
+    )
+    return (
+        docs.select(toks.alias("present"))
+        .filter(F.size("present") > 0)
+        .select(F.explode(cand_lit).alias("c"), "present")
+        .filter(
+            F.forall(
+                F.col("c.members"),
+                lambda m: F.array_contains(F.col("present"), m),
+            )
+        )
+        .groupBy(
+            F.col("c.key").alias("items"), F.col("c.size").alias("size")
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

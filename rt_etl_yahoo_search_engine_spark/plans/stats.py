@@ -1103,3 +1103,62 @@ def sampler_agg(
         .groupBy("query_id", F.col(facet_col).alias("facet"))
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def boxplot_agg(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    value_col: str,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """Elasticsearch `boxplot` aggregation over the exact match set:
+    (query_id, min, max, q1, q2, q3, lower, upper) — EXACT
+    linear-interpolated quartiles (same definition as percentiles_agg;
+    ES ships a t-digest approximation) plus the Tukey whiskers ES
+    reports: lower = the smallest value >= q1 - 1.5*IQR, upper = the
+    largest value <= q3 + 1.5*IQR — whiskers are ACTUAL data points
+    inside the fences (equal to min/max when no outliers exist).  NULL
+    values are excluded (SQL aggregate semantics).
+
+    Scale shape: two result-scale passes over the joined hit set — one
+    for extrema+quartiles (value multiset per group, the percentiles_agg
+    caveat applies), one conditional-extrema pass with the per-query
+    quartile row broadcast back.  The match set is recomputed for the
+    second pass; at 100 TB persist the join output (result-scale, O(sum
+    df) rows at worst) between the passes."""
+    j = match_docs(spark, index_root, queries, mode).join(
+        attrs.select("doc_id", value_col).dropna(), "doc_id"
+    )
+    v = F.col(value_col)
+    q = j.groupBy("query_id").agg(
+        F.min(v).cast("double").alias("vmin"),
+        F.max(v).cast("double").alias("vmax"),
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.5)).alias("q2"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = (
+        j.join(F.broadcast(q), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(v >= F.col("q1") - 1.5 * iqr, v))
+            .cast("double")
+            .alias("lower"),
+            F.max(F.when(v <= F.col("q3") + 1.5 * iqr, v))
+            .cast("double")
+            .alias("upper"),
+        )
+    )
+    return q.join(fenced, "query_id").select(
+        "query_id",
+        F.col("vmin").alias("min"),
+        F.col("vmax").alias("max"),
+        "q1",
+        "q2",
+        "q3",
+        "lower",
+        "upper",
+    )
