@@ -193,6 +193,12 @@ JOB_EQUIV_REVS = {
     "17c13a7": "23c0dc3",  # seeded_shuffle/scroll_slices + pipeline
                            # job — leg never imports functions/
                            # {sampling,webtext,packing} or jobs/
+    "113083e": "23c0dc3",  # extended_stats/moving_percentiles — leg
+                           # never imports functions/{numstats,
+                           # events_agg}
+    "c379c15": "23c0dc3",  # boxplot/date_range/frequent_item_sets —
+                           # leg never imports plans/stats or
+                           # functions/{events_agg,text_analysis}
 }
 
 
