@@ -160,6 +160,36 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _docmap_orig(spark: SparkSession, sf_dir: str):
+    """(index doc_id, orig_id) — docmap url convention, broadcast-scale."""
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    return (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+
+
+def _ensure_positions(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Build (resume) the positional sidecar on the shared cached index.
+
+    Every sidecar-consuming entry calls this so entries stay
+    ORDER-INDEPENDENT: the driver (and the sorted entry-contract params)
+    may run them in any order against a cold index cache."""
+    from rt_etl_yahoo_search_engine_spark.operators.positions import (
+        build_positions,
+    )
+
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "lang",
+    )
+    build_positions(spark, pages, root, tokenizer="text")
+
+
 def _bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
 
@@ -2191,24 +2221,13 @@ def _q_match_phrase_prefix(spark, sf_dir):
     (highest-df max_expansions), docs match any completed phrase and
     score as the best matching expansion's phrase BM25.  Output keyed by
     ORIGINAL doc_id."""
-    from rt_etl_yahoo_search_engine_spark.operators.positions import (
-        build_positions,
-    )
     from rt_etl_yahoo_search_engine_spark.plans.phrase import (
         match_phrase_prefix_topk,
     )
     from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
 
     root = _index_for(spark, sf_dir)
-    # entries must be order-independent: ensure the positional sidecar
-    # exists (resumes if already built) rather than relying on an earlier
-    # entry having built it into the shared cached index
-    pages = _docs(spark, sf_dir).select(
-        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
-        "text",
-        "lang",
-    )
-    build_positions(spark, pages, root, tokenizer="text")
+    _ensure_positions(spark, sf_dir, root)
     out = match_phrase_prefix_topk(
         spark, root, MPP_QUERIES, max_expansions=MPP_MAX_EXPANSIONS, k=10
     )
@@ -2248,6 +2267,7 @@ def _q_span_near(spark, sf_dir):
     from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
 
     root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
     out = span_near_topk(spark, root, SPAN_QUERIES, slop=SPAN_SLOP, k=10)
     dm = (
         Catalog(root)
@@ -2284,6 +2304,7 @@ def _q_span_not(spark, sf_dir):
     from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
 
     root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
     out = span_not_topk(
         spark,
         root,
@@ -3248,6 +3269,73 @@ def _q_frequent_item_sets(spark, sf_dir):
     )
 
 
+# ES rank_feature query: saturation(n_chars, pivot) added to BM25
+RANK_FEATURE_PIVOT = 300.0
+RANK_FEATURE_BOOST = 2.0
+
+
+def _q_rank_feature(spark, sf_dir):
+    """ES `rank_feature` query (plans/funcscore.rank_feature_topk,
+    saturation): final = bm25 + boost * n_chars/(n_chars + pivot) — the
+    standard static-signal should-clause (pagerank/quality boost shape)
+    re-ranked exactly over the full scored match relation."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        rank_feature_topk,
+    )
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = rank_feature_topk(
+        spark,
+        root,
+        DOC_QUERIES,
+        attrs,
+        k=10,
+        function="saturation",
+        pivot=RANK_FEATURE_PIVOT,
+        boost=RANK_FEATURE_BOOST,
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# Lucene SpanFirstQuery probes: single terms that must occur within the
+# first SPAN_FIRST_END token positions; sf4 is an out-of-vocab control
+SPAN_FIRST_QUERIES = {
+    "sf1": "join",
+    "sf2": "window",
+    "sf3": "vector",
+    "sf4": "zzznope",
+}
+SPAN_FIRST_END = 20
+
+
+def _q_span_first(spark, sf_dir):
+    """Lucene/ES SpanFirstQuery (plans/near.span_first_topk): docs whose
+    first occurrence of the term is within the first SPAN_FIRST_END
+    token positions, plain-BM25 ranked — "term in the lead" without a
+    title field.  Output keyed by ORIGINAL doc_id."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_first_topk
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = span_first_topk(
+        spark, root, SPAN_FIRST_QUERIES, end=SPAN_FIRST_END, k=10
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -3336,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_stats_agg": _q_extended_stats,
         "moving_percentiles_agg": _q_moving_percentiles,
         "boxplot_agg": _q_boxplot,
+        "rank_feature_topk": _q_rank_feature,
+        "span_first_topk": _q_span_first,
         "date_range_agg": _q_date_range,
         "frequent_item_sets": _q_frequent_item_sets,
         "mad_agg": _q_mad,
@@ -5426,6 +5516,65 @@ def _fis_sql() -> str:
     )
 
 
+def _rank_feature_sql() -> str:
+    """BM25 + boost * saturation(n_chars, pivot), re-ranked —
+    plans/funcscore.rank_feature_topk semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.score + {RANK_FEATURE_BOOST} *
+           (d.n_chars / (d.n_chars + {RANK_FEATURE_PIVOT})) AS score
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT b.query_id, b.doc_id, b.score,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY b.score DESC, b.doc_id ASC) AS rank
+      FROM boosted b)
+WHERE rank <= 10
+"""
+
+
+def _span_first_sql() -> str:
+    """Single-term BM25 rank over docs whose first term occurrence sits
+    within the first `end` positions (1-based subscripts: p <= end) —
+    plans/near.span_first_topk semantics."""
+    qt = ", ".join(
+        f"('{{qid}}', '{{t}}')".format(qid=qid, t=t)
+        for qid, t in SPAN_FIRST_QUERIES.items()
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qt}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+matched AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM pos p JOIN qterms q USING (term)
+            WHERE p.p <= {SPAN_FIRST_END})
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN matched m USING (query_id, doc_id))
+WHERE rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"""
@@ -5544,6 +5693,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "extended_stats_agg": _EXT_STATS_SQL,
         "moving_percentiles_agg": _MOVP_SQL,
         "boxplot_agg": _boxplot_sql(),
+        "rank_feature_topk": _rank_feature_sql(),
+        "span_first_topk": _span_first_sql(),
         "date_range_agg": _date_range_sql(),
         "frequent_item_sets": _fis_sql(),
         "mad_agg": _MAD_SQL,

@@ -152,3 +152,66 @@ def decay_score_topk(
             "query_id", "rank", "doc_id", F.col("final").alias("score")
         )
     )
+
+
+RANK_FEATURE_SATURATION = "saturation"
+RANK_FEATURE_LOG = "log"
+RANK_FEATURE_SIGMOID = "sigmoid"
+
+
+def rank_feature_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    features: DataFrame,
+    k: int = spec.TOP_K_DEFAULT,
+    mode: str = spec.MODE_DISJUNCTIVE,
+    function: str = RANK_FEATURE_SATURATION,
+    pivot: float = 100.0,
+    scale: float = 1.0,
+    exponent: float = 2.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — ES `rank_feature` query as a
+    bool-should clause beside the text query: final = bm25 + boost *
+    f(feature), where f is ES's saturation S/(S+pivot), log
+    ln(1 + scale*S), or sigmoid S^exp/(S^exp + pivot^exp).  Docs absent
+    from `features` (or NULL) take contribution 0 — ES's "doesn't match
+    the rank_feature clause" inside a should.
+
+    `features` is (doc_id, <value>): the single non-doc_id column is the
+    feature (ES rank_feature fields are positive floats by contract).
+
+    Scale shape: identical to function_score_topk — the exact scored
+    match relation (O(sum df) narrow rows) joined once against the
+    doc-keyed feature table, codegen arithmetic, per-query top-k window
+    over result-scale rows.  The feature transform itself is a pure
+    column expression, so Catalyst folds it into the same stage."""
+    if function not in (
+        RANK_FEATURE_SATURATION, RANK_FEATURE_LOG, RANK_FEATURE_SIGMOID
+    ):
+        raise ValueError(f"unknown rank_feature function: {function!r}")
+    val_col = [c for c in features.columns if c != "doc_id"][0]
+    s = F.col(val_col).cast("double")
+    if function == RANK_FEATURE_SATURATION:
+        contrib = s / (s + F.lit(float(pivot)))
+    elif function == RANK_FEATURE_LOG:
+        contrib = F.log(F.lit(1.0) + F.lit(float(scale)) * s)
+    else:
+        sp = F.pow(s, F.lit(float(exponent)))
+        contrib = sp / (sp + F.lit(float(pivot) ** float(exponent)))
+    rel = score_docs(spark, index_root, queries, mode).join(
+        features.select("doc_id", val_col), "doc_id", "left"
+    )
+    combined = F.col("score") + F.lit(float(boost)) * F.coalesce(
+        contrib, F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        rel.withColumn("score", combined)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -317,3 +317,66 @@ def span_not_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def span_first_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    end: int = 10,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Lucene/ES SpanFirstQuery: a doc matches iff the (single-term)
+    query has an occurrence whose span ends at or before token position
+    `end` — with 0-based positions and single-term spans, some
+    occurrence p with p + 1 <= end.  "Term in the title/lead" without a
+    separate title field.  Matching docs rank by the term's plain BM25
+    (score DESC, doc_id ASC), top-k.
+
+    Scale shape: candidates + exact scores from the index match set,
+    then ONE sidecar verify that never explodes positions — the
+    boundary test is min(positions) < end, a codegen array_min over the
+    term's own (query-pruned, row-group-pruned) sidecar rows.  O(df)
+    narrow rows per query end to end."""
+    if end <= 0:
+        raise ValueError(f"end must be > 0, got {end}")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+    )
+    live = {
+        qid: toks[0]
+        for qid, toks in (
+            (qid, spec.tokenize(text)) for qid, text in queries.items()
+        )
+        if len(toks) == 1
+    }
+    if not live:
+        return empty
+
+    reg = Catalog(index_root).read_registry()
+    n_docs = int(reg["n_docs"])
+    candidates = bm25.topk(
+        spark,
+        index_root,
+        live,
+        mode=spec.MODE_CONJUNCTIVE,
+        k=max(n_docs, 1),
+    ).drop("rank")
+
+    qt = spark.createDataFrame(
+        list(live.items()), "query_id string, term string"
+    )
+    pos = read_positions(spark, index_root, sorted(set(live.values())))
+    matched = (
+        pos.filter(F.array_min("positions") < F.lit(end))
+        .join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id")
+    )
+    verified = candidates.join(matched, ["query_id", "doc_id"])
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

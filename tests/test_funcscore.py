@@ -215,3 +215,89 @@ def test_regexp_topk_equals_wildcard_on_equivalent_pattern(spark, fs_index):
 def test_regexp_topk_no_match_no_rows(spark, fs_index):
     root, _ = fs_index
     assert regexp_topk(spark, root, {"q": "zz+"}, k=5).count() == 0
+
+
+@pytest.mark.parametrize("function", ["saturation", "log", "sigmoid"])
+def test_rank_feature_functions(spark, fs_index, function):
+    """final = bm25 + boost * f(feature) for all three ES rank_feature
+    functions, vs a python recompute; the feature (doc length) is chosen
+    so the boost reshuffles the pure-relevance order."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        rank_feature_topk,
+    )
+
+    root, docmap = fs_index
+    rev = {d: u for u, d in docmap.items()}
+    pivot, scale, exponent, boost = 3.0, 2.0, 2.0, 5.0
+    feats = spark.createDataFrame(
+        [(docmap[u], float(NCH[u])) for u in TOKS], "doc_id long, f double"
+    )
+    out = rank_feature_topk(
+        spark, root, QUERIES, feats, k=4, function=function,
+        pivot=pivot, scale=scale, exponent=exponent, boost=boost,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], rev[r["doc_id"]], r["score"])
+        )
+
+    def f(v: float) -> float:
+        if function == "saturation":
+            return v / (v + pivot)
+        if function == "log":
+            return math.log(1.0 + scale * v)
+        return v ** exponent / (v ** exponent + pivot ** exponent)
+
+    for qid, hits in _python_scores().items():
+        comb = {u: s + boost * f(float(NCH[u])) for u, s in hits.items()}
+        ranked = sorted(comb.items(), key=lambda p: (-p[1], docmap[p[0]]))[:4]
+        assert [(rk, u) for rk, u, _ in got.get(qid, [])] == [
+            (i + 1, u) for i, (u, _) in enumerate(ranked)
+        ]
+        for (_, u, s_got), (_, s_want) in zip(got[qid], ranked):
+            assert s_got == pytest.approx(s_want, rel=1e-12)
+
+
+def test_rank_feature_missing_contributes_zero(spark, fs_index):
+    """Docs absent from the feature table keep their plain BM25 (the
+    rank_feature clause simply doesn't match, per ES bool-should)."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        rank_feature_topk,
+    )
+
+    root, docmap = fs_index
+    feats = spark.createDataFrame(
+        [(docmap["d1"], 100.0)], "doc_id long, f double"
+    )
+    out = rank_feature_topk(
+        spark, root, {"q1": "alpha"}, feats, k=8, boost=10.0, pivot=1.0
+    )
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    n = len(DOCS)
+    df_alpha = sum(1 for seq in TOKS.values() if "alpha" in seq)
+    avgdl = sum(len(s) for s in TOKS.values()) / n
+    idf = math.log((n - df_alpha + 0.5) / (df_alpha + 0.5) + 1.0)
+    base = {}
+    for u, seq in TOKS.items():
+        tf = seq.count("alpha")
+        if tf:
+            base[u] = idf * (tf * (spec.K1 + 1.0)) / (
+                tf
+                + spec.K1
+                * (1.0 - spec.B + spec.B * len(seq) / avgdl)
+            )
+    for u, s in base.items():
+        want = s + (10.0 * 100.0 / 101.0 if u == "d1" else 0.0)
+        assert rows[docmap[u]] == pytest.approx(want, rel=1e-12)
+
+
+def test_rank_feature_bad_function(spark, fs_index):
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        rank_feature_topk,
+    )
+
+    root, _ = fs_index
+    feats = spark.createDataFrame([(0, 1.0)], "doc_id long, f double")
+    with pytest.raises(ValueError, match="rank_feature"):
+        rank_feature_topk(spark, root, QUERIES, feats, function="linear")

@@ -198,3 +198,51 @@ def test_span_near_slop0_equals_phrase(spark, near_index):
     s = {(r["query_id"], r["doc_id"]) for r in spans.collect()}
     p = {(r["query_id"], r["doc_id"]) for r in phrases.collect()}
     assert s == p
+
+
+@pytest.mark.parametrize("end", [1, 2, 4, 100])
+def test_span_first_equals_prefix_oracle(spark, near_index, end):
+    """Match set == docs whose term occurs at 0-based position < end."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_first_topk
+
+    root, toks = near_index
+    queries = {"a": "alpha", "b": "beta", "g": "gamma", "z": "zzznope"}
+    out = span_first_topk(spark, root, queries, end=end, k=10)
+    got = {qid: set() for qid in queries}
+    for r in out.collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for qid, text in queries.items():
+        term = spec.tokenize(text)[0]
+        want = {d for d, seq in toks.items() if term in seq[:end]}
+        assert got[qid] == want, (qid, end, got[qid], want)
+
+
+def test_span_first_scores_are_plain_bm25(spark, near_index):
+    """Surviving docs keep their plain single-term BM25 scores."""
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_first_topk
+
+    root, _ = near_index
+    out = span_first_topk(spark, root, {"a": "alpha"}, end=100, k=10)
+    base = topk(spark, root, {"a": "alpha"}, k=10)
+    assert {
+        (r["doc_id"], round(r["score"], 12)) for r in out.collect()
+    } == {(r["doc_id"], round(r["score"], 12)) for r in base.collect()}
+
+
+def test_span_first_rejects_bad_end(spark, near_index):
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_first_topk
+
+    root, _ = near_index
+    with pytest.raises(ValueError, match="end"):
+        span_first_topk(spark, root, {"a": "alpha"}, end=0)
+
+
+def test_span_first_multiterm_query_skipped(spark, near_index):
+    """Multi-term inputs are not single-term spans: they return nothing
+    (same contract as span_not's tokenize gate)."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_first_topk
+
+    root, _ = near_index
+    out = span_first_topk(spark, root, {"ab": "alpha beta"}, end=5, k=10)
+    assert out.count() == 0
