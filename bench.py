@@ -199,6 +199,8 @@ JOB_EQUIV_REVS = {
     "c379c15": "23c0dc3",  # boxplot/date_range/frequent_item_sets —
                            # leg never imports plans/stats or
                            # functions/{events_agg,text_analysis}
+    "e23653b": "23c0dc3",  # rank_feature + span_first — leg never
+                           # imports plans/{funcscore,near}
 }
 
 
