@@ -3336,6 +3336,37 @@ def _q_span_first(spark, sf_dir):
     )
 
 
+# Distributed Lloyd's k-means over the embeddings table
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means (functions/similarity.kmeans_train, k=8, 3
+    iterations, fixed vec_id<k seeds): per final cluster the member
+    count and inertia (sum of squared distances) — the iterative
+    distributed-training loop (per-round k*dim reduce to the driver)
+    checked against a DuckDB oracle that unrolls the same 3 Lloyd
+    rounds as chained CTEs."""
+    from rt_etl_yahoo_search_engine_spark.functions.similarity import (
+        kmeans_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_train(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.sum("dist2"), 3).alias("inertia"),
+        )
+        .select(F.col("cell").cast("int").alias("cell"), "n_members",
+                "inertia")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -3425,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_percentiles_agg": _q_moving_percentiles,
         "boxplot_agg": _q_boxplot,
         "rank_feature_topk": _q_rank_feature,
+        "kmeans_clusters": _q_kmeans_clusters,
         "span_first_topk": _q_span_first,
         "date_range_agg": _q_date_range,
         "frequent_item_sets": _q_frequent_item_sets,
@@ -5575,6 +5607,52 @@ WHERE rank <= 10
 """
 
 
+def _kmeans_sql() -> str:
+    """The same 3 Lloyd rounds as chained CTEs: assign by squared
+    Euclidean argmin (ties -> lowest cell), per-(cell,dim) mean update,
+    emptied cells keep the previous centroid —
+    functions/similarity.kmeans_train semantics."""
+    k, iters = KMEANS_K, KMEANS_ITERS
+    dist = (
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    for t in range(iters + 1):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, v, cell, dist2 FROM ("
+            f"SELECT e.vec_id, e.v, c.cell, {dist} AS dist2, "
+            f"row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {dist}, c.cell) AS rn"
+            f" FROM e, c{t} c) WHERE rn = 1)"
+        )
+        if t == iters:
+            break
+        ctes.append(
+            f"s{t} AS (SELECT cell, list(mean ORDER BY dim) AS c FROM ("
+            f"SELECT cell, dim, avg(x) AS mean FROM ("
+            f"SELECT cell, generate_subscripts(v, 1) AS dim,"
+            f" unnest(v) AS x FROM a{t})"
+            f" GROUP BY cell, dim) GROUP BY cell)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT p.cell, COALESCE(s.c, p.c) AS c"
+            f" FROM c{t} p LEFT JOIN s{t} s USING (cell))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(cell AS INTEGER) AS cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       ROUND(sum(dist2), 3) AS inertia
+FROM a{iters} GROUP BY cell
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"""
@@ -5694,6 +5772,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "moving_percentiles_agg": _MOVP_SQL,
         "boxplot_agg": _boxplot_sql(),
         "rank_feature_topk": _rank_feature_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "span_first_topk": _span_first_sql(),
         "date_range_agg": _date_range_sql(),
         "frequent_item_sets": _fis_sql(),

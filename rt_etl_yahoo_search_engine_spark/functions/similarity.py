@@ -236,3 +236,97 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column, fully deterministic:
+
+    * init — centroids are the vectors with id < k (the same fixed,
+      oracle-checkable codebook contract as ivf_cosine_topk; a real
+      deployment seeds k-means++ with a fixed RNG).
+    * metric — squared Euclidean, computed as na - 2*ab + nb from dot
+      products so the Spark fold and the oracle's list_dot_product
+      evaluate the same expression shape.
+    * assignment — row-local argmin over the k BROADCAST-LITERAL
+      centroids: an array<struct(dist, cell)> min (lexicographic, so
+      ties break to the LOWEST cell id) — pure whole-stage codegen,
+      ZERO exchange at any corpus size.
+    * update — per-(cell, dim) mean via posexplode + one partially
+      aggregated groupBy (k*dim result rows per iteration, metadata
+      scale); an emptied cluster keeps its previous centroid (the
+      standard Lloyd's convention).
+
+    Returns (assignments(id, cell, dist2), final centroids).  The
+    driver loop runs `iters` Spark jobs; each moves only k*dim
+    aggregated rows to the driver — the textbook scale shape for
+    distributed Lloyd's (Spark MLlib's KMeans does the same per-round
+    reduce, we just keep it exact and oracle-reproducible)."""
+    if k <= 0 or iters < 0:
+        raise ValueError(f"need k > 0, iters >= 0 (got {k}, {iters})")
+    vec = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), vec.alias("_v")
+    )
+    cents = [
+        [float(x) for x in r["_v"]]
+        for r in base.filter(F.col("_id") < k).orderBy("_id").collect()
+    ]
+    if len(cents) < k:
+        raise ValueError(f"corpus has fewer than k={k} seed vectors")
+
+    def _lit_arr(c: list[float]) -> str:
+        return "array(" + ", ".join(repr(x) for x in c) + ")"
+
+    def _assign_cols(cs: list[list[float]]):
+        # na computed once per row; per-cell ab and nb folded from
+        # shortest-roundtrip literals (repr == exact stored double).
+        # (dist2, cell) pairs ride a 2-element double array because
+        # array_min compares arrays lexicographically — ties break to
+        # the lowest cell id — while struct field aliases don't survive
+        # F.array.
+        na = F.expr(DOT_EXPR.format(a="_v", b="_v"))
+        pairs = []
+        for j, c in enumerate(cs):
+            lit = _lit_arr(c)
+            ab = F.expr(DOT_EXPR.format(a="_v", b=lit))
+            nb = F.lit(sum(x * x for x in c))
+            pairs.append(
+                F.array(na - 2.0 * ab + nb, F.lit(float(j)))
+            )
+        best = F.array_min(F.array(*pairs))
+        return (
+            F.element_at(best, 2).cast("int").alias("cell"),
+            F.element_at(best, 1).alias("dist2"),
+        )
+
+    dim = len(cents[0])
+    for _ in range(iters):
+        cell, _d = _assign_cols(cents)
+        sums = (
+            base.select(cell, F.posexplode("_v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        n_by_cell: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], [0.0] * dim)[r["dim"]] = r["s"]
+            n_by_cell[r["cell"]] = r["n"]
+        cents = [
+            [s / n_by_cell[j] for s in by_cell[j]]
+            if n_by_cell.get(j)
+            else cents[j]
+            for j in range(k)
+        ]
+    cell, dist2 = _assign_cols(cents)
+    assigned = base.select(
+        F.col("_id").alias(id_col), cell, dist2
+    )
+    return assigned, cents

@@ -1,0 +1,94 @@
+"""Lloyd's k-means (functions/similarity.kmeans_train) vs a pure-python
+recompute: assignment argmin + tie-break, per-round mean updates,
+empty-cluster carry, and the zero-iteration edge."""
+
+import pytest
+
+from rt_etl_yahoo_search_engine_spark.functions.similarity import kmeans_train
+
+# 2-D points: two tight clusters around (0,0) and (10,10), one point at
+# (5,5) equidistant from both seed regions after round 1, and seeds 0/1
+# INSIDE the data so init = first two vectors
+PTS = [
+    (0, [0.0, 0.0]),
+    (1, [10.0, 10.0]),
+    (2, [0.5, 0.0]),
+    (3, [0.0, 0.5]),
+    (4, [10.0, 9.5]),
+    (5, [9.5, 10.0]),
+    (6, [5.0, 5.0]),
+    (7, [0.25, 0.25]),
+]
+
+
+def _python_lloyd(pts, k, iters):
+    cents = [list(v) for _, v in pts[:k]]
+
+    def _assign(cs):
+        return {
+            i: min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                for j, c in enumerate(cs)
+            )
+            for i, v in pts
+        }
+
+    for _ in range(iters):
+        assign = _assign(cents)
+        sums = {}
+        for i, v in pts:
+            _, j = assign[i]
+            s, n = sums.get(j, ([0.0] * len(v), 0))
+            sums[j] = ([a + b for a, b in zip(s, v)], n + 1)
+        cents = [
+            [x / sums[j][1] for x in sums[j][0]] if j in sums else c
+            for j, c in enumerate(cents)
+        ]
+    return _assign(cents), cents
+
+
+@pytest.mark.parametrize("iters", [0, 1, 3])
+def test_kmeans_matches_python(spark, iters):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in PTS], "vec_id long, embedding array<double>"
+    )
+    assigned, cents = kmeans_train(emb, k=2, iters=iters)
+    want_assign, want_cents = _python_lloyd(PTS, 2, iters)
+    got = {r["vec_id"]: (r["cell"], r["dist2"]) for r in assigned.collect()}
+    for i, (d, j) in want_assign.items():
+        assert got[i][0] == j
+        assert got[i][1] == pytest.approx(d, rel=1e-12)
+    for c_got, c_want in zip(cents, want_cents):
+        assert c_got == pytest.approx(c_want, rel=1e-12)
+
+
+def test_kmeans_seed_guard(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="fewer than k"):
+        kmeans_train(emb, k=3, iters=1)
+
+
+def test_kmeans_carry_on_emptied_cell(spark):
+    """Seeds 0/1 sit together; every point clusters to cell 0 after one
+    round, cell 1 empties and must carry its previous centroid."""
+    pts = [(0, [0.0, 0.0]), (1, [0.4, 0.0]), (2, [0.1, 0.0]),
+           (3, [0.0, 0.1]), (4, [0.2, 0.2])]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    )
+    assigned, cents = kmeans_train(emb, k=2, iters=3)
+    want_assign, want_cents = _python_lloyd(pts, 2, 3)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert got == {i: j for i, (_, j) in want_assign.items()}
+    for c_got, c_want in zip(cents, want_cents):
+        assert c_got == pytest.approx(c_want, rel=1e-12)
+
+
+def test_kmeans_bad_args(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k > 0"):
+        kmeans_train(emb, k=0)
