@@ -201,6 +201,8 @@ JOB_EQUIV_REVS = {
                            # functions/{events_agg,text_analysis}
     "e23653b": "23c0dc3",  # rank_feature + span_first — leg never
                            # imports plans/{funcscore,near}
+    "a1e1d34": "23c0dc3",  # kmeans_train — leg never imports
+                           # functions/similarity
 }
 
 
