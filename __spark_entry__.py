@@ -3367,6 +3367,59 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+# Federated search: two half-indexes (orig doc_id parity) with exact
+# combined statistics — rank-identical to one union index
+_FED_CACHE: dict[str, list[str]] = {}
+
+
+def _fed_indexes_for(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build (resume) the two parity half-indexes for sf_dir's documents."""
+    if sf_dir in _FED_CACHE:
+        return _FED_CACHE[sf_dir]
+    from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    roots = []
+    for par in (0, 1):
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_fedidx_v{spec.INDEX_FORMAT_VERSION}_{tag}_{par}",
+        )
+        pages = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 2 == par)
+            .select(
+                F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+                "text",
+                "lang",
+            )
+        )
+        build_index(spark, pages, root, n_shards=2, n_buckets=4,
+                    tokenizer="text", url_ordered=True)
+        roots.append(root)
+    _FED_CACHE[sf_dir] = roots
+    return roots
+
+
+def _q_federated(spark, sf_dir):
+    """Federated BM25 top-k (plans/federate.federated_topk — ES
+    dfs_query_then_fetch): DOC_QUERIES over two disjoint half-indexes
+    (doc_id parity) with exact combined N/avgdl/df — the oracle scores
+    the UNION corpus directly, so this entry IS the rank-identity gate
+    for cross-index statistics combination."""
+    from rt_etl_yahoo_search_engine_spark.plans.federate import federated_topk
+
+    roots = _fed_indexes_for(spark, sf_dir)
+    out = federated_topk(spark, roots, DOC_QUERIES, k=10, with_url=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("index_id").cast("int").alias("index_id"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -3457,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_agg": _q_boxplot,
         "rank_feature_topk": _q_rank_feature,
         "kmeans_clusters": _q_kmeans_clusters,
+        "federated_topk": _q_federated,
         "span_first_topk": _q_span_first,
         "date_range_agg": _q_date_range,
         "frequent_item_sets": _q_frequent_item_sets,
@@ -5653,6 +5707,33 @@ FROM a{iters} GROUP BY cell
     )
 
 
+def _federated_sql() -> str:
+    """BM25 over the union corpus with index_id = doc_id parity and the
+    federated tie-break (score DESC, index ASC, within-index doc order)
+    — plans/federate.federated_topk semantics (exact dfs stats make the
+    federated scores equal the union-corpus scores)."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank,
+       CAST(doc_id % 2 AS INTEGER) AS index_id, doc_id,
+       ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id % 2 ASC,
+                                         s.doc_id ASC) AS rank
+      FROM scored s)
+WHERE rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"""
@@ -5773,6 +5854,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "boxplot_agg": _boxplot_sql(),
         "rank_feature_topk": _rank_feature_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "federated_topk": _federated_sql(),
         "span_first_topk": _span_first_sql(),
         "date_range_agg": _date_range_sql(),
         "frequent_item_sets": _fis_sql(),

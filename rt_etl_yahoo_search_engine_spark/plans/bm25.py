@@ -106,6 +106,20 @@ def lexicon_idf(cat: Catalog, reg: dict, terms: list[str]) -> dict[str, float]:
     }
 
 
+def lexicon_df(cat: Catalog, reg: dict, terms: list[str]) -> dict[str, int]:
+    """term -> df for terms present in the corpus (same pruned driver-side
+    pyarrow lookup as lexicon_idf) — the per-index input to federated
+    global-stats combination (plans/federate)."""
+    import pyarrow.dataset as ds
+
+    lex = ds.dataset(cat.path(reg["lexicon_dir"]))
+    tbl = lex.to_table(columns=["term", "df"], filter=ds.field("term").isin(terms))
+    return {
+        t: int(d)
+        for t, d in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+    }
+
+
 def expand_prefix(
     cat: Catalog, reg: dict, prefix: str, max_expand: int | None = None
 ) -> list[str]:
@@ -216,6 +230,8 @@ def topk(
     fields: DataFrame | None = None,
     exclude: dict[str, str] | None = None,
     _partials_only: bool = False,
+    idf_override: dict[str, float] | None = None,
+    avgdl_override: float | None = None,
 ) -> DataFrame:
     """Optimized path: compressed postings scored scan-side per (segment,
     shard) with the whole query batch broadcast (vectorized TAAT).
@@ -226,6 +242,13 @@ def topk(
     The k x Q hit set is broadcast onto ONE scan of the fields table, so
     materialization never shuffles it; a url with N field rows expands to N
     result rows, exactly the reference's per-url row group.
+
+    idf_override / avgdl_override: federated global statistics
+    (plans/federate.federated_topk) — scores compute with these instead
+    of this index's own lexicon idf / registry avgdl, which is what
+    makes per-index scoring equal to a single merged index (ES
+    dfs_query_then_fetch).  Defaults leave single-index behaviour
+    byte-identical.
 
     exclude: optional query_id -> minus-term text ("-term" search syntax):
     docs containing ANY excluded token are removed BEFORE top-k selection
@@ -239,7 +262,7 @@ def topk(
     it), which empties conjunctive queries naturally."""
     cat = Catalog(index_root)
     reg = cat.read_registry()
-    avgdl = float(reg["avgdl"])
+    avgdl = float(reg["avgdl"]) if avgdl_override is None else float(avgdl_override)
     # the no-hit early returns must carry the SAME columns as the full path
     # (an all-out-of-vocab conjunctive batch with with_url=True otherwise
     # breaks downstream selects, e.g. plans/phrase.py's re-rank)
@@ -268,6 +291,10 @@ def topk(
     if not any(qtoks.values()):
         return empty
     idf = lexicon_idf(cat, reg, all_terms)
+    if idf_override is not None:
+        # federated scoring (plans/federate): LOCAL term presence decides
+        # set planning/conjunctive gating, the GLOBAL value decides weight
+        idf = {t: float(idf_override[t]) for t in idf}
     # Distinct-TERM-SET planning: real query logs are head-heavy (the same
     # hot queries repeat), and scoring depends only on the canonical present
     # term set — so each distinct set is scored ONCE per shard and the
