@@ -203,6 +203,9 @@ JOB_EQUIV_REVS = {
                            # imports plans/{funcscore,near}
     "a1e1d34": "23c0dc3",  # kmeans_train — leg never imports
                            # functions/similarity
+    "0968fb9": "23c0dc3",  # ledger-map-only
+    "88e5c21": "23c0dc3",  # federated multi-index search — leg never
+                           # imports plans/federate
 }
 
 
