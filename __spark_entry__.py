@@ -3304,6 +3304,42 @@ def _q_rank_feature(spark, sf_dir):
     )
 
 
+# ES distance_feature query: hyperbolic proximity boost on n_chars
+DISTANCE_FEATURE_ORIGIN = 500.0
+DISTANCE_FEATURE_PIVOT = 200.0
+DISTANCE_FEATURE_BOOST = 2.0
+
+
+def _q_distance_feature(spark, sf_dir):
+    """ES `distance_feature` query (plans/funcscore.distance_feature_topk):
+    final = bm25 + boost * pivot/(pivot + |n_chars - origin|) — the
+    recency/proximity should-clause ES applies to date and numeric
+    fields, re-ranked exactly over the full scored match relation.  Pure
+    rational arithmetic, bit-reproducible vs the oracle."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        distance_feature_topk,
+    )
+
+    root = _index_for(spark, sf_dir)
+    attrs = _doc_attrs(spark, sf_dir, "n_chars")
+    out = distance_feature_topk(
+        spark,
+        root,
+        DOC_QUERIES,
+        attrs,
+        origin=DISTANCE_FEATURE_ORIGIN,
+        pivot=DISTANCE_FEATURE_PIVOT,
+        boost=DISTANCE_FEATURE_BOOST,
+        k=10,
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
 # Lucene SpanFirstQuery probes: single terms that must occur within the
 # first SPAN_FIRST_END token positions; sf4 is an out-of-vocab control
 SPAN_FIRST_QUERIES = {
@@ -3509,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_percentiles_agg": _q_moving_percentiles,
         "boxplot_agg": _q_boxplot,
         "rank_feature_topk": _q_rank_feature,
+        "distance_feature_topk": _q_distance_feature,
         "kmeans_clusters": _q_kmeans_clusters,
         "federated_topk": _q_federated,
         "span_first_topk": _q_span_first,
@@ -5629,6 +5666,34 @@ WHERE rank <= 10
 """
 
 
+def _distance_feature_sql() -> str:
+    """BM25 + boost * pivot/(pivot + |n_chars - origin|), re-ranked —
+    plans/funcscore.distance_feature_topk semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+boosted AS (
+  SELECT s.query_id, s.doc_id,
+         s.score + {DISTANCE_FEATURE_BOOST} * {DISTANCE_FEATURE_PIVOT} /
+           ({DISTANCE_FEATURE_PIVOT} +
+            abs(d.n_chars - {DISTANCE_FEATURE_ORIGIN})) AS score
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT b.query_id, b.doc_id, b.score,
+             row_number() OVER (PARTITION BY b.query_id
+                                ORDER BY b.score DESC, b.doc_id ASC) AS rank
+      FROM boosted b)
+WHERE rank <= 10
+"""
+
+
 def _span_first_sql() -> str:
     """Single-term BM25 rank over docs whose first term occurrence sits
     within the first `end` positions (1-based subscripts: p <= end) —
@@ -5853,6 +5918,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "moving_percentiles_agg": _MOVP_SQL,
         "boxplot_agg": _boxplot_sql(),
         "rank_feature_topk": _rank_feature_sql(),
+        "distance_feature_topk": _distance_feature_sql(),
         "kmeans_clusters": _kmeans_sql(),
         "federated_topk": _federated_sql(),
         "span_first_topk": _span_first_sql(),

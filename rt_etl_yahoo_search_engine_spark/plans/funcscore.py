@@ -154,6 +154,59 @@ def decay_score_topk(
     )
 
 
+def distance_feature_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    values: DataFrame,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = spec.TOP_K_DEFAULT,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — ES `distance_feature` query as
+    a bool-should clause beside the text query:
+
+        final = bm25 + boost * pivot / (pivot + |v - origin|)
+
+    the recency/proximity boost ES applies to date and numeric fields
+    (docs closest to `origin` gain up to `boost`; the contribution decays
+    hyperbolically with pivot as the half-boost distance).  Docs absent
+    from `values` (or NULL) contribute 0 — ES's missing-field behaviour
+    inside a should clause.  The transform is pure rational arithmetic
+    (no libm), so scores are bit-reproducible across engines.
+
+    Scale shape: identical to rank_feature_topk — the exact scored match
+    relation (O(sum df) narrow rows) joined once against the doc-keyed
+    value table, codegen arithmetic, per-query top-k window over
+    result-scale rows.  Exactness needs the full relation: an unboosted
+    doc far down the BM25 order can overtake a boosted one only if every
+    matching doc is scored, so no retrieve-window shortcut is sound."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be positive, got {pivot}")
+    val_col = [c for c in values.columns if c != "doc_id"][0]
+    v = F.col(val_col).cast("double")
+    contrib = F.lit(float(pivot)) / (
+        F.lit(float(pivot)) + F.abs(v - F.lit(float(origin)))
+    )
+    rel = score_docs(spark, index_root, queries, mode).join(
+        values.select("doc_id", val_col), "doc_id", "left"
+    )
+    combined = F.col("score") + F.lit(float(boost)) * F.coalesce(
+        contrib, F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        rel.withColumn("score", combined)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 RANK_FEATURE_SATURATION = "saturation"
 RANK_FEATURE_LOG = "log"
 RANK_FEATURE_SIGMOID = "sigmoid"

@@ -301,3 +301,83 @@ def test_rank_feature_bad_function(spark, fs_index):
     feats = spark.createDataFrame([(0, 1.0)], "doc_id long, f double")
     with pytest.raises(ValueError, match="rank_feature"):
         rank_feature_topk(spark, root, QUERIES, feats, function="linear")
+
+
+def test_distance_feature_reranks(spark, fs_index):
+    """final = bm25 + boost * pivot/(pivot + |v - origin|) vs a python
+    recompute; origin sits at a mid doc-length so the boost inverts the
+    pure-relevance order for at least one query."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        distance_feature_topk,
+    )
+
+    root, docmap = fs_index
+    rev = {d: u for u, d in docmap.items()}
+    origin, pivot, boost = 3.0, 1.0, 5.0
+    vals = spark.createDataFrame(
+        [(docmap[u], float(NCH[u])) for u in TOKS], "doc_id long, v double"
+    )
+    out = distance_feature_topk(
+        spark, root, QUERIES, vals, origin=origin, pivot=pivot,
+        boost=boost, k=4,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], rev[r["doc_id"]], r["score"])
+        )
+    for qid, hits in _python_scores().items():
+        comb = {
+            u: s + boost * pivot / (pivot + abs(float(NCH[u]) - origin))
+            for u, s in hits.items()
+        }
+        ranked = sorted(comb.items(), key=lambda p: (-p[1], docmap[p[0]]))[:4]
+        assert [(rk, u) for rk, u, _ in got.get(qid, [])] == [
+            (i + 1, u) for i, (u, _) in enumerate(ranked)
+        ]
+        for (_, u, s_got), (_, s_want) in zip(got[qid], ranked):
+            assert s_got == pytest.approx(s_want, rel=1e-12)
+
+
+def test_distance_feature_missing_contributes_zero(spark, fs_index):
+    """Docs absent from the value table keep plain BM25 (ES bool-should
+    missing-field behaviour); present docs at origin gain exactly boost."""
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        distance_feature_topk,
+    )
+
+    root, docmap = fs_index
+    vals = spark.createDataFrame(
+        [(docmap["d1"], 7.0)], "doc_id long, v double"
+    )
+    out = distance_feature_topk(
+        spark, root, {"q1": "alpha"}, vals, origin=7.0, pivot=2.0,
+        boost=10.0, k=8,
+    )
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    n = len(DOCS)
+    df_alpha = sum(1 for seq in TOKS.values() if "alpha" in seq)
+    avgdl = sum(len(s) for s in TOKS.values()) / n
+    idf = math.log((n - df_alpha + 0.5) / (df_alpha + 0.5) + 1.0)
+    for u, seq in TOKS.items():
+        tf = seq.count("alpha")
+        if not tf:
+            continue
+        base = idf * (tf * (spec.K1 + 1.0)) / (
+            tf + spec.K1 * (1.0 - spec.B + spec.B * len(seq) / avgdl)
+        )
+        want = base + (10.0 if u == "d1" else 0.0)
+        assert rows[docmap[u]] == pytest.approx(want, rel=1e-12)
+
+
+def test_distance_feature_bad_pivot(spark, fs_index):
+    from rt_etl_yahoo_search_engine_spark.plans.funcscore import (
+        distance_feature_topk,
+    )
+
+    root, _ = fs_index
+    vals = spark.createDataFrame([(0, 1.0)], "doc_id long, v double")
+    with pytest.raises(ValueError, match="pivot"):
+        distance_feature_topk(
+            spark, root, QUERIES, vals, origin=0.0, pivot=0.0
+        )
