@@ -3403,6 +3403,28 @@ def _q_kmeans_clusters(spark, sf_dir):
     )
 
 
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (functions/similarity.semdedup): k-means clusters then
+    within-cluster keep-first cosine dedup — the LLM-training-data
+    semantic-pruning recipe (arXiv:2303.09540).  The quadratic pair
+    term is confined to clusters; the oracle unrolls the same Lloyd
+    rounds and the same pair relation in SQL."""
+    from rt_etl_yahoo_search_engine_spark.functions.similarity import (
+        semdedup,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_THRESHOLD
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "keep"
+    )
+
+
 # Federated search: two half-indexes (orig doc_id parity) with exact
 # combined statistics — rank-identical to one union index
 _FED_CACHE: dict[str, list[str]] = {}
@@ -3547,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_topk": _q_rank_feature,
         "distance_feature_topk": _q_distance_feature,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
         "federated_topk": _q_federated,
         "span_first_topk": _q_span_first,
         "date_range_agg": _q_date_range,
@@ -5726,12 +5749,12 @@ WHERE rank <= 10
 """
 
 
-def _kmeans_sql() -> str:
-    """The same 3 Lloyd rounds as chained CTEs: assign by squared
-    Euclidean argmin (ties -> lowest cell), per-(cell,dim) mean update,
-    emptied cells keep the previous centroid —
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Lloyd's k-means unrolled as chained CTEs (assign by squared
+    Euclidean argmin, ties -> lowest cell; per-(cell,dim) mean update;
+    emptied cells keep the previous centroid).  The final CTE
+    a{iters}(vec_id, v, cell, dist2) is the converged assignment —
     functions/similarity.kmeans_train semantics."""
-    k, iters = KMEANS_K, KMEANS_ITERS
     dist = (
         "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
         " + list_dot_product(c.c, c.c)"
@@ -5762,12 +5785,44 @@ def _kmeans_sql() -> str:
             f"c{t + 1} AS (SELECT p.cell, COALESCE(s.c, p.c) AS c"
             f" FROM c{t} p LEFT JOIN s{t} s USING (cell))"
         )
+    return ctes
+
+
+def _kmeans_sql() -> str:
+    """Per-cluster member count + inertia over the final Lloyd
+    assignment (_kmeans_ctes)."""
+    iters = KMEANS_ITERS
+    ctes = _kmeans_ctes(KMEANS_K, iters)
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT CAST(cell AS INTEGER) AS cell,
        CAST(count(*) AS BIGINT) AS n_members,
        ROUND(sum(dist2), 3) AS inertia
 FROM a{iters} GROUP BY cell
+"""
+    )
+
+
+def _semdedup_sql() -> str:
+    """Within-cluster keep-first cosine dedup over the final Lloyd
+    assignment — functions/similarity.semdedup semantics."""
+    iters = KMEANS_ITERS
+    ctes = _kmeans_ctes(KMEANS_K, iters)
+    cos = (
+        "list_dot_product(a.v, b.v) / sqrt("
+        "list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))"
+    )
+    ctes.append(
+        f"dropped AS (SELECT DISTINCT b.vec_id"
+        f" FROM a{iters} a JOIN a{iters} b"
+        f" ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        f" WHERE {cos} >= {SEMDEDUP_THRESHOLD})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
+       (d.vec_id IS NULL) AS keep
+FROM a{iters} m LEFT JOIN dropped d USING (vec_id)
 """
     )
 
@@ -5920,6 +5975,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "rank_feature_topk": _rank_feature_sql(),
         "distance_feature_topk": _distance_feature_sql(),
         "kmeans_clusters": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
         "federated_topk": _federated_sql(),
         "span_first_topk": _span_first_sql(),
         "date_range_agg": _date_range_sql(),

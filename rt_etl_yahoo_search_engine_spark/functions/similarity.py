@@ -330,3 +330,74 @@ def kmeans_train(
         F.col("_id").alias(id_col), cell, dist2
     )
     return assigned, cents
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus by k-means clustering followed
+    by WITHIN-CLUSTER pairwise cosine — the standard LLM-training-data
+    recipe for pruning semantically redundant examples that exact/minhash
+    dedup can't see.
+
+    Returns (id_col, cell, keep): every input vector with its final
+    cluster and a keep flag.  keep = false iff some SAME-CLUSTER vector
+    with a smaller id has cosine >= threshold (deterministic keep-first
+    — the paper keeps one representative per duplicate set; which one is
+    a free choice, and lowest-id is the oracle-reproducible one; the
+    paper's keep-farthest-from-centroid variant is a one-line order
+    change on the same pair relation).
+
+    Scale shape: clustering is kmeans_train (zero-exchange assignment,
+    k*dim-row updates); the quadratic term is confined within clusters —
+    ONE self-join keyed on cell, O(sum cell_size^2) candidate pairs, the
+    exact bound the paper's clustering step exists to create (k grows
+    with corpus size to hold cell_size roughly constant).  Cosine is the
+    same JVM aggregate/zip_with fold as cosine_topk — no Python, no
+    full-corpus cross join ever forms.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    assigned, _cents = kmeans_train(embeddings, k, iters, id_col, vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    members = assigned.select(id_col, "cell").join(base, id_col)
+    a = members.select(
+        F.col(id_col).alias("id_a"), "cell", F.col("_v").alias("_va")
+    )
+    b = members.select(
+        F.col(id_col).alias("id_b"), "cell", F.col("_v").alias("_vb")
+    )
+    cos = (
+        F.expr(DOT_EXPR.format(a="_va", b="_vb"))
+        / F.sqrt(
+            F.expr(DOT_EXPR.format(a="_va", b="_va"))
+            * F.expr(DOT_EXPR.format(a="_vb", b="_vb"))
+        )
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -92,3 +92,53 @@ def test_kmeans_bad_args(spark):
     )
     with pytest.raises(ValueError, match="k > 0"):
         kmeans_train(emb, k=0)
+
+
+def _python_semdedup(pts, k, iters, threshold):
+    import math
+
+    assign, _ = _python_lloyd(pts, k, iters)
+    cells = {i: j for i, (_, j) in assign.items()}
+    vecs = dict(pts)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    keep = {}
+    for i, v in pts:
+        keep[i] = not any(
+            j < i and cells[j] == cells[i] and cos(vecs[j], v) >= threshold
+            for j, _ in pts
+        )
+    return cells, keep
+
+
+@pytest.mark.parametrize("threshold", [0.9, 0.999])
+def test_semdedup_matches_python(spark, threshold):
+    """keep-first within-cluster cosine dedup == python recompute; the
+    two tight clusters make near-parallel member pairs (dropped at 0.9)
+    while 0.999 only drops the exactly-parallel pairs."""
+    from rt_etl_yahoo_search_engine_spark.functions.similarity import semdedup
+
+    # replace the origin point (cosine undefined for the zero vector)
+    pts = [(0, [0.25, 0.0])] + PTS[1:] + [(8, [0.5, 0.5]), (9, [10.0, 10.0])]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    )
+    out = semdedup(emb, k=2, iters=2, threshold=threshold)
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in out.collect()}
+    cells, keep = _python_semdedup(pts, 2, 2, threshold)
+    assert got == {i: (cells[i], keep[i]) for i, _ in pts}
+
+
+def test_semdedup_bad_threshold(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in PTS], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(emb, k=2, threshold=0.0)
