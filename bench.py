@@ -206,6 +206,11 @@ JOB_EQUIV_REVS = {
     "0968fb9": "23c0dc3",  # ledger-map-only
     "88e5c21": "23c0dc3",  # federated multi-index search — leg never
                            # imports plans/federate
+    "23e5550": "23c0dc3",  # ledger-map-only
+    "6cd0047": "23c0dc3",  # distance_feature query — leg never imports
+                           # plans/funcscore
+    "5e20f1c": "23c0dc3",  # semdedup — leg never imports
+                           # functions/similarity
 }
 
 
