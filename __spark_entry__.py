@@ -2654,6 +2654,32 @@ def _q_spell_suggest(spark, sf_dir):
     )
 
 
+def _q_significant_text(spark, sf_dir):
+    """ES `significant_text` agg (plans/sigterms.significant_text):
+    significant terms re-analyzing the RAW text of the match-set docs
+    with filter_duplicate_text — per query, docs whose leading 64-token
+    prefix duplicates an earlier match-set doc are dropped from the
+    foreground statistics before JLH."""
+    from rt_etl_yahoo_search_engine_spark.plans.sigterms import (
+        significant_text,
+    )
+
+    root = _index_for(spark, sf_dir)
+    doc_text = _doc_attrs(spark, sf_dir, "text")
+    out = significant_text(
+        spark, root, DOC_QUERIES, doc_text, k=10, min_hits_df=2,
+        filter_duplicate_text=True, dup_prefix_tokens=64,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("df_hits").cast("long").alias("df_hits"),
+        F.col("df_corpus").cast("long").alias("df_corpus"),
+        F.round("jlh", 6).alias("jlh"),
+    )
+
+
 def _q_significant_terms(spark, sf_dir):
     """Significant terms over each DOC_QUERY's exact match set
     (plans/sigterms — ES significant_terms, JLH heuristic): foreground
@@ -3511,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain_top1": _q_bm25_explain,
         "spell_suggest": _q_spell_suggest,
         "significant_terms": _q_significant_terms,
+        "significant_text": _q_significant_text,
         "facet_stats": _q_facet_stats,
         "wildcard_topk": _q_wildcard_topk,
         "collapse_topk": _q_collapse_topk,
@@ -5151,6 +5178,47 @@ WHERE rank <= 10
 """
 
 
+def _sigtext_sql() -> str:
+    """JLH significant terms over the duplicate-text-filtered match set
+    (64-token prefix, keep lowest doc_id) — significant_text semantics."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n_docs FROM docs),
+matched AS (SELECT DISTINCT q.query_id, tf.doc_id
+            FROM tf JOIN qterms q USING (term)),
+hitdocs AS (SELECT m.query_id, m.doc_id,
+                   array_to_string(d.toks[1:64], ' ') AS prefix
+            FROM matched m JOIN docs d USING (doc_id)),
+kept AS (SELECT query_id, doc_id FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id, prefix
+                                     ORDER BY doc_id) AS rn
+           FROM hitdocs) WHERE rn = 1),
+nh AS (SELECT query_id, count(*) AS n_hits FROM kept GROUP BY query_id),
+ht AS (SELECT k.query_id, tf.term, count(*) AS df_hits
+       FROM kept k JOIN tf ON tf.doc_id = k.doc_id
+       GROUP BY k.query_id, tf.term),
+j AS (SELECT ht.query_id, ht.term, ht.df_hits, lex.df AS df_corpus,
+             ((CAST(ht.df_hits AS DOUBLE) / nh.n_hits)
+                - (CAST(lex.df AS DOUBLE) / st.n_docs))
+             * ((CAST(ht.df_hits AS DOUBLE) / nh.n_hits)
+                / (CAST(lex.df AS DOUBLE) / st.n_docs)) AS jlh
+      FROM ht JOIN lex USING (term) JOIN nh USING (query_id), st
+      WHERE ht.df_hits >= 2)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(df_hits AS BIGINT) AS df_hits,
+       CAST(df_corpus AS BIGINT) AS df_corpus, ROUND(jlh, 6) AS jlh
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY jlh DESC, term ASC) AS rank FROM j)
+WHERE rank <= 10
+"""
+
+
 def _search_sql() -> str:
     """Disjunctive BM25 over each query's positive tokens, restricted by
     required/excluded needles (token-string containment, as _phrase_sql)
@@ -5910,6 +5978,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "bm25_explain_top1": _explain_sql(),
         "spell_suggest": _suggest_sql(),
         "significant_terms": _sigterms_sql(),
+        "significant_text": _sigtext_sql(),
         "facet_stats": _facet_stats_sql(),
         "wildcard_topk": _wildcard_sql(),
         "collapse_topk": _collapse_sql(),

@@ -88,3 +88,87 @@ def significant_terms(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "term", "df_hits", "df_corpus", "jlh")
     )
+
+TOKEN_SPLIT_EXPR = "filter(split(lower({c}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def significant_text(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = spec.TOP_K_DEFAULT,
+    mode: str = spec.MODE_DISJUNCTIVE,
+    min_hits_df: int = 2,
+    filter_duplicate_text: bool = False,
+    dup_prefix_tokens: int = 64,
+) -> DataFrame:
+    """(query_id, rank, term, df_hits, df_corpus, jlh) — Elasticsearch's
+    ``significant_text`` aggregation: significant_terms re-analyzing the
+    RAW text of the match-set docs on the fly (no fielddata / staged
+    tokens needed) with its signature ``filter_duplicate_text`` option —
+    docs whose leading `dup_prefix_tokens` tokens duplicate an
+    earlier-id match-set doc are removed from the foreground statistics
+    (ES's de-bias for boilerplate/retweet storms), per query.
+
+    Background statistics stay INDEX-TIME (lexicon df, registry n_docs)
+    exactly like significant_terms.
+
+    Plan shape: the match relation (unit-local set algebra) joins the
+    doc-keyed text table once — only hit docs' text survives; tokens
+    come from a codegen split+explode(array_distinct(...)), so fg
+    counting shuffles (query, term) rows, never text.  Duplicate
+    filtering is one window over match-set-scale rows keyed on the
+    token-prefix string (at 100 TB key it on xxhash64(prefix) so the
+    exchange carries 8-byte keys; the string key here keeps the oracle
+    byte-exact).  ES only ever runs this agg on a SAMPLE of hits; a
+    sampler_agg can be layered on the match relation without changing
+    this operator.
+    """
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    n_docs = int(reg["n_docs"])
+
+    matches = match_docs(spark, index_root, queries, mode=mode)
+    hit = matches.join(
+        docs.select("doc_id", F.col(text_col).alias("_text")), "doc_id"
+    ).withColumn("_toks", F.expr(TOKEN_SPLIT_EXPR.format(c="_text")))
+    if filter_duplicate_text:
+        prefix = F.array_join(
+            F.slice("_toks", 1, int(dup_prefix_tokens)), " "
+        )
+        w = Window.partitionBy("query_id", prefix).orderBy(F.asc("doc_id"))
+        hit = (
+            hit.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    n_hits = hit.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    fg = (
+        hit.select(
+            "query_id",
+            F.explode(F.array_distinct("_toks")).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("df_hits"))
+        .filter(F.col("df_hits") >= min_hits_df)
+    )
+    bg = cat.read(spark, reg["lexicon_dir"]).select(
+        "term", F.col("df").alias("df_corpus")
+    )
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(n_hits), "query_id")
+        .withColumn("fgs", F.col("df_hits") / F.col("n_hits"))
+        .withColumn("bgs", F.col("df_corpus") / F.lit(float(n_docs)))
+        .withColumn(
+            "jlh", (F.col("fgs") - F.col("bgs")) * (F.col("fgs") / F.col("bgs"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jlh"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "term", "df_hits", "df_corpus", "jlh")
+    )
