@@ -211,6 +211,8 @@ JOB_EQUIV_REVS = {
                            # plans/funcscore
     "5e20f1c": "23c0dc3",  # semdedup — leg never imports
                            # functions/similarity
+    "97f78b7": "23c0dc3",  # significant_text — leg never imports
+                           # plans/sigterms
 }
 
 
