@@ -2258,6 +2258,49 @@ SPAN_QUERIES = {
 SPAN_SLOP = 3
 
 
+# ES intervals query: leaves kept at <= 2 terms so the oracle can use
+# exact pairwise position predicates (greedy == exists for n = 2)
+def _intervals_queries():
+    from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+        AllOf, AnyOf, Match,
+    )
+
+    return {
+        "iv1": Match("join hash", ordered=True, max_gaps=2),
+        "iv2": Match("slow scan", max_gaps=1),
+        "iv3": AnyOf((Match("window agg", ordered=True, max_gaps=0),
+                      Match("vector"))),
+        "iv4": AllOf((Match("customer order", ordered=True, max_gaps=3),
+                      Match("line"))),
+    }
+
+
+def _q_intervals(spark, sf_dir):
+    """ES `intervals` query (plans/intervals.intervals_topk): match
+    leaves with ordered/max_gaps verified from the positional sidecar,
+    any_of/all_of combinators, disjunctive-BM25 ranking over the union
+    terms."""
+    from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+        intervals_topk,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = intervals_topk(spark, root, _intervals_queries(), k=10)
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_span_near(spark, sf_dir):
     """Ordered span-near top-k (plans/near.span_near_topk — Lucene
     SpanNearQuery in_order=true, slop=3): terms in query order within a
@@ -3573,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": _q_phrase_suggest,
         "sampler_agg": _q_sampler,
         "diversified_sampler_agg": _q_diversified_sampler,
+        "intervals_topk": _q_intervals,
         "span_near_topk": _q_span_near,
         "span_not_topk": _q_span_not,
         "match_phrase_prefix_topk": _q_match_phrase_prefix,
@@ -5785,6 +5829,59 @@ WHERE rank <= 10
 """
 
 
+def _intervals_sql() -> str:
+    """Per-query pairwise position predicates (ordered: p2 in
+    (p1, p1+bound]; unordered: |p1-p2| <= W-1) + containment, combined
+    per the source tree, disjunctive BM25 over the union terms —
+    plans/intervals.intervals_topk semantics."""
+    qt = ", ".join(
+        f"('{q}', '{t}')"
+        for q, ts in [
+            ("iv1", ["join", "hash"]),
+            ("iv2", ["slow", "scan"]),
+            ("iv3", ["window", "agg", "vector"]),
+            ("iv4", ["customer", "order", "line"]),
+        ]
+        for t in ts
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qt}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+m1 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term = 'join' AND b.term = 'hash'
+         AND b.p > a.p AND b.p <= a.p + 3),
+m2 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term = 'slow' AND b.term = 'scan' AND abs(a.p - b.p) <= 2),
+m3 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term = 'window' AND b.term = 'agg' AND b.p = a.p + 1
+       UNION SELECT DISTINCT doc_id FROM pos WHERE term = 'vector'),
+m4 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term = 'customer' AND b.term = 'order'
+         AND b.p > a.p AND b.p <= a.p + 4
+       INTERSECT
+       SELECT DISTINCT doc_id FROM pos WHERE term = 'line'),
+matched AS (SELECT 'iv1' AS query_id, doc_id FROM m1
+            UNION ALL SELECT 'iv2', doc_id FROM m2
+            UNION ALL SELECT 'iv3', doc_id FROM m3
+            UNION ALL SELECT 'iv4', doc_id FROM m4)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN matched m USING (query_id, doc_id))
+WHERE rank <= 10
+"""
+
+
 def _span_first_sql() -> str:
     """Single-term BM25 rank over docs whose first term occurrence sits
     within the first `end` positions (1-based subscripts: p <= end) —
@@ -6017,6 +6114,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "phrase_suggest": _phrase_suggest_sql(),
         "sampler_agg": _sampler_sql(False),
         "diversified_sampler_agg": _sampler_sql(True),
+        "intervals_topk": _intervals_sql(),
         "span_near_topk": _span_near_sql(),
         "span_not_topk": _span_not_sql(),
         "match_phrase_prefix_topk": _mpp_sql(),

@@ -1,0 +1,169 @@
+"""ES intervals query (plans/intervals.py) — match leaves (ordered /
+unordered, max_gaps) and any_of / all_of combinators, vs a pure-Python
+minimal-interval oracle; scores equal the disjunctive BM25 path."""
+
+import math
+
+import pytest
+
+from rt_etl_yahoo_search_engine_spark import spec
+from rt_etl_yahoo_search_engine_spark.operators.positions import (
+    build_positions,
+)
+from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+    AllOf,
+    AnyOf,
+    Match,
+    intervals_topk,
+)
+from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+DOCS = [
+    ("d0", "alpha beta gamma delta epsilon zeta"),
+    ("d1", "alpha x x x beta"),
+    ("d2", "beta x alpha"),
+    ("d3", "alpha x x x x x x x beta x gamma"),
+    ("d4", "gamma gamma gamma"),
+    ("d5", "x alpha x beta alpha beta", ),
+    ("d6", "beta alpha beta", ),
+    ("d7", "delta x epsilon x x delta", ),
+]
+
+
+@pytest.fixture(scope="module")
+def iv_index(spark, tmp_path_factory):
+    from rt_etl_yahoo_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    df = spark.createDataFrame(
+        [(u, t, "en") for u, t in DOCS],
+        "url string, text string, lang string",
+    )
+    root = str(tmp_path_factory.mktemp("iv") / "idx")
+    build_index(spark, df, root, n_shards=2, n_buckets=4, tokenizer="text")
+    build_positions(spark, df, root, tokenizer="text")
+    toks = {u: spec.tokenize(t) for u, t in DOCS}
+    docmap = {
+        r["url"]: r["doc_id"]
+        for r in Catalog(root).read(spark, "docmap").collect()
+    }
+    return root, docmap, toks
+
+
+def _match_leaf(seq, m: Match):
+    terms = spec.tokenize(m.text)
+    if not terms:
+        return False
+    if m.ordered:
+        n = len(terms)
+        bound = n - 1 + m.max_gaps if m.max_gaps >= 0 else None
+
+        def ok_from(start_i):
+            cur = start_i
+            for t in terms[1:]:
+                nxt = [
+                    i for i, x in enumerate(seq)
+                    if x == t and i > cur
+                    and (bound is None or i <= start_i + bound)
+                ]
+                if not nxt:
+                    return False
+                cur = min(nxt)
+            return True
+
+        return any(
+            seq[i] == terms[0] and ok_from(i) for i in range(len(seq))
+        )
+    need = set(terms)
+    if m.max_gaps < 0:
+        return need <= set(seq)
+    w = len(need) + m.max_gaps
+    return any(
+        need <= set(seq[a : a + w]) for a in range(len(seq))
+    )
+
+
+def _match(seq, node):
+    if isinstance(node, Match):
+        return _match_leaf(seq, node)
+    if isinstance(node, AnyOf):
+        return any(_match(seq, s) for s in node.sources)
+    if node.ordered or node.max_gaps >= 0:
+        terms = " ".join(spec.tokenize(s.text)[0] for s in node.sources)
+        return _match_leaf(
+            seq, Match(terms, ordered=node.ordered, max_gaps=node.max_gaps)
+        )
+    return all(_match(seq, s) for s in node.sources)
+
+
+QUERIES = {
+    "ord0": Match("alpha beta", ordered=True, max_gaps=0),
+    "ord3": Match("alpha beta", ordered=True, max_gaps=3),
+    "ord_unb": Match("alpha beta gamma", ordered=True),
+    "unord1": Match("beta alpha", max_gaps=1),
+    "contain": Match("delta epsilon"),
+    "dup_ord": Match("alpha beta alpha", ordered=True),
+    "anyof": AnyOf((Match("alpha beta", ordered=True, max_gaps=0),
+                    Match("delta epsilon", max_gaps=1))),
+    "allof_plain": AllOf((Match("alpha beta", ordered=True, max_gaps=0),
+                          Match("gamma"))),
+    "allof_terms": AllOf((Match("delta"), Match("epsilon")),
+                         ordered=True, max_gaps=1),
+    "nested": AnyOf((AllOf((Match("zeta"), Match("epsilon"))),
+                     Match("gamma gamma", ordered=True, max_gaps=0))),
+}
+
+
+def test_match_sets_equal_oracle(spark, iv_index):
+    root, docmap, toks = iv_index
+    out = intervals_topk(spark, root, QUERIES, k=20)
+    got = {qid: set() for qid in QUERIES}
+    for r in out.collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for qid, src in QUERIES.items():
+        want = {
+            docmap[u] for u, seq in toks.items() if _match(seq, src)
+        }
+        assert got[qid] == want, qid
+
+
+def test_scores_are_disjunctive_bm25(spark, iv_index):
+    root, docmap, toks = iv_index
+    out = intervals_topk(
+        spark, root, {"q": Match("alpha beta", ordered=True, max_gaps=3)},
+        k=20,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    n = len(DOCS)
+    df = {}
+    for seq in toks.values():
+        for t in set(seq):
+            df[t] = df.get(t, 0) + 1
+    avgdl = sum(len(s) for s in toks.values()) / n
+    want = {}
+    for u, seq in toks.items():
+        s = 0.0
+        for t in ("alpha", "beta"):
+            tf = seq.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (spec.K1 + 1.0)) / (
+                tf + spec.K1 * (1.0 - spec.B + spec.B * len(seq) / avgdl)
+            )
+        if _match_leaf(seq, Match("alpha beta", ordered=True, max_gaps=3)):
+            want[docmap[u]] = s
+    ranked = sorted(want.items(), key=lambda p: (-p[1], p[0]))
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [
+        (i + 1, d) for i, (d, _) in enumerate(ranked)
+    ]
+    for r, (_, s) in zip(rows, ranked):
+        assert r["score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_constrained_allof_needs_single_terms(spark, iv_index):
+    root, _, _ = iv_index
+    bad = AllOf((Match("alpha beta"), Match("gamma")), ordered=True)
+    with pytest.raises(NotImplementedError, match="single-term"):
+        intervals_topk(spark, root, {"q": bad}, k=5)
