@@ -213,6 +213,9 @@ JOB_EQUIV_REVS = {
                            # functions/similarity
     "97f78b7": "23c0dc3",  # significant_text — leg never imports
                            # plans/sigterms
+    "45d8d89": "23c0dc3",  # ledger-map-only
+    "db01e46": "23c0dc3",  # intervals query — leg never imports
+                           # plans/intervals
 }
 
 
