@@ -3547,6 +3547,94 @@ def _q_federated(spark, sf_dir):
     )
 
 
+def _q_terms_set_topk(spark, sf_dir):
+    """ES `terms_set` query with minimum_should_match_field
+    (plans/msm.terms_set_topk): the should-match threshold is read from a
+    per-document field — here required = 1 + (doc_id % 3) — so the same
+    query demands 1, 2 or 3 matched clauses depending on the doc; scores
+    are the disjunctive BM25 sums over the matched terms."""
+    from rt_etl_yahoo_search_engine_spark.plans.msm import terms_set_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    dm = Catalog(root).read(spark, "docmap")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        (F.lit(1) + F.col("doc_id") % 3).cast("long").alias("required"),
+    )
+    attrs = dm.join(src, "url").select("doc_id", "required")
+    out = terms_set_topk(spark, root, DOC_QUERIES, attrs, k=10)
+    return (
+        dm.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("required").cast("long").alias("required"),
+        )
+    )
+
+
+_CATEGORIZE_MAX_TOKENS, _CATEGORIZE_K = 8, 25
+
+
+def _q_categorize_text(spark, sf_dir):
+    """ES `categorize_text` aggregation
+    (functions/text_analysis.categorize_text): documents grouped by their
+    token-pattern signature — the first 8 digit-free lowercase tokens —
+    with the top-25 categories by doc count and each category's smallest
+    doc_id as representative."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        categorize_text,
+    )
+
+    out = categorize_text(
+        _docs(spark, sf_dir),
+        max_tokens=_CATEGORIZE_MAX_TOKENS,
+        k=_CATEGORIZE_K,
+    )
+    return out.select("rank", "category", "doc_count", "min_doc_id")
+
+
+_SERIAL_DIFF_LAG = 24
+
+
+def _q_serial_diff(spark, sf_dir):
+    """ES `serial_diff` pipeline agg (functions/events_agg.serial_diff):
+    24-hour seasonal differencing of hourly error-event counts over the
+    gap-free (min_doc_count=0) histogram spine."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        serial_diff,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = serial_diff(
+        ev, F.col("event_type") == "error", unit="hour", lag=_SERIAL_DIFF_LAG
+    )
+    return out.select(
+        F.unix_timestamp("bucket").cast("long").alias("bucket_epoch"),
+        "n",
+        "diff",
+    )
+
+
+def _q_rate_agg(spark, sf_dir):
+    """ES `rate` aggregation (functions/events_agg.rate_agg): per
+    calendar-month value sums rescaled to a per-day rate by the month's
+    true calendar length (leap-aware)."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import rate_agg
+
+    ev = _read(spark, sf_dir, "events")
+    out = rate_agg(ev, "month", "day", value_col="value")
+    return out.select(
+        F.unix_timestamp("bucket_start").cast("long").alias("bucket_epoch"),
+        "n",
+        F.round("rate", 6).alias("rate"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -3692,6 +3780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_min0": _q_date_histogram_min0,
         "bucket_selector_agg": _q_bucket_selector,
         "bpe_pair_counts": _q_bpe_pairs,
+        "terms_set_topk": _q_terms_set_topk,
+        "categorize_text": _q_categorize_text,
+        "serial_diff_agg": _q_serial_diff,
+        "rate_agg": _q_rate_agg,
         "extract_structured": _q_extract_structured,
     }
 
@@ -6019,6 +6111,76 @@ WHERE rank <= 10
 """
 
 
+def _terms_set_sql() -> str:
+    """terms_set with minimum_should_match_field: per-doc threshold
+    required = 1 + (doc_id % 3); disjunctive BM25 over matched terms."""
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score,
+         count(*) AS matched
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score,
+       CAST(matched AS BIGINT) AS n_matched,
+       CAST(1 + (doc_id % 3) AS BIGINT) AS required
+FROM (SELECT s.query_id, s.doc_id, s.score, s.matched,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      WHERE s.matched >= 1 + (s.doc_id % 3))
+WHERE rank <= 10
+"""
+
+
+_CATEGORIZE_SQL = f"""
+WITH c AS (SELECT doc_id,
+  array_to_string(
+    (list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                 x -> NOT regexp_matches(x, '[0-9]')))[1:{_CATEGORIZE_MAX_TOKENS}],
+    ' ') AS category
+  FROM documents),
+a AS (SELECT category, count(*) AS doc_count, min(doc_id) AS min_doc_id
+      FROM c GROUP BY category)
+SELECT CAST(row_number() OVER (ORDER BY doc_count DESC, category ASC)
+            AS INTEGER) AS rank,
+       category, CAST(doc_count AS BIGINT) AS doc_count,
+       CAST(min_doc_id AS BIGINT) AS min_doc_id
+FROM a ORDER BY doc_count DESC, category ASC LIMIT {_CATEGORIZE_K}
+"""
+
+
+_SERIAL_DIFF_SQL = f"""
+WITH bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                       max(date_trunc('hour', ts)) AS hi
+                FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds),
+c AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1),
+g AS (SELECT s.bucket, coalesce(c.n, 0) AS n
+      FROM spine s LEFT JOIN c USING (bucket))
+SELECT CAST(epoch(bucket) AS BIGINT) AS bucket_epoch,
+       CAST(n AS BIGINT) AS n,
+       CAST(n - lag(n, {_SERIAL_DIFF_LAG}) OVER (ORDER BY bucket) AS BIGINT)
+           AS diff
+FROM g
+"""
+
+
+_RATE_SQL = """
+SELECT CAST(epoch(b) AS BIGINT) AS bucket_epoch, CAST(n AS BIGINT) AS n,
+       ROUND(sv / CAST(date_diff('day', b, b + INTERVAL 1 MONTH) AS DOUBLE), 6)
+           AS rate
+FROM (SELECT date_trunc('month', ts) AS b, count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": f"""
@@ -6130,6 +6292,10 @@ FROM hits h JOIN documents d USING (doc_id)
         "date_histogram_min0": _HISTO_MIN0_SQL,
         "bucket_selector_agg": _bucket_selector_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
+        "terms_set_topk": _terms_set_sql(),
+        "categorize_text": _CATEGORIZE_SQL,
+        "serial_diff_agg": _SERIAL_DIFF_SQL,
+        "rate_agg": _RATE_SQL,
         "rank_eval": _rank_eval_sql(),
         "pinned_topk": _pinned_sql(),
         "mix_weights": _mix_weights_sql(),

@@ -312,3 +312,75 @@ def date_range_agg(
             f"stack({len(ranges)}, {stack}) AS (range_key, n, total)"
         )
     )
+
+
+def serial_diff(
+    events: DataFrame,
+    cond,
+    unit: str = "hour",
+    lag: int = 1,
+) -> DataFrame:
+    """(bucket, n, diff) — ES ``serial_diff`` pipeline aggregation riding
+    a gap-free date histogram: diff = n(bucket) − n(bucket − lag units),
+    null for the series' first `lag` buckets (ES emits no serial_diff
+    value until the lag window is full).  The histogram underneath is
+    date_histogram_min0's zero-filled spine, so the lag is measured in
+    CALENDAR buckets, not in present-bucket sequence — the seasonal
+    differencing (e.g. lag=24 on hours, lag=7 on days) an anomaly
+    detector needs.
+
+    Scale shape: the events scan partial-aggregates to bucket-scale
+    rows (one per calendar unit in the data range — metadata scale next
+    to the 100 TB event relation), and only that series enters the
+    single-series lag window; pipeline aggs are series transforms by
+    definition, so the unpartitioned window is over O(range/unit) rows,
+    never over events."""
+    from pyspark.sql import Window
+
+    base = date_histogram_min0(events, cond, unit=unit)
+    w = Window.orderBy("bucket").rowsBetween(-int(lag), -int(lag))
+    # rowsBetween is exact here BECAUSE the spine is gap-free: row
+    # distance == calendar distance.
+    return base.select(
+        "bucket",
+        "n",
+        (F.col("n") - F.sum("n").over(w)).cast("long").alias("diff"),
+    )
+
+
+def rate_agg(
+    events: DataFrame,
+    interval: str = "month",
+    rate_unit: str = "day",
+    value_col: str | None = None,
+) -> DataFrame:
+    """(bucket_start, n, rate) — ES ``rate`` aggregation inside a
+    calendar date_histogram: per calendar `interval` bucket, the event
+    count (or ``value_col`` sum) RESCALED to a per-`rate_unit` figure by
+    the bucket's true calendar length — February's per-day rate divides
+    by 28/29, January's by 31 (the normalization a fixed-width tumbling
+    window gets wrong).  Pure codegen + one partial-aggregated groupBy:
+    scales as a scan, no shuffle beyond the bucket agg."""
+    if interval not in _CAL:
+        raise ValueError(f"interval must be one of {sorted(_CAL)}")
+    bucket = F.date_trunc(interval, F.col("ts"))
+    metric = (
+        F.count("*").cast("double")
+        if value_col is None
+        else F.sum(value_col)
+    )
+    agg = events.groupBy(bucket.alias("bucket_start")).agg(
+        metric.alias("m"), F.count("*").cast("long").alias("n")
+    )
+    nxt = F.col("bucket_start") + F.expr(f"interval 1 {interval}")
+    if rate_unit == "day":
+        span = F.datediff(nxt.cast("date"), F.col("bucket_start").cast("date"))
+    elif rate_unit == "hour":
+        span = (nxt.cast("long") - F.col("bucket_start").cast("long")) / 3600
+    else:
+        raise ValueError("rate_unit must be 'day' or 'hour'")
+    return agg.select(
+        "bucket_start",
+        "n",
+        (F.col("m") / span.cast("double")).alias("rate"),
+    )

@@ -358,3 +358,51 @@ def frequent_item_sets(
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def categorize_text(
+    docs: DataFrame,
+    max_tokens: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """(rank, category, doc_count, min_doc_id) — ES's ``categorize_text``
+    aggregation, deterministically specified: documents are grouped by a
+    token-pattern signature — the first `max_tokens` DIGIT-FREE lowercase
+    tokens of the text, space-joined (numbers, ids and timestamps are the
+    variable parts of log-like text; dropping digit-bearing tokens is the
+    ES categorizer's core move, made exact here so the operator is
+    oracle-checkable).  Output is the top-k categories by document count
+    (ties by category asc) with each category's smallest doc_id as the
+    representative document.
+
+    Scale shape: the signature is pure whole-stage codegen on the scan
+    (split/filter/slice/join — no UDF), the count is one map-side
+    partial-aggregated groupBy at category cardinality, and the top-k is
+    orderBy(...).limit(k) — Spark's TakeOrderedAndProject, a per-partition
+    heap + driver merge of k rows, never a global sort of the category
+    relation."""
+    sig = F.expr(
+        "array_join(slice(filter("
+        "  regexp_extract_all(lower(text), '([a-z0-9]+)', 1),"
+        "  x -> x NOT RLIKE '[0-9]'),"
+        f" 1, {int(max_tokens)}), ' ')"
+    )
+    agg = (
+        docs.select(sig.alias("category"), "doc_id")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(int(k))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("doc_count"), F.asc("category"))
+    return agg.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "category",
+        "doc_count",
+        "min_doc_id",
+    )

@@ -53,3 +53,54 @@ def msm_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def terms_set_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    attrs: DataFrame,
+    required_col: str = "required",
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, n_matched, required) — ES's
+    ``terms_set`` query with ``minimum_should_match_field``: the
+    should-match threshold is PER DOCUMENT, read from a document field
+    (`attrs`: a doc_id-keyed relation carrying `required_col`), not a
+    query constant.  A doc competes iff it matches at least its own
+    `required` distinct query terms; scores are the disjunctive BM25
+    sums over the matched terms, ranked (score desc, doc_id asc).
+    Docs whose `required` exceeds the query's clause count can never
+    match — exactly ES's behaviour (the rewritten CoveringQuery is
+    unsatisfiable for them).
+
+    Scale shape: rides score_docs(with_matched=True) — the match
+    relation is O(sum df) narrow rows with the clause count computed
+    unit-locally; `attrs` joins on doc_id (AQE broadcasts when small,
+    shuffles doc-scale otherwise — the same cost class as fetching any
+    per-doc field) and the threshold is a filter BEFORE the per-query
+    top-k window."""
+    rel = score_docs(
+        spark, index_root, queries, spec.MODE_DISJUNCTIVE, with_matched=True
+    )
+    req = attrs.select(
+        "doc_id", F.col(required_col).cast("long").alias("_required")
+    )
+    rel = rel.join(req, "doc_id").filter(
+        F.col("n_matched") >= F.col("_required")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        rel.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("_required").alias("required"),
+        )
+    )
