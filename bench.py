@@ -216,6 +216,10 @@ JOB_EQUIV_REVS = {
     "45d8d89": "23c0dc3",  # ledger-map-only
     "db01e46": "23c0dc3",  # intervals query — leg never imports
                            # plans/intervals
+    "41e8905": "23c0dc3",  # ledger-map-only
+    "ac8f377": "23c0dc3",  # terms_set/categorize/serial_diff/rate — leg
+                           # never imports plans/msm or functions/
+                           # {events_agg,text_analysis}
 }
 
 
