@@ -3420,6 +3420,61 @@ SPAN_FIRST_QUERIES = {
 SPAN_FIRST_END = 20
 
 
+# (big_first, big_second, little) triples; slop bounds the ORDERED big
+# span's width at slop+1.  sc5's big has an out-of-vocab clause: no rows.
+SPAN_CONT_QUERIES = {
+    "sc1": ("join", "column", "the"),
+    "sc2": ("fast", "sort", "key"),
+    "sc3": ("table", "scan", "a"),
+    "sc4": ("window", "merge", "key"),
+    "sc5": ("hash", "join", "zzznope"),
+}
+SPAN_CONT_SLOP = 6
+
+
+def _q_span_containing(spark, sf_dir):
+    """Lucene/ES SpanContainingQuery (plans/near.span_containing_topk):
+    docs where an ordered big span (first..second, width <= slop+1)
+    encloses a little-term occurrence, ranked by the BIG pair's
+    conjunctive BM25.  Output keyed by ORIGINAL doc_id."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import (
+        span_containing_topk,
+    )
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = span_containing_topk(
+        spark, root, SPAN_CONT_QUERIES, slop=SPAN_CONT_SLOP, k=10
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_span_within(spark, sf_dir):
+    """Lucene/ES SpanWithinQuery (plans/near.span_within_topk): the same
+    big-encloses-little match set as span_containing, ranked by the
+    LITTLE clause's BM25 (Lucene's scoring split between the two)."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_within_topk
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = span_within_topk(
+        spark, root, SPAN_CONT_QUERIES, slop=SPAN_CONT_SLOP, k=10
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_span_first(spark, sf_dir):
     """Lucene/ES SpanFirstQuery (plans/near.span_first_topk): docs whose
     first occurrence of the term is within the first SPAN_FIRST_END
@@ -3731,6 +3786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "federated_topk": _q_federated,
         "span_first_topk": _q_span_first,
+        "span_containing_topk": _q_span_containing,
+        "span_within_topk": _q_span_within,
         "date_range_agg": _q_date_range,
         "frequent_item_sets": _q_frequent_item_sets,
         "mad_agg": _q_mad,
@@ -6111,6 +6168,48 @@ WHERE rank <= 10
 """
 
 
+def _span_cont_sql(score_role: str) -> str:
+    """Big-encloses-little span match set; scored by the big pair
+    (score_role='big', span_containing) or the little term
+    (score_role='little', span_within)."""
+    w = SPAN_CONT_SLOP + 1
+    qt_rows, branches = [], []
+    for qid, (t1, t2, t3) in sorted(SPAN_CONT_QUERIES.items()):
+        terms = (t1, t2) if score_role == "big" else (t3,)
+        for t in sorted(set(terms)):
+            qt_rows.append(f"('{qid}', '{t}')")
+        branches.append(
+            f"""SELECT '{qid}' AS query_id, a.doc_id FROM pos a
+JOIN pos b ON b.doc_id = a.doc_id AND b.term = '{t2}'
+          AND b.p > a.p AND b.p <= a.p + {w}
+JOIN pos c ON c.doc_id = a.doc_id AND c.term = '{t3}'
+          AND c.p >= a.p AND c.p <= b.p
+WHERE a.term = '{t1}'"""
+        )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt_rows)}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+matched AS (SELECT DISTINCT query_id, doc_id
+            FROM ({" UNION ALL ".join(branches)}))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id)
+WHERE rank <= 10
+"""
+
+
 def _terms_set_sql() -> str:
     """terms_set with minimum_should_match_field: per-doc threshold
     required = 1 + (doc_id % 3); disjunctive BM25 over matched terms."""
@@ -6311,6 +6410,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "semdedup": _semdedup_sql(),
         "federated_topk": _federated_sql(),
         "span_first_topk": _span_first_sql(),
+        "span_containing_topk": _span_cont_sql("big"),
+        "span_within_topk": _span_cont_sql("little"),
         "date_range_agg": _date_range_sql(),
         "frequent_item_sets": _fis_sql(),
         "mad_agg": _MAD_SQL,

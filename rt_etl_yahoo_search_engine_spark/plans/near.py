@@ -380,3 +380,146 @@ def span_first_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def _span_pair_containing(
+    spark: SparkSession,
+    index_root: str,
+    live: dict[str, tuple[str, str, str]],
+    slop: int,
+    candidates: DataFrame,
+) -> DataFrame:
+    """(query_id, doc_id) docs where some ORDERED (t1, t2) big span of
+    width <= slop+1 (span_near_topk's 2-clause bound) encloses a t3
+    (little) occurrence: exists p1 < p3' <= p2 with p2 - p1 <= slop + 1
+    and p1 <= p3 <= p2.  Shared verify core of span_containing_topk /
+    span_within_topk — the doc-level match set is the same for both (a
+    big-enclosing-little witness IS a little-within-big witness)."""
+    rows = [
+        (qid, role, t)
+        for qid, trip in live.items()
+        for role, t in zip(("a", "b", "c"), trip)
+    ]
+    qt = spark.createDataFrame(rows, "query_id string, role string, term string")
+    terms = sorted({t for trip in live.values() for t in trip})
+    pos = read_positions(spark, index_root, terms)
+    occ = (
+        pos.join(F.broadcast(qt), "term")
+        .join(candidates.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .select("query_id", "doc_id", "role", F.explode("positions").alias("p"))
+    )
+    a = occ.filter(F.col("role") == "a").select(
+        "query_id", "doc_id", F.col("p").alias("p1")
+    )
+    b = occ.filter(F.col("role") == "b").select(
+        "query_id", "doc_id", F.col("p").alias("p2")
+    )
+    c = occ.filter(F.col("role") == "c").select(
+        "query_id", "doc_id", F.col("p").alias("p3")
+    )
+    pairs = a.join(b, ["query_id", "doc_id"]).filter(
+        (F.col("p2") > F.col("p1"))
+        & (F.col("p2") <= F.col("p1") + F.lit(int(slop) + 1))
+    )
+    return (
+        pairs.join(c, ["query_id", "doc_id"])
+        .filter((F.col("p3") >= F.col("p1")) & (F.col("p3") <= F.col("p2")))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
+def _span_big_little(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, tuple[str, str, str]],
+    slop: int,
+    k: int,
+    score_terms,
+) -> DataFrame:
+    """Shared driver for span_containing_topk / span_within_topk:
+    verify big-encloses-little, then rank by BM25 over
+    ``score_terms(trip)`` (Lucene scores span_containing by `big` and
+    span_within by `little`; the match sets are identical).
+
+    Verify plan: all three occurrence relations are candidate-pruned
+    (conjunctive over t1 ∧ t2 ∧ t3) BEFORE the position joins, so the
+    pair join's blowup is occurrences² of docs already known to hold
+    all three terms — the near_topk economics; only (query, doc, p)
+    int rows shuffle, O(sum df) per query."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+    )
+    live = {}
+    for qid, trip in queries.items():
+        toks = [spec.tokenize(t) for t in trip]
+        if all(len(ts) == 1 for ts in toks):
+            live[qid] = tuple(ts[0] for ts in toks)
+    if not live:
+        return empty
+
+    reg = Catalog(index_root).read_registry()
+    n_docs = int(reg["n_docs"])
+    candidates = bm25.topk(
+        spark,
+        index_root,
+        {qid: " ".join(sorted(set(trip))) for qid, trip in live.items()},
+        mode=spec.MODE_CONJUNCTIVE,
+        k=max(n_docs, 1),
+    ).drop("rank")
+    matched = _span_pair_containing(spark, index_root, live, slop, candidates)
+
+    scores = bm25.topk(
+        spark,
+        index_root,
+        {
+            qid: " ".join(sorted(set(score_terms(trip))))
+            for qid, trip in live.items()
+        },
+        mode=spec.MODE_CONJUNCTIVE,
+        k=max(n_docs, 1),
+    ).drop("rank")
+    verified = scores.join(matched, ["query_id", "doc_id"])
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def span_containing_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, tuple[str, str, str]],
+    slop: int = 4,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Lucene/ES SpanContainingQuery: ``queries`` maps qid ->
+    (big_first, big_second, little); a doc matches iff some ORDERED
+    big span (big_first .. big_second, width <= slop+1) encloses an
+    occurrence of `little`.  Ranked by the BIG pair's conjunctive BM25
+    (Lucene scores span_containing from the big clause), score DESC /
+    doc_id ASC, top-k."""
+    return _span_big_little(
+        spark, index_root, queries, slop, k, lambda trip: trip[:2]
+    )
+
+
+def span_within_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, tuple[str, str, str]],
+    slop: int = 4,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Lucene/ES SpanWithinQuery: same (big_first, big_second, little)
+    triples and the same doc-level match set as span_containing_topk —
+    but ranked by the LITTLE clause's BM25 (Lucene scores span_within
+    from the little clause)."""
+    return _span_big_little(
+        spark, index_root, queries, slop, k, lambda trip: trip[2:]
+    )
