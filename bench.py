@@ -220,6 +220,9 @@ JOB_EQUIV_REVS = {
     "ac8f377": "23c0dc3",  # terms_set/categorize/serial_diff/rate — leg
                            # never imports plans/msm or functions/
                            # {events_agg,text_analysis}
+    "cc1659b": "23c0dc3",  # ledger-map-only
+    "e7dd813": "23c0dc3",  # span_containing/span_within — leg never
+                           # imports plans/near
 }
 
 
