@@ -3690,6 +3690,33 @@ def _q_rate_agg(spark, sf_dir):
     )
 
 
+_DSIR_BUCKETS, _DSIR_TOP = 256, 50
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (functions/sampling.dsir_weights; Xie
+    et al. 2023): hashed unigram+bigram multinomials fit on the TARGET
+    docs (lang='en') vs the raw pool (every other lang); the top-50 raw
+    docs by log importance weight — 'which raw documents look most like
+    the target corpus'."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        dsir_weights,
+    )
+
+    from pyspark.sql import Window
+
+    out = dsir_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return (
+        out.orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "n_grams", F.round("logw", 6).alias("logw"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (extract-shaped input -> block-postings index ->
     scan-side vectorized BM25 top-10) at sf0.001."""
@@ -3838,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_selector_agg": _q_bucket_selector,
         "bpe_pair_counts": _q_bpe_pairs,
         "terms_set_topk": _q_terms_set_topk,
+        "dsir_weights": _q_dsir_weights,
         "categorize_text": _q_categorize_text,
         "serial_diff_agg": _q_serial_diff,
         "rate_agg": _q_rate_agg,
@@ -6168,6 +6196,38 @@ WHERE rank <= 10
 """
 
 
+_DSIR_SQL = f"""
+WITH d AS (SELECT doc_id, lang = 'en' AS is_t,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+uni AS (SELECT doc_id, is_t, unnest(toks) AS gram FROM d),
+bi AS (SELECT doc_id, is_t, toks[i] || ' ' || toks[i+1] AS gram
+       FROM d, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+b AS (SELECT doc_id, is_t,
+             CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket,
+             count(*) AS c
+      FROM g GROUP BY 1, 2, 3),
+tot AS (SELECT bucket,
+               sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+               sum(CASE WHEN NOT is_t THEN c ELSE 0 END) AS cr
+        FROM b GROUP BY 1),
+s AS (SELECT sum(ct) AS tt, sum(cr) AS rt FROM tot),
+r AS (SELECT bucket,
+             ln((ct + 1.0) / (tt + {_DSIR_BUCKETS}))
+               - ln((cr + 1.0) / (rt + {_DSIR_BUCKETS})) AS logr
+      FROM tot, s),
+w AS (SELECT b.doc_id, CAST(sum(b.c) AS BIGINT) AS n_grams,
+             sum(b.c * r.logr) AS logw
+      FROM b JOIN r USING (bucket) WHERE NOT b.is_t GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS INTEGER)
+           AS rank,
+       doc_id, n_grams, ROUND(logw, 6) AS logw
+FROM w ORDER BY logw DESC, doc_id ASC LIMIT {_DSIR_TOP}
+"""
+
+
 def _span_cont_sql(score_role: str) -> str:
     """Big-encloses-little span match set; scored by the big pair
     (score_role='big', span_containing) or the little term
@@ -6392,6 +6452,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "bucket_selector_agg": _bucket_selector_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "terms_set_topk": _terms_set_sql(),
+        "dsir_weights": _DSIR_SQL,
         "categorize_text": _CATEGORIZE_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,
         "rate_agg": _RATE_SQL,

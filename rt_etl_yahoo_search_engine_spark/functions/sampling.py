@@ -194,3 +194,84 @@ def scroll_slices(docs: DataFrame, n_slices: int = 4) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(doc_id, n_grams, logw) for RAW documents — Data Selection via
+    Importance Resampling (DSIR; Xie et al. 2023, arXiv:2302.03169), the
+    standard hashed-n-gram importance weighting for "pick web documents
+    that look like the target corpus":
+
+      * features: unigrams + bigrams of the [a-z0-9]+ tokenization,
+        hashed into `n_buckets` buckets (md5-hex prefix mod B — the
+        engine-portable hash this module already uses);
+      * two add-1-smoothed bag-of-hashed-ngrams multinomials: p over
+        the TARGET docs (`is_target` boolean Column), q over the rest
+        (the raw pool);
+      * per raw doc, the log importance weight
+        logw = Σ_b c_b(doc) · (ln p_b − ln q_b), where c_b counts the
+        doc's gram occurrences in bucket b.  Resample/select by taking
+        the top-N logw (the paper adds Gumbel noise for a soft sample;
+        the deterministic top-N is the reproducible variant, and a
+        seeded-hash Gumbel can be layered on the returned weights).
+
+    Docs whose text yields no grams produce no row (they carry no
+    evidence either way).
+
+    Scale shape: one explode → map-side-partial groupBy((doc, bucket))
+    at O(total tokens) narrow int rows; bucket totals are a second
+    groupBy at ≤ B rows, broadcast back with the two scalar totals; the
+    per-doc weight is one more partial-aggregable groupBy(doc).  No
+    window, no driver loop, no UDF — linear in corpus size with three
+    shuffles of bounded-width rows."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = "regexp_extract_all(lower(text), '([a-z0-9]+)', 1)"
+    grams = F.expr(
+        f"concat({toks}, zip_with("
+        f"  slice({toks}, 1, greatest(size({toks}) - 1, 0)),"
+        f"  slice({toks}, 2, greatest(size({toks}) - 1, 0)),"
+        "  (a, b) -> concat(a, ' ', b)))"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+        .cast("long") % F.lit(int(n_buckets))
+    ).alias("bucket")
+    dbc = (
+        docs.select(
+            "doc_id",
+            is_target.alias("is_t"),
+            F.explode(grams).alias("gram"),
+        )
+        .select("doc_id", "is_t", bucket)
+        .groupBy("doc_id", "is_t", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("cr"),
+    )
+    scal = tot.agg(
+        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
+    )
+    b = float(n_buckets)
+    ratios = tot.crossJoin(F.broadcast(scal)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("t_total") + b))
+            - F.log((F.col("cr") + 1.0) / (F.col("r_total") + b))
+        ).alias("logr"),
+    )
+    return (
+        dbc.filter(~F.col("is_t"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("logr")).alias("logw"),
+        )
+    )
