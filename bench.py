@@ -223,6 +223,8 @@ JOB_EQUIV_REVS = {
     "cc1659b": "23c0dc3",  # ledger-map-only
     "e7dd813": "23c0dc3",  # span_containing/span_within — leg never
                            # imports plans/near
+    "bfb8a38": "23c0dc3",  # dsir_weights — leg never imports
+                           # functions/sampling
 }
 
 
