@@ -225,6 +225,9 @@ JOB_EQUIV_REVS = {
                            # imports plans/near
     "bfb8a38": "23c0dc3",  # dsir_weights — leg never imports
                            # functions/sampling
+    "5448628": "23c0dc3",  # ledger-map-only
+    "dac4730": "23c0dc3",  # streaming sessionization — leg never imports
+                           # streaming/sessionize_stream
 }
 
 
