@@ -250,6 +250,10 @@ def dsir_weights(
         .select("doc_id", "is_t", bucket)
         .groupBy("doc_id", "is_t", "bucket")
         .agg(F.count("*").alias("c"))
+        # dbc feeds BOTH the bucket totals and the per-doc weights; without
+        # this the lazy plan re-scans + re-explodes the corpus per consumer
+        # (3 full scans at 100 TB).  One narrow int relation cached instead.
+        .persist()
     )
     tot = dbc.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("ct"),
