@@ -228,6 +228,9 @@ JOB_EQUIV_REVS = {
     "5448628": "23c0dc3",  # ledger-map-only
     "dac4730": "23c0dc3",  # streaming sessionization — leg never imports
                            # streaming/sessionize_stream
+    "a4ac824": "23c0dc3",  # ledger-map-only
+    "e6e0134": "23c0dc3",  # dsir persist fix — leg never imports
+                           # functions/sampling
 }
 
 
