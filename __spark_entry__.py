@@ -582,6 +582,33 @@ def _q_bm25_snippets(spark, sf_dir):
     )
 
 
+def _q_bm25_highlight(spark, sf_dir):
+    """ES-highlighter analog on materialized hits: up to 3 tagged
+    120-char fragments per hit, query-token occurrences wrapped in
+    <em></em> (functions/snippet.add_highlights over the fields path);
+    one row per (hit, fragment)."""
+    from rt_etl_yahoo_search_engine_spark.functions.snippet import add_highlights
+    from rt_etl_yahoo_search_engine_spark.plans.bm25 import topk
+
+    root = _index_for(spark, sf_dir)
+    fields = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.col("text").alias("body"),
+    )
+    out = add_highlights(
+        spark,
+        topk(spark, root, DOC_QUERIES, k=10, fields=fields),
+        DOC_QUERIES,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("frag_idx").cast("int").alias("frag_idx"),
+        F.col("highlight").alias("fragment"),
+    )
+
+
 def _q_bm25_serve(spark, sf_dir):
     """Low-latency serving path (plans.serve.LocalSearcher): no Spark job
     for the query itself — pyarrow bucket/row-group pruned reads + the same
@@ -3736,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_deleted": _q_bm25_topk_deleted,
         "bm25_topk_purged": _q_bm25_topk_purged,
         "bm25_topk_snippets": _q_bm25_snippets,
+        "bm25_topk_highlight": _q_bm25_highlight,
         "bm25_serve_topk": _q_bm25_serve,
         "phrase_topk": _q_phrase_topk,
         "phrase_topk_positions": _q_phrase_topk_positions,
@@ -5861,6 +5889,82 @@ WHERE r.rank <= 10
 """
 
 
+def _highlight_sql(width: int = 120, before: int = 40) -> str:
+    """Disjunctive BM25 top-10 + the positional multi-fragment highlight
+    contract of functions/snippet.add_highlights: tag pass wraps every
+    case-insensitive query-token occurrence (longest-first alternation)
+    in <em></em>, then up to 3 width-char windows of the TAGGED text,
+    each anchored `before` chars ahead of the next <em> at-or-after the
+    previous window's end; no-match hits emit no rows."""
+    qpat_rows = ", ".join(
+        "('{}', '(?i)({})')".format(
+            qid,
+            "|".join(
+                sorted(set(spec.tokenize(text)), key=lambda t: (-len(t), t))
+            ),
+        )
+        for qid, text in DOC_QUERIES.items()
+    )
+
+    # locate('<em>', tg, pos) emulation: DuckDB has no 3-arg strpos
+    def loc_from(pos):
+        return (
+            f"CASE WHEN strpos(substr(tg, {pos}), '<em>') = 0 THEN 0 "
+            f"ELSE {pos} - 1 + strpos(substr(tg, {pos}), '<em>') END"
+        )
+
+    frag = f"substr(tg, {{s}}, {width})"
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+qpat(query_id, pat) AS (VALUES {qpat_rows}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM dl) AS avgdl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored),
+h AS (SELECT r.query_id, r.rank, r.doc_id,
+             regexp_replace(d.text, qp.pat, '<em>\\1</em>', 'g') AS tg
+      FROM ranked r
+      JOIN documents d USING (doc_id)
+      JOIN qpat qp USING (query_id)
+      WHERE r.rank <= 10),
+a0 AS (SELECT *, strpos(tg, '<em>') AS p0 FROM h),
+b0 AS (SELECT *, CASE WHEN p0 > 0 THEN greatest(1, p0 - {before}) END AS s0 FROM a0),
+c0 AS (SELECT *, s0 + {width} AS e0 FROM b0),
+a1 AS (SELECT *, CASE WHEN e0 IS NOT NULL THEN ({loc_from('e0')}) ELSE 0 END AS p1 FROM c0),
+b1 AS (SELECT *, CASE WHEN p1 > 0 THEN greatest(e0, p1 - {before}) END AS s1 FROM a1),
+c1 AS (SELECT *, s1 + {width} AS e1 FROM b1),
+a2 AS (SELECT *, CASE WHEN e1 IS NOT NULL THEN ({loc_from('e1')}) ELSE 0 END AS p2 FROM c1),
+b2 AS (SELECT *, CASE WHEN p2 > 0 THEN greatest(e1, p2 - {before}) END AS s2 FROM a2)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       0 AS frag_idx, {frag.format(s='s0')} AS fragment
+FROM b2 WHERE s0 IS NOT NULL
+UNION ALL
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       1 AS frag_idx, {frag.format(s='s1')} AS fragment
+FROM b2 WHERE s1 IS NOT NULL
+UNION ALL
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       2 AS frag_idx, {frag.format(s='s2')} AS fragment
+FROM b2 WHERE s2 IS NOT NULL
+"""
+
+
 _COS_SQL_BODY = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
@@ -6383,6 +6487,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "bm25_topk_deleted": _bm25_sql("disjunctive", deleted="mask"),
         "bm25_topk_purged": _bm25_sql("disjunctive", deleted="purge"),
         "bm25_topk_snippets": _snippet_sql(),
+        "bm25_topk_highlight": _highlight_sql(),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_positions": _phrase_sql(),
         "near_topk": _near_sql(),
