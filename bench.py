@@ -231,6 +231,9 @@ JOB_EQUIV_REVS = {
     "a4ac824": "23c0dc3",  # ledger-map-only
     "e6e0134": "23c0dc3",  # dsir persist fix — leg never imports
                            # functions/sampling
+    "951bd27": "23c0dc3",  # ledger-map-only
+    "3cbe16f": "23c0dc3",  # multi-fragment highlighting — leg never
+                           # imports functions/snippet
 }
 
 
