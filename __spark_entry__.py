@@ -3036,6 +3036,43 @@ def _q_pii_redaction(spark, sf_dir):
     return pii_stats(_pii_augmented(spark, sf_dir))
 
 
+def _q_url_canonicalize(spark, sf_dir):
+    """Crawl URL canonicalization + latest-snapshot dedup
+    (functions/webtext.normalize_urls / latest_snapshot): urls are
+    synthesized deterministically from (doc_id, source) with mixed-case
+    hosts, default/non-default ports, tracking params, unsorted params,
+    trailing slashes, and fragments; doc_id stands in for the snapshot
+    timestamp.  One projection + one hash shuffle on the canonical url."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import (
+        latest_snapshot,
+        normalize_urls,
+    )
+
+    u = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat("
+            " CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END,"
+            " CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,"
+            " '.Example.COM',"
+            " CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+            " '/docs/', CAST(doc_id % 40 AS STRING),"
+            " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN ''"
+            "      WHEN doc_id % 3 = 0 THEN '?utm_source=feed&gclid=g1'"
+            "      WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_medium=m'"
+            "      ELSE '?a=1&b=2' END,"
+            " CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)"
+        ).alias("url"),
+    )
+    out = latest_snapshot(normalize_urls(u), ts_col="doc_id")
+    return out.select(
+        "norm_url",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher repetition/shape filters (functions/webtext.repetition_stats):
     distinct-token ratio, top-bigram fraction (longest equal run over the
@@ -3885,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "pii_redaction": _q_pii_redaction,
         "repetition_stats": _q_repetition_stats,
+        "url_canonicalize": _q_url_canonicalize,
         "chunk_dedup": _q_chunk_dedup,
         "c4_line_dedup": _q_line_dedup,
         "exact_substr_spans": _q_dup_spans,
@@ -6887,6 +6925,46 @@ SELECT doc_id,
       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
       AS redacted_fp
 FROM aug
+        """,
+        "url_canonicalize": """
+WITH u AS (SELECT doc_id,
+  ( CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END
+  || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+  || '.Example.COM'
+  || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+  || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+  || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ''
+          WHEN doc_id % 3 = 0 THEN '?utm_source=feed&gclid=g1'
+          WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_medium=m'
+          ELSE '?a=1&b=2' END
+  || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+parts AS (SELECT doc_id,
+  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+  regexp_replace(regexp_extract(url,
+      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u),
+n AS (SELECT doc_id,
+  (scheme || '://'
+   || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           ELSE hostport END
+   || path
+   || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS norm_url
+  FROM (SELECT *,
+          array_to_string(list_sort(list_filter(string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)='))), '&') AS kept
+        FROM parts)),
+w AS (SELECT norm_url, doc_id,
+        row_number() OVER (PARTITION BY norm_url ORDER BY doc_id DESC) AS rn,
+        count(*) OVER (PARTITION BY norm_url) AS n_snapshots
+      FROM n)
+SELECT norm_url, doc_id AS kept_doc_id, CAST(n_snapshots AS BIGINT) AS n_snapshots
+FROM w WHERE rn = 1
         """,
         "repetition_stats": """
 WITH t AS (SELECT doc_id, text,

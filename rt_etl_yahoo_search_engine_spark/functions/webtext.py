@@ -406,3 +406,91 @@ def quality_funnel(docs: DataFrame, **thresholds) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
     )
+
+
+# --- URL canonicalization (crawl-dedup hygiene) -------------------------
+
+# Tracking query parameters stripped by normalize_urls (anchored: matches
+# the param NAME at the start of a `name=value` pair)
+TRACKING_PARAM_RE = "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+_SCHEME = "lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+_HOSTPORT = "lower(regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+_PATH = (
+    "regexp_replace(regexp_extract({u},"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+)
+_QUERY = "regexp_extract({u}, '\\\\?([^#]*)', 1)"  # '' when no '?'
+
+
+def normalize_urls(
+    pages: DataFrame, url_col: str = "url", out_col: str = "norm_url"
+) -> DataFrame:
+    """Append ``out_col``: the canonical form of ``url_col`` — the key a
+    crawl pipeline dedups snapshots on (Common-Crawl CDX-style URL
+    canonicalization; the reference stores raw url strings as row
+    identity, src/models/extractor_data_classes/extracted_text.py).
+
+    Canonical form (deterministic, both-engine-expressible):
+      * scheme and host lowercased
+      * default port stripped (``:80`` for http, ``:443`` for https;
+        non-default ports kept)
+      * trailing slashes stripped from the path
+      * fragment dropped
+      * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``,
+        ``ref``) dropped; remaining query params sorted bytewise
+
+    All whole-stage codegen: regexp_extract + higher-order
+    filter/array_sort over the split query — one projection, no shuffle,
+    no Python.  Malformed urls (no ``scheme://``) normalize to
+    ``'://'``-prefixed strings rather than erroring (garbage-in,
+    deterministic-garbage-out; a real pipeline gates them upstream).
+    """
+    scheme = _SCHEME.format(u=url_col)
+    hostport = _HOSTPORT.format(u=url_col)
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = _PATH.format(u=url_col)
+    query = _QUERY.format(u=url_col)
+    kept = (
+        f"array_join(array_sort(filter(split({query}, '&'), "
+        f"p -> p != '' AND NOT p rlike '{TRACKING_PARAM_RE}')), '&')"
+    )
+    norm = (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {kept} != '' THEN concat('?', {kept}) ELSE '' END)"
+    )
+    return pages.withColumn(out_col, F.expr(norm))
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    key_col: str = "norm_url",
+    ts_col: str = "warc_ts",
+    tie_col: str | None = None,
+    count_col: str = "n_snapshots",
+) -> DataFrame:
+    """One row per ``key_col``: the LATEST snapshot (max ``ts_col``; ties
+    broken by descending ``tie_col`` when given) plus ``count_col`` = how
+    many snapshots collapsed into it.  The crawl-dedup step after
+    :func:`normalize_urls`: keep the freshest capture of each canonical
+    url.
+
+    Scale shape: ONE hash shuffle on the canonical url (unavoidable for
+    exact per-key dedup), then two window functions over the same
+    partitioning — no second exchange.  Skew is bounded by snapshots per
+    url (Common-Crawl: O(10)), not by corpus size.
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(ts_col)] + ([F.desc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col)
+    return (
+        pages.withColumn("_snap_rn", F.row_number().over(w.orderBy(*order)))
+        .withColumn(count_col, F.count("*").over(w))
+        .filter(F.col("_snap_rn") == 1)
+        .drop("_snap_rn")
+    )
