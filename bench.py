@@ -234,6 +234,9 @@ JOB_EQUIV_REVS = {
     "951bd27": "23c0dc3",  # ledger-map-only
     "3cbe16f": "23c0dc3",  # multi-fragment highlighting — leg never
                            # imports functions/snippet
+    "9c30659": "23c0dc3",  # ledger-map-only
+    "ffd6bb6": "23c0dc3",  # url canonicalization — new functions in
+                           # webtext.py the scaling leg never calls
 }
 
 
