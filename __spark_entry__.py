@@ -3241,6 +3241,64 @@ def _q_bpe_pairs(spark, sf_dir):
     )
 
 
+_BPE_MERGES = 6
+
+
+def _q_bpe_learn(spark, sf_dir):
+    """Full BPE training loop (functions/text_analysis.bpe_learn): 6
+    merge rounds over the word-frequency table — count adjacent symbol
+    pairs (weighted by word count, overlaps included), merge the most
+    frequent (count DESC, 'left right' ASC), repeat.  The oracle unrolls
+    the identical iteration as chained CTEs."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        bpe_learn,
+    )
+
+    return bpe_learn(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_merges=_BPE_MERGES
+    )
+
+
+def _bpe_learn_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled BPE trainer: one (pair-count, argmax, merge-apply) CTE
+    block per round, character-identical to bpe_learn's contract."""
+    blocks = [
+        """
+WITH w AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+                 FROM documents) GROUP BY term),
+s0 AS (SELECT term, n, regexp_replace(term, '(.)', '(\\1)', 'g') AS sym FROM w)"""
+    ]
+    for i in range(n_merges):
+        blocks.append(
+            f"""
+p{i} AS (SELECT pair, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT n, unnest(list_transform(range(1, len(tk)),
+                     j -> tk[j] || ' ' || tk[j + 1])) AS pair
+    FROM (SELECT n, string_split(trim(sym, '()'), ')(') AS tk FROM s{i}))
+  GROUP BY pair),
+m{i} AS (SELECT {i} AS merge_idx,
+                string_split(pair, ' ')[1] AS left_sym,
+                string_split(pair, ' ')[2] AS right_sym, c
+         FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1)"""
+        )
+        if i < n_merges - 1:
+            blocks.append(
+                f"""
+s{i + 1} AS (SELECT s.term, s.n,
+             replace(s.sym, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                     '(' || m.left_sym || m.right_sym || ')') AS sym
+             FROM s{i} s, m{i} m)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_idx AS INTEGER) AS merge_idx, left_sym,"
+        f" right_sym, CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(n_merges)
+    )
+    return ",".join(blocks) + "\n" + union
+
+
 def _bpe_pairs_sql() -> str:
     return f"""
 WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -3930,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_min0": _q_date_histogram_min0,
         "bucket_selector_agg": _q_bucket_selector,
         "bpe_pair_counts": _q_bpe_pairs,
+        "bpe_learn": _q_bpe_learn,
         "terms_set_topk": _q_terms_set_topk,
         "dsir_weights": _q_dsir_weights,
         "categorize_text": _q_categorize_text,
@@ -6594,6 +6653,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "date_histogram_min0": _HISTO_MIN0_SQL,
         "bucket_selector_agg": _bucket_selector_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
+        "bpe_learn": _bpe_learn_sql(),
         "terms_set_topk": _terms_set_sql(),
         "dsir_weights": _DSIR_SQL,
         "categorize_text": _CATEGORIZE_SQL,

@@ -406,3 +406,67 @@ def categorize_text(
         "doc_count",
         "min_doc_id",
     )
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """(merge_idx, left_sym, right_sym, pair_count) — the full BPE
+    tokenizer TRAINING loop (Sennrich et al. 2016), ``n_merges`` rounds:
+    count adjacent symbol pairs corpus-wide, merge the most frequent
+    (count DESC, 'left right' string ASC — the deterministic pick), and
+    repeat.  :func:`bpe_pair_counts` is round one of this.
+
+    Scale-correct structure: the corpus is scanned ONCE to build the
+    word-frequency table (token -> count; the classic trainer's input —
+    vocabulary-scale, ~1e7 rows at 100 TB, not corpus-scale), then every
+    iteration runs on that small cached table: pair explode + weighted
+    sum (map-side combine) + a 1-row argmax collect, and the merge is
+    applied as one JVM ``replace`` over a parenthesized symbol string
+    ('(c)(h)(a)(t)'), whose delimiters make left-to-right non-overlapping
+    replacement exactly the greedy BPE merge.  Driver work per round is
+    one row; nothing corpus-scale ever recomputes.
+    """
+    words = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    base = words.withColumn(
+        "sym", F.expr("regexp_replace(term, '(.)', '($1)')")
+    ).persist()
+    base.count()  # materialize before iterating
+    cur = base
+    spark = docs.sparkSession
+    merges = []
+    try:
+        for i in range(int(n_merges)):
+            tk = "split(trim(BOTH '()' FROM sym), '[)][(]')"
+            pairs_expr = (
+                f"CASE WHEN size({tk}) < 2 THEN array() "
+                f"ELSE transform(sequence(1, size({tk}) - 1), "
+                f"j -> concat(element_at({tk}, j), ' ', "
+                f"element_at({tk}, j + 1))) END"
+            )
+            top = (
+                cur.select("n", F.explode(F.expr(pairs_expr)).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("n").cast("long").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, c = top[0]["pair"], int(top[0]["c"])
+            left, right = pair.split(" ")  # symbols are [a-z0-9]+: no quoting needed
+            merges.append((i, left, right, c))
+            cur = cur.withColumn(
+                "sym",
+                F.expr(f"replace(sym, '({left})({right})', '({left}{right})')"),
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string, pair_count long",
+    )
