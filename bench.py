@@ -237,6 +237,9 @@ JOB_EQUIV_REVS = {
     "9c30659": "23c0dc3",  # ledger-map-only
     "ffd6bb6": "23c0dc3",  # url canonicalization — new functions in
                            # webtext.py the scaling leg never calls
+    "46130ec": "23c0dc3",  # ledger-map-only
+    "cdac9b5": "23c0dc3",  # bpe_learn — new function in text_analysis.py
+                           # the scaling leg never calls
 }
 
 
