@@ -3073,6 +3073,67 @@ def _q_url_canonicalize(spark, sf_dir):
     )
 
 
+def _link_edges(spark, sf_dir):
+    """Deterministic synthetic edge set over documents: each doc links to
+    three pseudo-random targets in a 400-node hub space — same formula as
+    the SQL oracles' edge CTE."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.expr("array(1, 2, 3)")).alias("j"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13) % 400).alias("dst"))
+    )
+
+
+_LINK_EDGES_CTE = """e AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % 400 AS dst
+      FROM documents, (VALUES (1), (2), (3)) AS js(j))"""
+
+
+def _q_link_degree_stats(spark, sf_dir):
+    """Webgraph degree statistics (functions/linkgraph.degree_stats):
+    out/in degree per node over the synthetic edge set, ONE shuffle via
+    the union trick."""
+    from rt_etl_yahoo_search_engine_spark.functions.linkgraph import degree_stats
+
+    return degree_stats(_link_edges(spark, sf_dir))
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """PageRank (functions/linkgraph.pagerank): 5 power-iteration rounds,
+    damping 0.85, no dangling redistribution — the oracle unrolls the
+    identical rounds as chained CTEs."""
+    from rt_etl_yahoo_search_engine_spark.functions.linkgraph import pagerank
+
+    out = pagerank(_link_edges(spark, sf_dir), n_iter=5)
+    return out.select("node", F.round("pr", 6).alias("pr"))
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    parts = [
+        f"""WITH {_LINK_EDGES_CTE},
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS node, sum(r{t}.pr / deg.od) AS c
+         FROM e JOIN r{t} ON r{t}.node = e.src JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r{t + 1} AS (SELECT nd.node,
+             (1 - {damping}) / nn.n + {damping} * coalesce(c{t}.c, 0) AS pr
+             FROM nodes nd CROSS JOIN nn
+             LEFT JOIN c{t} ON c{t}.node = nd.node)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{n_iter}")
+    return "".join(parts)
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher repetition/shape filters (functions/webtext.repetition_stats):
     distinct-token ratio, top-bigram fraction (longest equal run over the
@@ -3981,6 +4042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "repetition_stats": _q_repetition_stats,
         "url_canonicalize": _q_url_canonicalize,
+        "link_degree_stats": _q_link_degree_stats,
+        "link_pagerank": _q_link_pagerank,
         "chunk_dedup": _q_chunk_dedup,
         "c4_line_dedup": _q_line_dedup,
         "exact_substr_spans": _q_dup_spans,
@@ -6986,6 +7049,14 @@ SELECT doc_id,
       AS redacted_fp
 FROM aug
         """,
+        "link_degree_stats": f"""
+WITH {_LINK_EDGES_CTE},
+b AS (SELECT src AS node, 1 AS o, 0 AS i FROM e
+      UNION ALL SELECT dst, 0, 1 FROM e)
+SELECT node, CAST(sum(o) AS BIGINT) AS out_deg, CAST(sum(i) AS BIGINT) AS in_deg
+FROM b GROUP BY node
+        """,
+        "link_pagerank": _pagerank_sql(),
         "url_canonicalize": """
 WITH u AS (SELECT doc_id,
   ( CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END
