@@ -240,7 +240,7 @@ JOB_EQUIV_REVS = {
     "46130ec": "23c0dc3",  # ledger-map-only
     "cdac9b5": "23c0dc3",  # bpe_learn — new function in text_analysis.py
                            # the scaling leg never calls
-    "5456ecc": "23c0dc3",  # ledger-map-only
+    "8e3deed": "23c0dc3",  # ledger-map-only
     "850dbaa": "23c0dc3",  # linkgraph module — scaling leg never imports
                            # functions/linkgraph
 }
