@@ -243,6 +243,8 @@ JOB_EQUIV_REVS = {
     "8e3deed": "23c0dc3",  # ledger-map-only
     "850dbaa": "23c0dc3",  # linkgraph module — scaling leg never imports
                            # functions/linkgraph
+    "20c6653": "23c0dc3",  # ledger-map-only
+    "16cd20e": "23c0dc3",  # ledger-map-only
 }
 
 
