@@ -245,6 +245,9 @@ JOB_EQUIV_REVS = {
                            # functions/linkgraph
     "20c6653": "23c0dc3",  # ledger-map-only
     "16cd20e": "23c0dc3",  # ledger-map-only
+    "9072559": "23c0dc3",  # ledger-map-only
+    "9d47be1": "23c0dc3",  # streaming dedup — leg never imports
+                           # streaming/dedup_stream
 }
 
 
