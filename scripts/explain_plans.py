@@ -114,6 +114,45 @@ def main() -> None:
         captured_plan(entry.queries()["ann_cosine_topk"](spark, SF_DIR)),
     ))
 
+    sections.append((
+        "Webgraph degree stats (union trick)",
+        "EXACTLY ONE exchange: each edge becomes an (endpoint, is_out) pair "
+        "via `Union`, and a single hash aggregate sums both degrees — the "
+        "two-agg + outer-join alternative would cost two exchanges plus a "
+        "join. Partial aggregation (`HashAggregate` before the exchange) "
+        "combines map-side.",
+        captured_plan(entry.queries()["link_degree_stats"](spark, SF_DIR)),
+    ))
+
+    sections.append((
+        "PageRank round (join on src + groupBy dst)",
+        "Each power-iteration round is one join of the degree-weighted edge "
+        "list with the current ranks on src, then one hash aggregate on dst "
+        "— both linear in |E|; at sandbox scale AQE turns the rank side "
+        "into a broadcast. The final LEFT join back to the node set gives "
+        "sink nodes their (1-d)/N floor. No corpus-scale window, no "
+        "Python.",
+        captured_plan(entry.queries()["link_pagerank"](spark, SF_DIR)),
+    ))
+
+    sections.append((
+        "URL canonicalization + latest-snapshot dedup",
+        "Canonicalization is a single codegen projection (regexp_extract + "
+        "higher-order filter/array_sort — no UDF, no exchange); the "
+        "snapshot dedup adds EXACTLY ONE hash exchange on the canonical "
+        "url, shared by both window functions (row_number and count).",
+        captured_plan(entry.queries()["url_canonicalize"](spark, SF_DIR)),
+    ))
+
+    sections.append((
+        "Multi-fragment highlighting over top-k hits",
+        "All highlight work (regexp tag pass + unrolled locate/substring "
+        "fragment chain + posexplode) runs AFTER the top-k merge on "
+        "k-rows-per-query data, with the per-query patterns arriving via "
+        "a broadcast join — never a corpus-scale operation.",
+        captured_plan(entry.queries()["bm25_topk_highlight"](spark, SF_DIR)),
+    ))
+
     out = [
         "# EXPLAIN — physical plans of the headline operators\n",
         "Generated by `scripts/explain_plans.py` (local[8], sf=" + SF_DIR + ").",
