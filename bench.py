@@ -248,6 +248,9 @@ JOB_EQUIV_REVS = {
     "9072559": "23c0dc3",  # ledger-map-only
     "9d47be1": "23c0dc3",  # streaming dedup — leg never imports
                            # streaming/dedup_stream
+    "071f96b": "23c0dc3",  # ledger-map-only
+    "83efed7": "23c0dc3",  # EXPLAIN.md + explain_plans sections — docs/
+                           # tooling only, leg untouched
 }
 
 
