@@ -251,6 +251,8 @@ JOB_EQUIV_REVS = {
     "071f96b": "23c0dc3",  # ledger-map-only
     "83efed7": "23c0dc3",  # EXPLAIN.md + explain_plans sections — docs/
                            # tooling only, leg untouched
+    "1221e36": "23c0dc3",  # ledger-map-only
+    "921693b": "23c0dc3",  # SURVEY.md doc-only
 }
 
 
