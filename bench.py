@@ -253,6 +253,8 @@ JOB_EQUIV_REVS = {
                            # tooling only, leg untouched
     "1221e36": "23c0dc3",  # ledger-map-only
     "921693b": "23c0dc3",  # SURVEY.md doc-only
+    "0888bae": "23c0dc3",  # ledger-map-only
+    "b0e5aa0": "23c0dc3",  # README doc-only
 }
 
 
