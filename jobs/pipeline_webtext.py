@@ -2,7 +2,17 @@
 """spark-submit entry point: the full training-data preparation pipeline.
 
 Chains the webtext hygiene operators end to end — the C4/RefinedWeb-shaped
-run a 100 TB corpus goes through before tokenizer/LM training:
+run a 100 TB corpus goes through before tokenizer/LM training.
+
+With ``--pages`` the pipeline starts from the crawl table itself
+(url, warc_ts, html, text, lang):
+
+    0. URL canonicalization + latest-snapshot dedup
+       (functions/webtext.normalize_urls / latest_snapshot — one
+       canonical capture per url, tracking params and re-fetches gone),
+       then the byte-identity HTML extractor fills missing text and the
+       canonical host becomes ``source``; with ``--docs`` these steps are
+       skipped and the (doc_id, source, lang, text) table is read as-is.
 
     1. quality gate      (functions/webtext.quality_gate — ordered
                           lang/length/word-len/repetition rules,
@@ -41,10 +51,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--docs", required=True, help="documents parquet path")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="documents parquet path (doc_id, source, lang, text)")
+    src.add_argument("--pages", help="crawl pages parquet path (url, warc_ts, html, text, lang) — prepends URL canonicalization + latest-snapshot dedup + HTML extraction")
     p.add_argument("--out", required=True, help="output root")
     p.add_argument("--budget", type=int, default=2048,
                    help="packing token budget per chunk")
+    p.add_argument("--min-tokens", type=int, default=16,
+                   help="quality gate: minimum token count")
+    p.add_argument("--max-tokens", type=int, default=200,
+                   help="quality gate: maximum token count (raise for "
+                        "long-page corpora; the default is calibrated "
+                        "for the short-document test table)")
     p.add_argument("--master", default=None)
     a = p.parse_args(argv)
 
@@ -62,12 +80,44 @@ def main(argv=None) -> int:
     )
     from rt_etl_yahoo_search_engine_spark.session import get_spark
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app="pipeline-webtext", master=a.master)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(a.docs)
+    if a.pages:
+        # crawl-native front end: canonical-url snapshot dedup, then the
+        # byte-identity HTML extractor fills text; doc identity is the
+        # 64-bit hash of the canonical url (deterministic, join-stable),
+        # source is the canonical host — the (doc_id, source, lang, text)
+        # contract the doc stages below expect
+        from rt_etl_yahoo_search_engine_spark.functions.extract import (
+            page_text_df,
+        )
+        from rt_etl_yahoo_search_engine_spark.functions.webtext import (
+            latest_snapshot,
+            normalize_urls,
+        )
+
+        snap = latest_snapshot(normalize_urls(
+            spark.read.parquet(a.pages)
+        ))
+        txt = page_text_df(snap).withColumnRenamed("text", "ex_text")
+        docs = snap.join(txt, "url").select(
+            F.xxhash64("norm_url").alias("doc_id"),
+            F.expr(
+                "regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)"
+            ).alias("source"),
+            "lang",
+            F.coalesce("text", "ex_text").alias("text"),
+        )
+    else:
+        docs = spark.read.parquet(a.docs)
 
     # 1. quality funnel — keep survivors, report the rest per rule
-    gated = quality_gate(docs).persist()
+    gated = quality_gate(
+        docs, min_tokens=a.min_tokens, max_tokens=a.max_tokens
+    ).persist()
     stages = {
         r["stage"]: r["n"]
         for r in gated.groupBy("stage").agg(F.count("*").alias("n")).collect()
@@ -116,7 +166,7 @@ def main(argv=None) -> int:
             {
                 "stages": {s: int(n) for s, n in sorted(stages.items())},
                 "clean_docs": int(totals["docs"]),
-                "clean_tokens": int(totals["tokens"]),
+                "clean_tokens": int(totals["tokens"] or 0),
                 "packed_chunks": int(totals["chunks"]),
                 "budget": a.budget,
                 "out": a.out,
@@ -125,7 +175,8 @@ def main(argv=None) -> int:
     )
     gated.unpersist()
     clean.unpersist()
-    spark.stop()
+    if owns_session:  # don't kill a caller-owned session (tests, notebooks)
+        spark.stop()
     return 0
 
 
