@@ -255,6 +255,9 @@ JOB_EQUIV_REVS = {
     "921693b": "23c0dc3",  # SURVEY.md doc-only
     "0888bae": "23c0dc3",  # ledger-map-only
     "b0e5aa0": "23c0dc3",  # README doc-only
+    "b2d4ce0": "23c0dc3",  # ledger-map-only
+    "cc57f77": "23c0dc3",  # pipeline job --pages mode — the scaling leg
+                           # never runs jobs/pipeline_webtext.py
 }
 
 
