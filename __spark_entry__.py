@@ -3091,6 +3091,31 @@ _LINK_EDGES_CTE = """e AS (SELECT doc_id AS src, (doc_id * 7 + j * 13) % 400 AS 
       FROM documents, (VALUES (1), (2), (3)) AS js(j))"""
 
 
+_LINK_HTML_EXPR = (
+    "concat('<html><a href=\"https://h', CAST(doc_id % 7 AS STRING),"
+    " '.example/p', CAST(doc_id % 13 AS STRING), '\">x</a>',"
+    " CASE WHEN doc_id % 2 = 0 THEN concat('<div><a href=\"/rel', "
+    "CAST(doc_id % 5 AS STRING), '\">y</a></div>') ELSE '' END,"
+    " '<img src=\"i.png\"><a name=\"n\">plain</a></html>')"
+)
+
+
+def _q_link_extract(spark, sf_dir):
+    """href edge extraction (functions/linkgraph.extract_links): html
+    synthesized deterministically per doc (absolute + relative anchors,
+    href-less <a> and <img src> decoys), decoded + regexp-harvested in
+    one codegen projection; one row per href in document order."""
+    from rt_etl_yahoo_search_engine_spark.functions.linkgraph import (
+        extract_links,
+    )
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.expr(_LINK_HTML_EXPR), "UTF-8").alias("html"),
+    )
+    return extract_links(pages)
+
+
 def _q_link_degree_stats(spark, sf_dir):
     """Webgraph degree statistics (functions/linkgraph.degree_stats):
     out/in degree per node over the synthetic edge set, ONE shuffle via
@@ -4042,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "repetition_stats": _q_repetition_stats,
         "url_canonicalize": _q_url_canonicalize,
+        "link_extract": _q_link_extract,
         "link_degree_stats": _q_link_degree_stats,
         "link_pagerank": _q_link_pagerank,
         "chunk_dedup": _q_chunk_dedup,
@@ -7048,6 +7074,19 @@ SELECT doc_id,
       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
       AS redacted_fp
 FROM aug
+        """,
+        "link_extract": """
+WITH p AS (SELECT doc_id,
+  ('<html><a href="https://h' || CAST(doc_id % 7 AS VARCHAR)
+   || '.example/p' || CAST(doc_id % 13 AS VARCHAR) || '">x</a>'
+   || CASE WHEN doc_id % 2 = 0
+           THEN '<div><a href="/rel' || CAST(doc_id % 5 AS VARCHAR) || '">y</a></div>'
+           ELSE '' END
+   || '<img src="i.png"><a name="n">plain</a></html>') AS html
+  FROM documents)
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS src_url,
+       unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst_url
+FROM p
         """,
         "link_degree_stats": f"""
 WITH {_LINK_EDGES_CTE},
