@@ -258,6 +258,12 @@ JOB_EQUIV_REVS = {
     "b2d4ce0": "23c0dc3",  # ledger-map-only
     "cc57f77": "23c0dc3",  # pipeline job --pages mode — the scaling leg
                            # never runs jobs/pipeline_webtext.py
+    "53fc054": "23c0dc3",  # ledger-map-only
+    "fcf6002": "23c0dc3",  # COVERAGE doc-only
+    "d3ed9b5": "23c0dc3",  # BENCH evidence-only (1v4 legs)
+    "bc010c5": "23c0dc3",  # BENCH evidence-only (2v8 legs)
+    "56d8a5f": "23c0dc3",  # link_extract entry — __spark_entry__.py only,
+                           # never imported by the scaling leg
 }
 
 
