@@ -3330,6 +3330,53 @@ def _q_bpe_pairs(spark, sf_dir):
 _BPE_MERGES = 6
 
 
+def _q_ngram_lang_id(spark, sf_dir):
+    """Cavnar-Trenkle n-gram rank-profile language ID
+    (functions/text_analysis.ngram_lang_id): per-language top-40
+    boundary-padded trigram rank profiles trained on the corpus's own
+    lang labels, out-of-place distance, argmin."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        ngram_lang_id,
+    )
+
+    return ngram_lang_id(_docs(spark, sf_dir), n_top=40)
+
+
+_NGRAM_LANGID_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, gram
+  FROM (SELECT doc_id, lang,
+          unnest(flatten(list_transform(
+            regexp_extract_all(lower(text), '[a-z0-9]+'),
+            t -> list_transform(range(1, length(t) + 1),
+                 i -> substr('_' || t || '_', i, 3))))) AS gram
+        FROM documents)
+  WHERE length(gram) = 3),
+lp AS (SELECT * FROM (
+  SELECT lang, gram,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC)
+           AS lrank
+  FROM (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2))
+  WHERE lrank <= 40),
+dp AS (SELECT * FROM (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC)
+           AS drank
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2))
+  WHERE drank <= 40),
+s AS (SELECT dp.doc_id, l.lang,
+        CAST(sum(coalesce(abs(dp.drank - lp.lrank), 40)) AS BIGINT) AS dist
+      FROM dp CROSS JOIN (SELECT DISTINCT lang FROM lp) l
+      LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dp.gram
+      GROUP BY dp.doc_id, l.lang)
+SELECT doc_id, lang AS pred_lang, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY dist ASC, lang ASC) AS rn
+      FROM s)
+WHERE rn = 1
+"""
+
+
 def _q_bpe_learn(spark, sf_dir):
     """Full BPE training loop (functions/text_analysis.bpe_learn): 6
     merge rounds over the word-frequency table — count adjacent symbol
@@ -4078,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_selector_agg": _q_bucket_selector,
         "bpe_pair_counts": _q_bpe_pairs,
         "bpe_learn": _q_bpe_learn,
+        "ngram_lang_id": _q_ngram_lang_id,
         "terms_set_topk": _q_terms_set_topk,
         "dsir_weights": _q_dsir_weights,
         "categorize_text": _q_categorize_text,
@@ -6743,6 +6791,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "bucket_selector_agg": _bucket_selector_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "bpe_learn": _bpe_learn_sql(),
+        "ngram_lang_id": _NGRAM_LANGID_SQL,
         "terms_set_topk": _terms_set_sql(),
         "dsir_weights": _DSIR_SQL,
         "categorize_text": _CATEGORIZE_SQL,

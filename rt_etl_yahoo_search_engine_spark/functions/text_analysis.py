@@ -470,3 +470,83 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         merges,
         "merge_idx int, left_sym string, right_sym string, pair_count long",
     )
+
+
+def ngram_lang_id(docs: DataFrame, n_top: int = 40) -> DataFrame:
+    """(doc_id, pred_lang, dist) — Cavnar-Trenkle (1994) n-gram rank-
+    profile language ID, the classic production lang-ID algorithm (what
+    `lang_id`'s stopword heuristic stands in for): per language, the
+    training profile is the ``n_top`` most frequent boundary-padded char
+    trigrams ranked by (count DESC, gram ASC); each document builds the
+    same ranked profile of its own text, and its distance to a language
+    is the out-of-place measure — sum over the doc's top grams of
+    |doc_rank - lang_rank|, with ``n_top`` as the penalty for grams
+    absent from the language profile.  pred_lang = argmin distance
+    (lang ASC on ties).  Trains on the input's own ``lang`` column
+    (self-supervised over the corpus); docs with no tokens emit no row.
+
+    Scale shape: the language profiles aggregate to L x n_top rows
+    (metadata-scale, broadcast); the document side is one explode +
+    per-doc groupBy/window (a single corpus-linear shuffle keyed by
+    doc_id), then a broadcast join and a tiny per-(doc, lang) sum —
+    nothing quadratic, no Python.
+    """
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                + TOKENS_EXPR
+                + ", t -> transform(sequence(1, length(t)),"
+                "   i -> substring(concat('_', t, '_'), i, 3))))"
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") == 3)
+    from pyspark.sql import Window
+
+    lang_prof = (
+        grams.groupBy("lang", "gram")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("lrank") <= n_top)
+        .select("lang", "gram", "lrank")
+    )
+    doc_prof = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("drank") <= n_top)
+        .select("doc_id", "gram", "drank")
+    )
+    langs = lang_prof.select("lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["lang", "gram"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")), F.lit(int(n_top))
+                )
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("lang"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "dist")
+    )
