@@ -264,6 +264,9 @@ JOB_EQUIV_REVS = {
     "bc010c5": "23c0dc3",  # BENCH evidence-only (2v8 legs)
     "56d8a5f": "23c0dc3",  # link_extract entry — __spark_entry__.py only,
                            # never imported by the scaling leg
+    "25680b9": "23c0dc3",  # ledger-map-only
+    "b80643f": "23c0dc3",  # ngram_lang_id — new function in
+                           # text_analysis.py the scaling leg never calls
 }
 
 
