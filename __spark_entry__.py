@@ -582,6 +582,76 @@ def _q_bm25_snippets(spark, sf_dir):
     )
 
 
+def _resolve_index_ids(spark, root, hits):
+    """Map index doc ids back to the documents-table ids via the docmap
+    url (url = lpad(table doc_id)): the k-rows hit set is broadcast onto
+    ONE docmap scan — the fields-path pattern."""
+    dm = spark.read.parquet(f"{root}/docmap").select("doc_id", "url")
+    return (
+        dm.join(F.broadcast(hits), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def _q_dirichlet_topk(spark, sf_dir):
+    """LM-Dirichlet similarity top-10 (plans/simalt.alt_topk): the ES
+    `similarity: LMDirichlet` swap — same pruned posting reads, per-term
+    weight max(0, ln(1 + tf/(mu*cf/T)) + ln(mu/(dl+mu))), mu=2000."""
+    from rt_etl_yahoo_search_engine_spark.plans.simalt import alt_topk
+
+    root = _index_for(spark, sf_dir)
+    out = alt_topk(spark, root, DOC_QUERIES, similarity="dirichlet", k=10)
+    return _resolve_index_ids(spark, root, out)
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Classic TF-IDF similarity top-10 (plans/simalt.alt_topk): Lucene
+    ClassicSimilarity shape — sqrt(tf) * (1 + ln(N/(df+1)))^2 / sqrt(dl)."""
+    from rt_etl_yahoo_search_engine_spark.plans.simalt import alt_topk
+
+    root = _index_for(spark, sf_dir)
+    out = alt_topk(spark, root, DOC_QUERIES, similarity="tfidf", k=10)
+    return _resolve_index_ids(spark, root, out)
+
+
+_SIMALT_SQL_BASE = """
+WITH qterms(query_id, term) AS (VALUES {qterms}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term),
+lex AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT sum(doc_len) FROM dl) AS total),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id, sum({weight}) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term)
+       JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+_DIRICHLET_W = (
+    "greatest(0, ln(1 + tf / (2000.0 * (lex.cf / st.total)))"
+    " + ln(2000.0 / (dl.doc_len + 2000.0)))"
+)
+_TFIDF_W = (
+    "sqrt(tf) * ((1 + ln(st.n_docs / (lex.df + 1.0)))"
+    " * (1 + ln(st.n_docs / (lex.df + 1.0)))) / sqrt(dl.doc_len)"
+)
+
+
 def _q_bm25_highlight(spark, sf_dir):
     """ES-highlighter analog on materialized hits: up to 3 tagged
     120-char fragments per hit, query-token occurrences wrapped in
@@ -3992,6 +4062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_purged": _q_bm25_topk_purged,
         "bm25_topk_snippets": _q_bm25_snippets,
         "bm25_topk_highlight": _q_bm25_highlight,
+        "dirichlet_topk": _q_dirichlet_topk,
+        "tfidf_topk": _q_tfidf_topk,
         "bm25_serve_topk": _q_bm25_serve,
         "phrase_topk": _q_phrase_topk,
         "phrase_topk_positions": _q_phrase_topk_positions,
@@ -6722,6 +6794,12 @@ FROM hits h JOIN documents d USING (doc_id)
         "bm25_topk_purged": _bm25_sql("disjunctive", deleted="purge"),
         "bm25_topk_snippets": _snippet_sql(),
         "bm25_topk_highlight": _highlight_sql(),
+        "dirichlet_topk": _SIMALT_SQL_BASE.format(
+            qterms=_qterms_values(), weight=_DIRICHLET_W
+        ),
+        "tfidf_topk": _SIMALT_SQL_BASE.format(
+            qterms=_qterms_values(), weight=_TFIDF_W
+        ),
         "phrase_topk": _phrase_sql(),
         "phrase_topk_positions": _phrase_sql(),
         "near_topk": _near_sql(),

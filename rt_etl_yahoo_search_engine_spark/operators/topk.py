@@ -164,6 +164,31 @@ class _Cursor:
         return self.idf * float(self.parts[self.pos])
 
 
+def decode_term_postings_raw(
+    block_pdf: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, doc_lens) — the raw decoded posting columns, no
+    score expression applied.  The input to ALTERNATIVE similarity
+    formulas (plans/simalt.py): any scoring function of (tf, dl) plus
+    per-term corpus statistics can ride the same pruned block reads the
+    BM25 paths use."""
+    block_pdf = block_pdf.sort_values(["shard", "first_doc_id"])
+    firsts = block_pdf["first_doc_id"].to_numpy()
+    lasts = block_pdf["last_doc_id"].to_numpy()
+    if len(firsts) > 1 and not (firsts[1:] > lasts[:-1]).all():
+        raise ValueError(
+            "posting blocks overlap in doc_id; index was built with "
+            "url_ordered=True on a non-url-sorted pages table"
+        )
+    ids = decode_doc_ids_stream(block_pdf["doc_ids_vb"])
+    if not len(ids):
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    tfs = decode_varbyte_stream(block_pdf["tfs_vb"])
+    dls = decode_varbyte_stream(block_pdf["doc_lens_vb"])
+    return ids, tfs, dls
+
+
 def decode_term_postings_stream(
     block_pdf: pd.DataFrame, avgdl: float
 ) -> tuple[np.ndarray, np.ndarray]:
