@@ -267,6 +267,11 @@ JOB_EQUIV_REVS = {
     "25680b9": "23c0dc3",  # ledger-map-only
     "b80643f": "23c0dc3",  # ngram_lang_id — new function in
                            # text_analysis.py the scaling leg never calls
+    "f9cb7db": "23c0dc3",  # ledger-map-only
+    "5ae94d3": "23c0dc3",  # simalt similarities — new plans/simalt.py the
+                           # leg never imports; topk.py change is one NEW
+                           # function (decode_term_postings_raw) the leg's
+                           # executed paths never call
 }
 
 
