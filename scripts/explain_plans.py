@@ -145,6 +145,18 @@ def main() -> None:
     ))
 
     sections.append((
+        "Alternative similarity (LM-Dirichlet) over the same index",
+        "Identical shape to the scan-side BM25 batch path: the only "
+        "input is the metadata-scale (path, factor) unit list into "
+        "`MapInPandas` (each unit reads its own shard dir with term-isin "
+        "row-group pruning and emits k rows per set), the per-query map "
+        "is a broadcast join, and the only wide exchange is the "
+        "k-rows-per-(query,unit) window merge — swapping the weight "
+        "formula changed NOTHING in the data movement.",
+        captured_plan(entry.queries()["dirichlet_topk"](spark, SF_DIR)),
+    ))
+
+    sections.append((
         "Multi-fragment highlighting over top-k hits",
         "All highlight work (regexp tag pass + unrolled locate/substring "
         "fragment chain + posexplode) runs AFTER the top-k merge on "
