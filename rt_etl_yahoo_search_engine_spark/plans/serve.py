@@ -53,7 +53,11 @@ import numpy as np
 import pandas as pd
 
 from .. import spec
-from ..operators.topk import BatchScorer, decode_term_postings_stream
+from ..operators.topk import (
+    BatchScorer,
+    decode_term_postings_raw,
+    decode_term_postings_stream,
+)
 from ..sources.catalog import Catalog
 from .bm25 import _bound_factor
 
@@ -251,6 +255,13 @@ class LocalSearcher:
         # like postings (immutable once built)
         self._pos_ds = None
         self._positions_cache: dict[str, dict[int, np.ndarray]] = {}
+        # alternative-similarity serving (search_alt): raw-decoded
+        # postings + (df, cf) stats, cached separately from the BM25
+        # parts cache (weights depend on the similarity parameters and
+        # are cheap to recompute; the decode is the expensive part)
+        self._stats_cache: dict[str, tuple[int, int] | None] = {}
+        self._raw_cache: dict[str, tuple] = {}
+        self._reg_totals: tuple[int, int] | None = None
 
     # -- lexicon ---------------------------------------------------------
 
@@ -595,6 +606,113 @@ class LocalSearcher:
         return [
             (r + 1, doc, score)
             for r, (doc, score) in enumerate(zip(d.tolist(), s.tolist()))
+        ]
+
+    def _lookup_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term -> (df, cf) for corpus-present terms (pruned lexicon read,
+        same shape as _lookup_terms)."""
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            tbl = self._lex_ds.to_table(
+                columns=["term", "df", "cf"],
+                filter=self._ds.field("term").isin(missing),
+            )
+            found = {
+                t: (int(d), int(c))
+                for t, d, c in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                    tbl.column("cf").to_pylist(),
+                )
+            }
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
+        return {
+            t: m for t in terms if (m := self._stats_cache[t]) is not None
+        }
+
+    def _raw_postings(self, terms_sorted: list[str]) -> dict[str, tuple]:
+        """term -> raw (doc_ids, tfs, doc_lens), via its own cache."""
+        missing = sorted(t for t in terms_sorted if t not in self._raw_cache)
+        if missing:
+            parts = []
+            for seg in self._segments:
+                parts.extend(seg.blocks_for(missing))
+            pdf = (
+                parts[0]
+                if len(parts) == 1
+                else pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=_POSTINGS_FILE_COLS + ["shard"])
+            )
+            found = set()
+            for term, grp in pdf.groupby("term", sort=False):
+                found.add(term)
+                self._raw_cache[term] = decode_term_postings_raw(grp)
+            z = np.empty(0, dtype=np.int64)
+            for t in missing:
+                if t not in found:  # only reachable mid-extension
+                    self._raw_cache[t] = (z, z, z)
+        return {t: self._raw_cache[t] for t in terms_sorted}
+
+    def search_alt(
+        self,
+        query: str,
+        similarity: str = "dirichlet",
+        k: int = spec.TOP_K_DEFAULT,
+        mu: float = 2000.0,
+    ) -> list[tuple[int, int, float]]:
+        """[(rank, doc_id, score)] under an ALTERNATIVE similarity —
+        the serving-path twin of plans/simalt.alt_topk (same contracts:
+        LM-Dirichlet with per-term clamp, classic TF-IDF; disjunctive
+        bag-of-words; ties by doc_id asc), rank- and float-identical to
+        the distributed path (ascending-term accumulation order, same
+        elementwise expressions)."""
+        if similarity not in ("dirichlet", "tfidf"):
+            raise ValueError(f"unknown similarity: {similarity}")
+        toks = sorted(set(spec.tokenize(query)))
+        if not toks:
+            return []
+        stats = self._lookup_stats(toks)
+        if not stats:
+            return []
+        if self._reg_totals is None:
+            reg = Catalog(self.root).read_registry()
+            self._reg_totals = (int(reg["n_docs"]), int(reg["sum_dl"]))
+        n_docs, total = self._reg_totals
+        raw = self._raw_postings(sorted(stats))
+        mu = float(mu)
+        chunks_ids, chunks_w = [], []
+        for t in sorted(stats):
+            ids, tfs, dls = raw[t]
+            if not len(ids):
+                continue
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            df_t, cf_t = stats[t]
+            if similarity == "dirichlet":
+                w = np.log(1.0 + tfs / (mu * (cf_t / total)))
+                w += np.log(mu / (dls + mu))
+                np.maximum(w, 0.0, out=w)
+            else:  # tfidf
+                idf_c = 1.0 + np.log(n_docs / (df_t + 1.0))
+                w = np.sqrt(tfs) * (idf_c * idf_c) / np.sqrt(dls)
+            chunks_ids.append(ids)
+            chunks_w.append(w)
+        if not chunks_ids:
+            return []
+        ids = np.concatenate(chunks_ids)
+        w = np.concatenate(chunks_w)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.zeros(len(uniq))
+        np.add.at(sums, inv, w)
+        if self._deleted is not None and len(uniq):
+            keep = ~np.isin(uniq, self._deleted)
+            uniq, sums = uniq[keep], sums[keep]
+        order = np.lexsort((uniq, -sums))[: int(k)]
+        return [
+            (r + 1, int(uniq[i]), float(sums[i]))
+            for r, i in enumerate(order)
         ]
 
     def refresh(self) -> bool:

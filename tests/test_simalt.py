@@ -91,3 +91,21 @@ def test_dirichlet_clamp_keeps_scores_nonnegative(spark, index_dir):
 def test_unknown_similarity_raises(spark, index_dir):
     with pytest.raises(ValueError):
         alt_topk(spark, index_dir, {"q": "x"}, similarity="bm42")
+
+
+@pytest.mark.parametrize("sim", ["dirichlet", "tfidf"])
+def test_serve_alt_matches_distributed(spark, index_dir, sim):
+    """LocalSearcher.search_alt is rank- and float-identical to the
+    distributed alt_topk (same accumulation order, same expressions)."""
+    from rt_etl_yahoo_search_engine_spark.plans.serve import LocalSearcher
+
+    lex = Catalog(index_dir).read(spark, "lexicon").orderBy(F.desc("df"))
+    t = [r["term"] for r in lex.select("term").limit(3).collect()]
+    queries = {"q1": f"{t[0]} {t[1]}", "q2": f"{t[2]} {t[0]}"}
+    dist = {}
+    for r in alt_topk(spark, index_dir, queries, similarity=sim, k=10).collect():
+        dist.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    srv = LocalSearcher(index_dir)
+    for qid, text in queries.items():
+        got = srv.search_alt(text, similarity=sim, k=10)
+        assert got == sorted(dist[qid]), (sim, qid)
