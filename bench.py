@@ -272,6 +272,11 @@ JOB_EQUIV_REVS = {
                            # leg never imports; topk.py change is one NEW
                            # function (decode_term_postings_raw) the leg's
                            # executed paths never call
+    "04990ec": "23c0dc3",  # EXPLAIN doc/tooling-only
+    "95fa2bd": "23c0dc3",  # ledger-map-only
+    "b5f2e81": "23c0dc3",  # serve search_alt — serve.py new methods +
+                           # init-dict fields; scaling leg never imports
+                           # plans/serve
 }
 
 
