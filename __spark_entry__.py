@@ -160,6 +160,41 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+_TITLE_INDEX_CACHE: dict[str, str] = {}
+_TITLE_K = 8  # the title field = first 8 tokens of the text
+
+
+def _index_for_title(spark: SparkSession, sf_dir: str) -> str:
+    """Build (resume) a SECOND per-field index over the derived title
+    field (first _TITLE_K tokens of each document) — multi_match's
+    per-field inverted indexes (ES: every field is its own index), same
+    url order as the body index so doc_ids agree by construction."""
+    if sf_dir in _TITLE_INDEX_CACHE:
+        return _TITLE_INDEX_CACHE[sf_dir]
+    from rt_etl_yahoo_search_engine_spark.operators.index_build import build_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_index_title_v{spec.INDEX_FORMAT_VERSION}_{tag}",
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0),
+                1, _TITLE_K,
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+    )
+    build_index(spark, pages, root, n_shards=4, n_buckets=8, tokenizer="text",
+                url_ordered=True)
+    _TITLE_INDEX_CACHE[sf_dir] = root
+    return root
+
+
 def _docmap_orig(spark: SparkSession, sf_dir: str):
     """(index doc_id, orig_id) — docmap url convention, broadcast-scale."""
     from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
@@ -1133,6 +1168,56 @@ def _q_dismax_topk(spark, sf_dir):
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# multi_match field boosts per entry (field -> boost), mirrored in SQL.
+_MM_BEST = {"title": 2.0, "body": 1.0}
+_MM_MOST = {"title": 1.5, "body": 1.0}
+_MM_CROSS = {"title": 1.0, "body": 1.0}
+_MM_TB = 0.3
+
+
+def _q_multi_match(spark, sf_dir, match_type, boosts, tb):
+    from rt_etl_yahoo_search_engine_spark.plans.multimatch import (
+        multi_match_topk,
+    )
+
+    roots = {
+        "body": _index_for(spark, sf_dir),
+        "title": _index_for_title(spark, sf_dir),
+    }
+    out = multi_match_topk(
+        spark, roots, DOC_QUERIES, match_type,
+        boosts=boosts, tie_breaker=tb, k=10,
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return dm.join(F.broadcast(out), "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_multi_match_best_fields(spark, sf_dir):
+    """ES `multi_match` type=best_fields (plans/multimatch): title^2 and
+    body fields each scored as their own BM25 index, dis_max across
+    fields with tie_breaker=0.3, top-10 per DOC_QUERY."""
+    return _q_multi_match(spark, sf_dir, "best_fields", _MM_BEST, _MM_TB)
+
+
+def _q_multi_match_most_fields(spark, sf_dir):
+    """ES `multi_match` type=most_fields (plans/multimatch): per-field
+    BM25 scores SUM (title^1.5 + body), top-10 per DOC_QUERY."""
+    return _q_multi_match(spark, sf_dir, "most_fields", _MM_MOST, 0.0)
+
+
+def _q_multi_match_cross_fields(spark, sf_dir):
+    """ES `multi_match` type=cross_fields (plans/multimatch): term-
+    centric blend — per term, per-field tf-norms weighted by a BLENDED
+    idf (df = max across fields, Lucene BlendedTermQuery) and combined
+    by dis_max (tie_breaker=0.3); per-doc sum; top-10 per DOC_QUERY."""
+    return _q_multi_match(spark, sf_dir, "cross_fields", _MM_CROSS, _MM_TB)
 
 
 def _q_boosting_topk(spark, sf_dir):
@@ -4094,6 +4179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_agg": _q_percentiles_agg,
         "dedup_clusters": _q_dedup_clusters,
         "dismax_topk": _q_dismax_topk,
+        "multi_match_best_fields": _q_multi_match_best_fields,
+        "multi_match_most_fields": _q_multi_match_most_fields,
+        "multi_match_cross_fields": _q_multi_match_cross_fields,
         "boosting_topk": _q_boosting_topk,
         "histogram_agg": _q_histogram_agg,
         "cardinality_agg": _q_cardinality_agg,
@@ -4364,6 +4452,91 @@ st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
 _BM25_WEIGHT_EXPR = """ln((st.n_docs - lex.df + 0.5) / (lex.df + 0.5) + 1.0)
               * (tf.tf * (1.2 + 1.0))
               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / st.avgdl))"""
+
+
+def _multi_match_sql(match_type: str, boosts: dict[str, float],
+                     tb: float) -> str:
+    """multi_match oracle over the derived two-field corpus: body = the
+    full token list, title = its first _TITLE_K tokens (the same
+    derivation _index_for_title feeds the title index).  Formulas mirror
+    plans/multimatch exactly: per-field BM25 with that field's own
+    df/avgdl for best/most_fields; blended idf (df = max across fields)
+    on per-field tf-norms for cross_fields."""
+    bb, bt = boosts["body"], boosts["title"]
+    core = f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tdocs AS (SELECT doc_id, toks[1:{_TITLE_K}] AS toks FROM docs),
+bdl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tdl AS (SELECT doc_id, len(toks) AS doc_len FROM tdocs),
+btf AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+        GROUP BY doc_id, term),
+ttf AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM tdocs)
+        GROUP BY doc_id, term),
+blex AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+tlex AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM bdl) AS b_avgdl,
+              (SELECT avg(doc_len) FROM tdl) AS t_avgdl)"""
+    tail = """
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+    if match_type in ("best_fields", "most_fields"):
+        combine = (
+            "sm" if match_type == "most_fields"
+            else f"mx + {tb} * (sm - mx)"
+        )
+        return f"""{core},
+bw AS (SELECT qterms.query_id, btf.doc_id,
+              sum( ln((st.n_docs - blex.df + 0.5) / (blex.df + 0.5) + 1.0)
+                   * (btf.tf * (1.2 + 1.0))
+                   / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.doc_len / st.b_avgdl)) ) AS s
+       FROM btf JOIN qterms USING (term) JOIN blex USING (term)
+            JOIN bdl USING (doc_id), st
+       GROUP BY qterms.query_id, btf.doc_id),
+tw AS (SELECT qterms.query_id, ttf.doc_id,
+              sum( ln((st.n_docs - tlex.df + 0.5) / (tlex.df + 0.5) + 1.0)
+                   * (ttf.tf * (1.2 + 1.0))
+                   / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.doc_len / st.t_avgdl)) ) AS s
+       FROM ttf JOIN qterms USING (term) JOIN tlex USING (term)
+            JOIN tdl USING (doc_id), st
+       GROUP BY qterms.query_id, ttf.doc_id),
+uni AS (SELECT query_id, doc_id, s * {bb} AS w FROM bw
+        UNION ALL SELECT query_id, doc_id, s * {bt} AS w FROM tw),
+g AS (SELECT query_id, doc_id, sum(w) AS sm, max(w) AS mx
+      FROM uni GROUP BY query_id, doc_id),
+scored AS (SELECT query_id, doc_id, {combine} AS score FROM g){tail}"""
+    return f"""{core},
+btn AS (SELECT qterms.query_id, qterms.term, btf.doc_id,
+               (btf.tf * (1.2 + 1.0))
+               / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.doc_len / st.b_avgdl))
+               * {bb} AS tfn
+        FROM btf JOIN qterms USING (term) JOIN bdl USING (doc_id), st),
+ttn AS (SELECT qterms.query_id, qterms.term, ttf.doc_id,
+               (ttf.tf * (1.2 + 1.0))
+               / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.doc_len / st.t_avgdl))
+               * {bt} AS tfn
+        FROM ttf JOIN qterms USING (term) JOIN tdl USING (doc_id), st),
+uni AS (SELECT * FROM btn UNION ALL SELECT * FROM ttn),
+dfb AS (SELECT term, max(df) AS df
+        FROM (SELECT term, df FROM blex UNION ALL SELECT term, df FROM tlex)
+        GROUP BY term),
+wt AS (SELECT u.query_id, u.term, u.doc_id,
+              ln((st.n_docs - dfb.df + 0.5) / (dfb.df + 0.5) + 1.0) * u.tfn AS w
+       FROM uni u JOIN dfb USING (term), st),
+pt AS (SELECT query_id, term, doc_id,
+              max(w) + {tb} * (sum(w) - max(w)) AS tw
+       FROM wt GROUP BY query_id, term, doc_id),
+scored AS (SELECT query_id, doc_id, sum(tw) AS score
+           FROM pt GROUP BY query_id, doc_id){tail}"""
 
 
 def _mlt_sql() -> str:
@@ -6829,6 +7002,12 @@ FROM hits h JOIN documents d USING (doc_id)
         "percentiles_agg": _percentiles_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dismax_topk": _dismax_sql(),
+        "multi_match_best_fields": _multi_match_sql(
+            "best_fields", _MM_BEST, _MM_TB),
+        "multi_match_most_fields": _multi_match_sql(
+            "most_fields", _MM_MOST, 0.0),
+        "multi_match_cross_fields": _multi_match_sql(
+            "cross_fields", _MM_CROSS, _MM_TB),
         "boosting_topk": _boosting_sql(),
         "histogram_agg": _histogram_sql(),
         "cardinality_agg": _cardinality_sql(),

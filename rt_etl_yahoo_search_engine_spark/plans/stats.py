@@ -331,6 +331,78 @@ def score_docs(
     return rel.join(F.broadcast(map_df), "set_idx").select(*out_cols)
 
 
+def term_norms(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+) -> DataFrame:
+    """(query_id, term, doc_id, tfnorm): the PRE-IDF per-term match
+    relation — tfnorm is BM25's tf-normalization part
+    tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with THIS index's avgdl, and no
+    idf factor applied.  The primitive under cross-index term-centric
+    scoring (plans/multimatch cross_fields), where the idf each term
+    weight gets is NOT this index's own (Lucene BlendedTermQuery blends
+    document frequencies across fields before weighting).
+
+    Scale shape: same unit scan as score_docs — postings for the query
+    terms decoded once per (segment, doc-range shard) unit — but rows
+    are emitted per (term, doc) instead of per doc, O(sum df) either
+    way (score_docs' per-doc rows are the unique-doc compression of
+    these).  Tombstoned docs are masked unit-locally."""
+    schema = "query_id string, term string, doc_id long, tfnorm double"
+    empty = spark.createDataFrame([], schema)
+    plan = _plan(spark, index_root, queries, spec.MODE_DISJUNCTIVE)
+    if plan is None:
+        return empty
+    set_terms, map_df, units, corpus_terms, del_paths, _idf, avgdl = plan
+    b = spark.sparkContext.broadcast(
+        (set_terms, corpus_terms, del_paths, avgdl)
+    )
+
+    def norm_units(pdfs):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.dataset as pds
+
+        sets_l, terms_l, del_paths_l, avgdl_l = b.value
+        for updf in pdfs:
+            for path in updf["path"]:
+                tbl = pds.dataset(path).to_table(
+                    columns=_POSTINGS_READ_COLS,
+                    filter=pds.field("term").isin(terms_l),
+                )
+                if tbl.num_rows == 0:
+                    continue
+                bl = tbl.to_pandas()
+                bl["shard"] = 0
+                tdata = {
+                    t: decode_term_postings_stream(g, avgdl_l)
+                    for t, g in bl.groupby("term", sort=True)
+                }
+                deleted = _unit_deleted(del_paths_l, bl)
+                for si, terms in enumerate(sets_l):
+                    for t in terms:
+                        if t not in tdata:
+                            continue
+                        ids, tfn = tdata[t][0], tdata[t][1]
+                        if deleted is not None and len(ids):
+                            keep = ~np.isin(ids, deleted)
+                            ids, tfn = ids[keep], tfn[keep]
+                        if len(ids):
+                            yield pd.DataFrame(
+                                {"set_idx": si, "term": t,
+                                 "doc_id": ids, "tfnorm": tfn}
+                            )
+
+    rel = _unit_scan(
+        spark, units,
+        (norm_units, "set_idx int, term string, doc_id long, tfnorm double"),
+    )
+    return rel.join(F.broadcast(map_df), "set_idx").select(
+        "query_id", "term", "doc_id", "tfnorm"
+    )
+
+
 def facet_counts(
     spark: SparkSession,
     index_root: str,
