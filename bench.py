@@ -138,6 +138,9 @@ JOB_EQUIV_REVS = {
                            # — scaling leg never imports plans/{stats,
                            # termvectors}
     "acfd3c0": "23c0dc3",  # ledger-map-only
+    "a2a1932": "23c0dc3",  # multi_match: new plans/multimatch.py + additive
+                           # stats.term_norms — scaling leg never imports
+                           # plans/{multimatch,stats}
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
