@@ -1734,6 +1734,27 @@ def _q_auto_date_histogram(spark, sf_dir):
     )
 
 
+def _q_nb_lang_classify(spark, sf_dir):
+    """Multinomial Naive Bayes classifier (functions/classify — the
+    fastText-style corpus labeler of LLM-data pipelines): train on the
+    documents table's own lang labels (Laplace alpha=1, sparse
+    seen-pair decomposition), classify the same corpus; per-doc argmax
+    class, log-probability, and margin over the runner-up."""
+    from rt_etl_yahoo_search_engine_spark.functions.classify import (
+        nb_self_classify,
+    )
+
+    out = nb_self_classify(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"), "lang"
+    )
+    return out.select(
+        "doc_id", "label", "pred_label",
+        F.round("logp", 4).alias("logp"),
+        F.round("margin", 4).alias("margin"),
+        "correct",
+    )
+
+
 def _q_unigram_logprob(spark, sf_dir):
     """CCNet-style LM quality proxy (functions/text_analysis.
     unigram_logprob): per-doc total and mean ln-probability under the
@@ -4182,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best_fields": _q_multi_match_best_fields,
         "multi_match_most_fields": _q_multi_match_most_fields,
         "multi_match_cross_fields": _q_multi_match_cross_fields,
+        "nb_lang_classify": _q_nb_lang_classify,
         "boosting_topk": _q_boosting_topk,
         "histogram_agg": _q_histogram_agg,
         "cardinality_agg": _q_cardinality_agg,
@@ -4537,6 +4559,56 @@ pt AS (SELECT query_id, term, doc_id,
        FROM wt GROUP BY query_id, term, doc_id),
 scored AS (SELECT query_id, doc_id, sum(tw) AS score
            FROM pt GROUP BY query_id, doc_id){tail}"""
+
+
+def _nb_classify_sql() -> str:
+    """Naive Bayes oracle mirroring functions/classify exactly: same
+    Laplace formulas, same sparse decomposition (miss * s_vocab +
+    seen-pair deltas), argmax by (logp DESC, label ASC), margin vs the
+    runner-up class."""
+    return """
+WITH docs AS (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+       GROUP BY doc_id, term),
+ltf AS (SELECT d.lang AS label, t.term, sum(t.tf) AS cnt
+        FROM tf t JOIN docs d USING (doc_id) GROUP BY d.lang, t.term),
+tot AS (SELECT label, sum(cnt) AS tot FROM ltf GROUP BY label),
+vx AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM ltf),
+nc AS (SELECT lang AS label, count(*) AS n_c FROM docs GROUP BY lang),
+nx AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+classes AS (SELECT nc.label,
+                   ln(nc.n_c / nx.n) AS log_prior,
+                   ln(1.0 / (tot.tot + vx.v)) AS miss,
+                   (tot.tot + vx.v) AS denom
+            FROM nc JOIN tot USING (label), nx, vx),
+pairs AS (SELECT l.term, l.label,
+                 ln((l.cnt + 1.0) / c.denom) - c.miss AS delta
+          FROM ltf l JOIN classes c USING (label)),
+svoc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS DOUBLE) AS s_vocab
+         FROM tf JOIN (SELECT DISTINCT term FROM pairs) p USING (term)
+         GROUP BY tf.doc_id),
+seen AS (SELECT tf.doc_id, p.label, sum(tf.tf * p.delta) AS seen_part
+         FROM tf JOIN pairs p USING (term) GROUP BY tf.doc_id, p.label),
+pc AS (SELECT s.doc_id, c.label,
+              c.log_prior + c.miss * s.s_vocab
+              + COALESCE(seen.seen_part, 0.0) AS logp
+       FROM svoc s CROSS JOIN classes c
+       LEFT JOIN seen ON seen.doc_id = s.doc_id AND seen.label = c.label),
+ranked AS (SELECT doc_id, label AS pred_label, logp,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY logp DESC, label ASC) AS rn
+           FROM pc)
+SELECT d.doc_id, d.lang AS label, r1.pred_label,
+       ROUND(r1.logp, 4) AS logp,
+       ROUND(r1.logp - r2.logp, 4) AS margin,
+       (d.lang = r1.pred_label) AS correct
+FROM docs d
+JOIN ranked r1 ON r1.doc_id = d.doc_id AND r1.rn = 1
+JOIN ranked r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
+"""
 
 
 def _mlt_sql() -> str:
@@ -7008,6 +7080,7 @@ FROM hits h JOIN documents d USING (doc_id)
             "most_fields", _MM_MOST, 0.0),
         "multi_match_cross_fields": _multi_match_sql(
             "cross_fields", _MM_CROSS, _MM_TB),
+        "nb_lang_classify": _nb_classify_sql(),
         "boosting_topk": _boosting_sql(),
         "histogram_agg": _histogram_sql(),
         "cardinality_agg": _cardinality_sql(),
