@@ -141,6 +141,9 @@ JOB_EQUIV_REVS = {
     "a2a1932": "23c0dc3",  # multi_match: new plans/multimatch.py + additive
                            # stats.term_norms — scaling leg never imports
                            # plans/{multimatch,stats}
+    "d75c4b5": "23c0dc3",  # ledger-map-only
+    "5eb61a7": "23c0dc3",  # NB classifier: new functions/classify.py —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
