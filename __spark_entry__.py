@@ -1734,6 +1734,59 @@ def _q_auto_date_histogram(spark, sf_dir):
     )
 
 
+def _q_change_point_agg(spark, sf_dir):
+    """ES `change_point` (functions/mlaggs.change_point): exact CUSUM
+    step detector over the error-event day histogram — argmax |S_k|
+    bucket, means on each side, step delta."""
+    from rt_etl_yahoo_search_engine_spark.functions.mlaggs import (
+        change_point, daily_counts,
+    )
+
+    b = daily_counts(_read(spark, sf_dir, "events"), "error")
+    return change_point(b).select(
+        F.unix_timestamp("change_at").cast("long").alias("change_epoch"),
+        F.round("cusum", 6).alias("cusum"),
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+        F.round("delta", 6).alias("delta"),
+    )
+
+
+def _q_ks_test_agg(spark, sf_dir):
+    """ES `bucket_count_ks_test` (functions/mlaggs.ks_test_uniform):
+    one-sample KS distance of the click-event day-histogram counts vs
+    uniform fractions, with the argmax bucket."""
+    from rt_etl_yahoo_search_engine_spark.functions.mlaggs import (
+        daily_counts, ks_test_uniform,
+    )
+
+    b = daily_counts(_read(spark, sf_dir, "events"), "click")
+    return ks_test_uniform(b).select(
+        F.round("d_stat", 6).alias("d_stat"),
+        F.unix_timestamp("at_bucket").cast("long").alias("at_epoch"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+def _q_bucket_correlation_agg(spark, sf_dir):
+    """ES `bucket_correlation` (functions/mlaggs.bucket_correlation):
+    Pearson correlation between click and view per-day counts on the
+    union day spine (absent buckets 0), from exact integer-valued
+    double sums."""
+    from rt_etl_yahoo_search_engine_spark.functions.mlaggs import (
+        bucket_correlation, daily_counts,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = bucket_correlation(
+        daily_counts(ev, "click"), daily_counts(ev, "view")
+    )
+    return out.select(
+        F.round("corr", 6).alias("corr"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
 def _q_nb_lang_classify(spark, sf_dir):
     """Multinomial Naive Bayes classifier (functions/classify — the
     fastText-style corpus labeler of LLM-data pipelines): train on the
@@ -4204,6 +4257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most_fields": _q_multi_match_most_fields,
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
+        "change_point_agg": _q_change_point_agg,
+        "ks_test_agg": _q_ks_test_agg,
+        "bucket_correlation_agg": _q_bucket_correlation_agg,
         "boosting_topk": _q_boosting_topk,
         "histogram_agg": _q_histogram_agg,
         "cardinality_agg": _q_cardinality_agg,
@@ -4559,6 +4615,73 @@ pt AS (SELECT query_id, term, doc_id,
        FROM wt GROUP BY query_id, term, doc_id),
 scored AS (SELECT query_id, doc_id, sum(tw) AS score
            FROM pt GROUP BY query_id, doc_id){tail}"""
+
+
+def _change_point_sql() -> str:
+    """CUSUM step detector mirror of functions/mlaggs.change_point over
+    the error-event day histogram; tie on |S_k| -> earliest bucket."""
+    return """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS n
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+st AS (SELECT avg(n) AS xbar, count(*) AS nb, sum(n) AS total FROM b),
+cum AS (SELECT bucket, n,
+               row_number() OVER (ORDER BY bucket) AS k,
+               sum(n) OVER (ORDER BY bucket) AS cum
+        FROM b),
+cand AS (SELECT c.bucket, c.k, c.cum, c.cum - c.k * st.xbar AS s_k,
+                st.total, st.nb
+         FROM cum c, st WHERE c.k < st.nb),
+best AS (SELECT * FROM cand ORDER BY abs(s_k) DESC, bucket ASC LIMIT 1)
+SELECT CAST(epoch(bucket) AS BIGINT) AS change_epoch,
+       ROUND(s_k, 6) AS cusum,
+       ROUND(cum / k, 6) AS mean_before,
+       ROUND((total - cum) / (nb - k), 6) AS mean_after,
+       ROUND((total - cum) / (nb - k) - cum / k, 6) AS delta
+FROM best
+"""
+
+
+def _ks_test_sql() -> str:
+    """One-sample uniform KS mirror of functions/mlaggs.ks_test_uniform
+    over the click-event day histogram; tie on D -> earliest bucket."""
+    return """
+WITH b AS (SELECT date_trunc('day', ts) AS bucket, count(*) AS n
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+st AS (SELECT count(*) AS nb, sum(n) AS total FROM b),
+cum AS (SELECT bucket,
+               row_number() OVER (ORDER BY bucket) AS k,
+               sum(n) OVER (ORDER BY bucket) AS cum
+        FROM b),
+d AS (SELECT c.bucket, abs(c.cum / st.total - c.k / st.nb) AS d, st.nb
+      FROM cum c, st),
+best AS (SELECT * FROM d ORDER BY d DESC, bucket ASC LIMIT 1)
+SELECT ROUND(d, 6) AS d_stat,
+       CAST(epoch(bucket) AS BIGINT) AS at_epoch,
+       CAST(nb AS BIGINT) AS n_buckets
+FROM best
+"""
+
+
+def _bucket_correlation_sql() -> str:
+    """Pearson mirror of functions/mlaggs.bucket_correlation (click vs
+    view day counts, union spine, zero fill, identical sum shapes)."""
+    return """
+WITH a AS (SELECT date_trunc('day', ts) AS bucket,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+b AS (SELECT date_trunc('day', ts) AS bucket,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+j AS (SELECT COALESCE(a.x, 0.0) AS x, COALESCE(b.y, 0.0) AS y
+      FROM a FULL JOIN b USING (bucket)),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j)
+SELECT ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr,
+       CAST(n AS BIGINT) AS n_buckets
+FROM s
+"""
 
 
 def _nb_classify_sql() -> str:
@@ -7081,6 +7204,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "multi_match_cross_fields": _multi_match_sql(
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
+        "change_point_agg": _change_point_sql(),
+        "ks_test_agg": _ks_test_sql(),
+        "bucket_correlation_agg": _bucket_correlation_sql(),
         "boosting_topk": _boosting_sql(),
         "histogram_agg": _histogram_sql(),
         "cardinality_agg": _cardinality_sql(),
