@@ -144,6 +144,9 @@ JOB_EQUIV_REVS = {
     "d75c4b5": "23c0dc3",  # ledger-map-only
     "5eb61a7": "23c0dc3",  # NB classifier: new functions/classify.py —
                            # scaling leg never imports it
+    "0b02c4f": "23c0dc3",  # ledger-map-only
+    "4878f7d": "23c0dc3",  # ML diagnostics: new functions/mlaggs.py —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
