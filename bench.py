@@ -144,7 +144,7 @@ JOB_EQUIV_REVS = {
     "d75c4b5": "23c0dc3",  # ledger-map-only
     "5eb61a7": "23c0dc3",  # NB classifier: new functions/classify.py —
                            # scaling leg never imports it
-    "0b02c4f": "23c0dc3",  # ledger-map-only
+    "0a6ff5c": "23c0dc3",  # ledger-map-only
     "4878f7d": "23c0dc3",  # ML diagnostics: new functions/mlaggs.py —
                            # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
