@@ -1734,6 +1734,64 @@ def _q_auto_date_histogram(spark, sf_dir):
     )
 
 
+_GEO_ZOOM = 4
+_GEO_EDGES = [3000.0, 7000.0, 12000.0]
+
+
+def _q_geotile_grid_agg(spark, sf_dir):
+    """ES `geotile_grid` (functions/geo.geotile_grid): point counts per
+    Web-Mercator z/x/y tile at zoom 4 over deterministic per-event
+    coordinates (functions/geo.with_coords)."""
+    from rt_etl_yahoo_search_engine_spark.functions.geo import (
+        geotile_grid, with_coords,
+    )
+
+    pts = with_coords(_read(spark, sf_dir, "events"))
+    return geotile_grid(pts, _GEO_ZOOM).select(
+        "tile", F.col("n").cast("long").alias("n")
+    )
+
+
+def _q_geo_bounds_agg(spark, sf_dir):
+    """ES `geo_bounds` + `geo_centroid` (functions/geo.
+    geo_bounds_centroid): per event_type bounding box, centroid, and
+    point count in one pass."""
+    from rt_etl_yahoo_search_engine_spark.functions.geo import (
+        geo_bounds_centroid, with_coords,
+    )
+
+    pts = with_coords(_read(spark, sf_dir, "events"))
+    out = geo_bounds_centroid(pts, ["event_type"])
+    return out.select(
+        "event_type",
+        F.round("min_lat", 6).alias("min_lat"),
+        F.round("max_lat", 6).alias("max_lat"),
+        F.round("min_lon", 6).alias("min_lon"),
+        F.round("max_lon", 6).alias("max_lon"),
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _q_geo_distance_agg(spark, sf_dir):
+    """ES `geo_distance` rings (functions/geo.geo_distance_rings):
+    haversine ring buckets [0,3000) [3000,7000) [7000,12000) [12000,*)
+    km around (0,0), with per-ring count and min/max distance."""
+    from rt_etl_yahoo_search_engine_spark.functions.geo import (
+        geo_distance_rings, with_coords,
+    )
+
+    pts = with_coords(_read(spark, sf_dir, "events"))
+    out = geo_distance_rings(pts, 0.0, 0.0, _GEO_EDGES)
+    return out.select(
+        "ring",
+        F.col("n").cast("long").alias("n"),
+        F.round("min_km", 6).alias("min_km"),
+        F.round("max_km", 6).alias("max_km"),
+    )
+
+
 def _q_change_point_agg(spark, sf_dir):
     """ES `change_point` (functions/mlaggs.change_point): exact CUSUM
     step detector over the error-event day histogram — argmax |S_k|
@@ -4258,6 +4316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
         "change_point_agg": _q_change_point_agg,
+        "geotile_grid_agg": _q_geotile_grid_agg,
+        "geo_bounds_agg": _q_geo_bounds_agg,
+        "geo_distance_agg": _q_geo_distance_agg,
         "ks_test_agg": _q_ks_test_agg,
         "bucket_correlation_agg": _q_bucket_correlation_agg,
         "boosting_topk": _q_boosting_topk,
@@ -4615,6 +4676,69 @@ pt AS (SELECT query_id, term, doc_id,
        FROM wt GROUP BY query_id, term, doc_id),
 scored AS (SELECT query_id, doc_id, sum(tw) AS score
            FROM pt GROUP BY query_id, doc_id){tail}"""
+
+
+_GEO_COORDS_CTE = """
+pts AS (SELECT event_type,
+               CAST(-60.0005 AS DOUBLE)
+               + ((event_id * 7919) % 120000) / CAST(1000.0 AS DOUBLE) AS lat,
+               CAST(-179.9993 AS DOUBLE)
+               + ((event_id * 104729) % 360000) / CAST(1000.0 AS DOUBLE) AS lon
+        FROM events)"""
+
+
+def _geotile_sql() -> str:
+    """Web-Mercator tiling mirror of functions/geo.geotile_grid at
+    _GEO_ZOOM over the same derived coordinates."""
+    n = float(2 ** _GEO_ZOOM)
+    return f"""
+WITH {_GEO_COORDS_CTE},
+t AS (SELECT '{_GEO_ZOOM}' || '/' ||
+             CAST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS VARCHAR)
+             || '/' ||
+             CAST(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                              / pi()) / 2.0 * {n}) AS BIGINT) AS VARCHAR) AS tile
+      FROM pts)
+SELECT tile, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tile
+"""
+
+
+def _geo_bounds_sql() -> str:
+    return f"""
+WITH {_GEO_COORDS_CTE}
+SELECT event_type,
+       ROUND(min(lat), 6) AS min_lat, ROUND(max(lat), 6) AS max_lat,
+       ROUND(min(lon), 6) AS min_lon, ROUND(max(lon), 6) AS max_lon,
+       ROUND(avg(lat), 6) AS centroid_lat, ROUND(avg(lon), 6) AS centroid_lon,
+       CAST(count(*) AS BIGINT) AS n
+FROM pts GROUP BY event_type
+"""
+
+
+def _geo_distance_sql() -> str:
+    """Haversine ring mirror of functions/geo.geo_distance_rings around
+    (0,0) with the _GEO_EDGES ring edges (same op order as the engine:
+    sin*sin + cos*cos*sin*sin, 2*R*asin(sqrt(a)))."""
+    e1, e2, e3 = _GEO_EDGES
+    return f"""
+WITH {_GEO_COORDS_CTE},
+d AS (SELECT 2.0 * 6371.0 * asin(sqrt(
+               sin(radians(lat) / 2.0) * sin(radians(lat) / 2.0)
+               + cos(0.0) * cos(radians(lat))
+                 * sin(radians(lon) / 2.0) * sin(radians(lon) / 2.0)
+             )) AS d_km
+      FROM pts),
+r AS (SELECT d_km,
+             CASE WHEN d_km >= 0.0 AND d_km < {e1} THEN '0-{e1:g}'
+                  WHEN d_km >= {e1} AND d_km < {e2} THEN '{e1:g}-{e2:g}'
+                  WHEN d_km >= {e2} AND d_km < {e3} THEN '{e2:g}-{e3:g}'
+                  WHEN d_km >= {e3} THEN '{e3:g}-*'
+             END AS ring
+      FROM d)
+SELECT ring, CAST(count(*) AS BIGINT) AS n,
+       ROUND(min(d_km), 6) AS min_km, ROUND(max(d_km), 6) AS max_km
+FROM r GROUP BY ring
+"""
 
 
 def _change_point_sql() -> str:
@@ -7205,6 +7329,9 @@ FROM hits h JOIN documents d USING (doc_id)
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
         "change_point_agg": _change_point_sql(),
+        "geotile_grid_agg": _geotile_sql(),
+        "geo_bounds_agg": _geo_bounds_sql(),
+        "geo_distance_agg": _geo_distance_sql(),
         "ks_test_agg": _ks_test_sql(),
         "bucket_correlation_agg": _bucket_correlation_sql(),
         "boosting_topk": _boosting_sql(),
