@@ -147,6 +147,10 @@ JOB_EQUIV_REVS = {
     "0a6ff5c": "23c0dc3",  # ledger-map-only
     "4878f7d": "23c0dc3",  # ML diagnostics: new functions/mlaggs.py —
                            # scaling leg never imports it
+    "eb118ed": "23c0dc3",  # ledger-map-only
+    "9ba6ecc": "23c0dc3",  # ledger-map-only
+    "cf70448": "23c0dc3",  # geo aggs: new functions/geo.py — scaling leg
+                           # never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
