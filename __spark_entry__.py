@@ -14,6 +14,7 @@ BM25 exhaustively in SQL.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import tempfile
@@ -1842,6 +1843,77 @@ def _q_bucket_correlation_agg(spark, sf_dir):
     return out.select(
         F.round("corr", 6).alias("corr"),
         F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+def _q_zipf_fit(spark, sf_dir):
+    """Corpus-health diagnostic (functions/text_analysis.zipf_fit):
+    OLS fit of ln(frequency) vs ln(rank) over the documents table's
+    term-frequency relation — slope near -1 is Zipf's law."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        zipf_fit,
+    )
+
+    out = zipf_fit(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def _q_js_divergence(spark, sf_dir):
+    """Data-mixing diagnostic (functions/text_analysis.js_divergence):
+    Jensen-Shannon divergence between every language pair's unigram
+    distribution over the documents table (shared-support folded
+    decomposition; disjoint support = ln 2)."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        js_divergence,
+    )
+
+    out = js_divergence(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"), "lang"
+    )
+    return out.select(
+        "group_a", "group_b",
+        F.round("js", 6).alias("js"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+def _q_scripted_metric_agg(spark, sf_dir):
+    """ES `scripted_metric` (functions/scripted.scripted_metric): the
+    user-fold escape hatch in its ES shard shape — map+combine per
+    Arrow batch into tiny JSON states, reduce per key — computing
+    per-event-type population variance of `value` as the canonical
+    example script."""
+    from rt_etl_yahoo_search_engine_spark.functions.scripted import (
+        scripted_metric,
+    )
+
+    def var_map(grp):
+        v = grp["value"]
+        return {"n": int(len(v)), "s": float(v.sum()),
+                "ss": float((v * v).sum())}
+
+    def var_reduce(states):
+        n = sum(s["n"] for s in states)
+        sm = sum(s["s"] for s in states)
+        ss = sum(s["ss"] for s in states)
+        return {"n": n, "mean": sm / n, "var": (ss - sm * sm / n) / n}
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    out = scripted_metric(
+        ev, ["event_type"], var_map, var_reduce,
+        "n long, mean double, var double",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("var"),
     )
 
 
@@ -4315,6 +4387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most_fields": _q_multi_match_most_fields,
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
+        "zipf_fit": _q_zipf_fit,
+        "js_divergence_lang": _q_js_divergence,
+        "scripted_metric_agg": _q_scripted_metric_agg,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -4804,6 +4879,81 @@ s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
 SELECT ROUND((sxy - sx * sy / n)
              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr,
        CAST(n AS BIGINT) AS n_buckets
+FROM s
+"""
+
+
+def _zipf_sql() -> str:
+    """OLS mirror of functions/text_analysis.zipf_fit (same operation
+    order in slope/intercept/r2)."""
+    return """
+WITH cf AS (SELECT term, count(*) AS cf
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS term
+                  FROM documents)
+            GROUP BY term),
+r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS DOUBLE))
+             AS x,
+             ln(CAST(cf AS DOUBLE)) AS y, cf
+      FROM cf),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+             CAST(sum(cf) AS BIGINT) AS total_tokens
+      FROM r)
+SELECT ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+         AS intercept,
+       ROUND(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2,
+       CAST(n AS BIGINT) AS vocab_size, total_tokens
+FROM s
+"""
+
+
+def _js_divergence_sql() -> str:
+    """Shared-support JS mirror of functions/text_analysis.js_divergence
+    over the lang groups (identical fold: 0.5*(ka+(1-sa)*ln2) + ...)."""
+    ln2 = repr(math.log(2.0))
+    return f"""
+WITH tf AS (SELECT lang AS g, term, count(*) AS c
+            FROM (SELECT lang,
+                         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS term
+                  FROM documents)
+            GROUP BY lang, term),
+tot AS (SELECT g, sum(c) AS t FROM tf GROUP BY g),
+p AS (SELECT tf.g, tf.term, tf.c / tot.t AS p FROM tf JOIN tot USING (g)),
+shared AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         sum(a.p * ln(2.0 * a.p / (a.p + b.p))) AS ka,
+         sum(b.p * ln(2.0 * b.p / (a.p + b.p))) AS kb,
+         sum(a.p) AS sa, sum(b.p) AS sb,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM p a JOIN p b ON a.term = b.term AND a.g < b.g
+  GROUP BY a.g, b.g),
+spine AS (SELECT a.g AS group_a, b.g AS group_b
+          FROM tot a, tot b WHERE a.g < b.g)
+SELECT s.group_a, s.group_b,
+       ROUND(0.5 * (COALESCE(sh.ka, 0.0)
+                    + (1.0 - COALESCE(sh.sa, 0.0)) * {ln2})
+             + 0.5 * (COALESCE(sh.kb, 0.0)
+                      + (1.0 - COALESCE(sh.sb, 0.0)) * {ln2}), 6) AS js,
+       COALESCE(sh.n_shared, 0) AS n_shared
+FROM spine s LEFT JOIN shared sh
+  ON s.group_a = sh.group_a AND s.group_b = sh.group_b
+"""
+
+
+def _scripted_metric_sql() -> str:
+    """Direct-aggregate mirror of the scripted_metric example fold
+    (population variance via n / sum / sum-of-squares)."""
+    return """
+WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(value AS DOUBLE)) AS sm,
+                  sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+           FROM events GROUP BY event_type)
+SELECT event_type, n, ROUND(sm / n, 6) AS mean,
+       ROUND((ss - sm * sm / n) / n, 6) AS var
 FROM s
 """
 
@@ -7328,6 +7478,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "multi_match_cross_fields": _multi_match_sql(
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
+        "zipf_fit": _zipf_sql(),
+        "js_divergence_lang": _js_divergence_sql(),
+        "scripted_metric_agg": _scripted_metric_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),

@@ -1,0 +1,83 @@
+"""scripted_metric — ES's escape-hatch aggregation (user-supplied
+init/map/combine/reduce scripts) as a Spark-shaped two-stage harness:
+
+  stage 1 (map+combine): `mapInPandas` over the fact table — each Arrow
+          batch is grouped by the bucket keys and folded into ONE
+          partial state row per (keys, batch) by `map_fn`.  This is
+          ES's per-shard map_script+combine_script: partial states are
+          tiny and travel instead of rows.
+  stage 2 (reduce): `applyInPandas` per key group over the partial
+          states — `reduce_fn` folds them into the final metric row(s).
+          This is ES's coordinating-node reduce_script.
+
+The contract mirrors ES's exactly (scripts see only their own state),
+which is what makes the harness 100 TB-safe by construction: the only
+shuffle carries (keys + state) rows, one per key per input partition-
+batch, never the fact rows themselves.
+
+The reference engine hand-rolls exactly one such fold (the Python
+group-accumulate over extracted text nodes, ref
+`src/utils/extract_text_utils.py:17-53`); this generalizes it to any
+user fold with the combine done map-side.
+
+Use the built-in aggregates when they fit (they're JVM-side and
+faster); this harness exists for the metrics that genuinely need
+custom state, same as ES's scripted_metric.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+
+StateFn = Callable[[pd.DataFrame], dict]
+ReduceFn = Callable[[list[dict]], dict]
+
+
+def scripted_metric(
+    df: DataFrame,
+    keys: list[str],
+    map_fn: StateFn,
+    reduce_fn: ReduceFn,
+    out_schema: str,
+) -> DataFrame:
+    """One output row per distinct `keys` value: reduce_fn folded over
+    the per-batch partial states map_fn produced.  States are plain
+    JSON-serializable dicts; `out_schema` describes reduce_fn's output
+    dict (keys columns are prepended automatically).
+
+    map_fn:    pandas DataFrame (one key group's slice of one Arrow
+               batch) -> state dict
+    reduce_fn: list of state dicts -> dict matching out_schema
+    """
+    key_schema = ", ".join(f"{k} string" for k in keys)
+    mid_schema = f"{key_schema}, state string"
+
+    def map_partial(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for kv, grp in pdf.groupby(keys, sort=False):
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                row = {k: str(v) for k, v in zip(keys, kv)}
+                row["state"] = json.dumps(
+                    map_fn(grp), sort_keys=True, separators=(",", ":")
+                )
+                yield pd.DataFrame([row])
+
+    partials = df.mapInPandas(map_partial, mid_schema)
+
+    full_schema = f"{key_schema}, {out_schema}"
+
+    def reduce_states(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [json.loads(s) for s in sorted(pdf["state"])]
+        out = reduce_fn(states)
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row.update(out)
+        return pd.DataFrame([row])
+
+    return partials.groupBy(*keys).applyInPandas(reduce_states, full_schema)

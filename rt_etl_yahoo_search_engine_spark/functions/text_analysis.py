@@ -10,7 +10,9 @@ Input contract: a DataFrame with (doc_id: long, text: string).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic tokenizer, same spec as the index (spec.TOKEN_RE)
@@ -549,4 +551,137 @@ def ngram_lang_id(docs: DataFrame, n_top: int = 40) -> DataFrame:
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "dist")
+    )
+
+
+def zipf_fit(docs: DataFrame) -> DataFrame:
+    """One row: (slope, intercept, r2, vocab_size, total_tokens) — the
+    least-squares fit of ln(frequency) against ln(rank) over the
+    corpus's term-frequency table (rank 1 = most frequent; ties break
+    term-ascending).  Zipf's law predicts slope near -1; corpus-health
+    dashboards watch the fit drift as ingestion mixes change (a slope
+    collapse flags boilerplate/duplication, r2 collapse flags scrambled
+    or non-linguistic text).
+
+    Scale shape: one corpus-scale token aggregation (map-side
+    combinable) down to the vocabulary relation, ONE vocab-scale
+    window for ranks, then a five-sum OLS reduce — nothing after the
+    first groupBy touches corpus-scale rows."""
+    cf = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+    )
+    ranked = cf.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cf").cast("double")).alias("y"),
+        "cf",
+    )
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum("cf").cast("long").alias("total_tokens"),
+    )
+    return s.select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("slope"),
+        (
+            (F.col("sy") - (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+             / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+             * F.col("sx")) / F.col("n")
+        ).alias("intercept"),
+        (
+            ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+             * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")))
+            / ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+               * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")))
+        ).alias("r2"),
+        F.col("n").cast("long").alias("vocab_size"),
+        "total_tokens",
+    )
+
+
+def js_divergence(docs: DataFrame, group_col: str) -> DataFrame:
+    """(group_a, group_b, js, n_shared): Jensen-Shannon divergence
+    (natural log) between the unigram distributions of every unordered
+    group pair (a < b) — the data-mixing diagnostic that quantifies how
+    far two corpus slices' vocabularies drift (0 = identical,
+    ln 2 = disjoint support).
+
+    JS(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M) with M = (P+Q)/2.  Terms
+    exclusive to one side contribute p*ln2, so the whole divergence
+    folds onto the SHARED support: with sa = sum of P over shared
+    terms (sb likewise) and ka/kb the shared KL partial sums,
+
+        JS = 0.5*(ka + (1-sa)*ln2) + 0.5*(kb + (1-sb)*ln2)
+
+    — no union-support join needed, and pairs with zero overlap come
+    out exactly ln 2 from the pair spine's zero-filled row.
+
+    Scale shape: one corpus-scale aggregation to (group, term, p)
+    (map-side combinable); the pair join runs on VOCAB-scale relations
+    with fan-out = per-term group multiplicity; the pair spine is a
+    groups x groups cross of a group-cardinality relation."""
+    ln2 = math.log(2.0)
+    tf = (
+        with_tokens(docs)
+        .select(F.col(group_col).alias("g"), F.explode("tokens").alias("term"))
+        .groupBy("g", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.groupBy("g").agg(F.sum("c").alias("t"))
+    p = tf.join(tot, "g").select(
+        "g", "term", (F.col("c") / F.col("t")).alias("p")
+    )
+    a = p.select(F.col("g").alias("group_a"), "term", F.col("p").alias("pa"))
+    b = p.select(F.col("g").alias("group_b"), "term", F.col("p").alias("pb"))
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(
+                F.col("pa")
+                * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))
+            ).alias("ka"),
+            F.sum(
+                F.col("pb")
+                * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("kb"),
+            F.sum("pa").alias("sa"),
+            F.sum("pb").alias("sb"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    gs = tot.select("g")
+    spine = (
+        gs.select(F.col("g").alias("group_a"))
+        .crossJoin(gs.select(F.col("g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    z = spine.join(shared, ["group_a", "group_b"], "left").select(
+        "group_a", "group_b",
+        F.coalesce("ka", F.lit(0.0)).alias("ka"),
+        F.coalesce("kb", F.lit(0.0)).alias("kb"),
+        F.coalesce("sa", F.lit(0.0)).alias("sa"),
+        F.coalesce("sb", F.lit(0.0)).alias("sb"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+    )
+    return z.select(
+        "group_a", "group_b",
+        (
+            F.lit(0.5) * (F.col("ka") + (F.lit(1.0) - F.col("sa")) * F.lit(ln2))
+            + F.lit(0.5) * (F.col("kb") + (F.lit(1.0) - F.col("sb")) * F.lit(ln2))
+        ).alias("js"),
+        "n_shared",
     )
