@@ -151,6 +151,10 @@ JOB_EQUIV_REVS = {
     "9ba6ecc": "23c0dc3",  # ledger-map-only
     "cf70448": "23c0dc3",  # geo aggs: new functions/geo.py — scaling leg
                            # never imports it
+    "5eb78ef": "23c0dc3",  # ledger-map-only
+    "64181a6": "23c0dc3",  # zipf/js/scripted: additive text_analysis fns +
+                           # new functions/scripted.py — scaling leg never
+                           # imports them
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
