@@ -2711,6 +2711,45 @@ def _q_span_near(spark, sf_dir):
     )
 
 
+# span_or clauses (Lucene SpanNear over SpanOr): each query is a clause
+# sequence, each clause a list of alternatives.  so4's dead alternative
+# is a no-op next to a live one; so5's only second-clause alternative is
+# out-of-vocab (must return nothing).
+SPAN_OR_QUERIES = {
+    "so1": [["join"], ["column", "hash"]],
+    "so2": [["table"], ["hash", "key"]],
+    "so3": [["window", "join"], ["table"]],
+    "so4": [["join"], ["zzznope", "column"]],
+    "so5": [["join"], ["zzznope"]],
+}
+
+
+def _q_span_or_topk(spark, sf_dir):
+    """Ordered span-near with OR-clauses (plans/near.span_or_near_topk
+    — Lucene SpanNearQuery over SpanOrQuery alternatives): clause i's
+    occurrence list is the union of its alternatives' positions, same
+    greedy chain, disjunctive-BM25 ranked over the union terms."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_or_near_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = span_or_near_topk(
+        spark, root, SPAN_OR_QUERIES, slop=SPAN_SLOP, k=10
+    )
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # span_not: (include, exclude) term pairs.  snx2 reverses snx1's roles;
 # snx3's exclude never co-occurs tightly (all include docs survive unless
 # adjacent); snx4 excludes the include term itself — overlap at p is
@@ -4387,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_most_fields": _q_multi_match_most_fields,
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
+        "span_or_topk": _q_span_or_topk,
         "zipf_fit": _q_zipf_fit,
         "js_divergence_lang": _q_js_divergence,
         "scripted_metric_agg": _q_scripted_metric_agg,
@@ -4880,6 +4920,58 @@ SELECT ROUND((sxy - sx * sy / n)
              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr,
        CAST(n AS BIGINT) AS n_buckets
 FROM s
+"""
+
+
+def _span_or_sql() -> str:
+    """span_or oracle: ordered n-way position join with IN-list clause
+    alternatives and the total-span bound; disjunctive BM25 over the
+    union of each query's alternative terms (plans/near.
+    span_or_near_topk semantics)."""
+    qt = sorted({
+        (qid, t)
+        for qid, clauses in SPAN_OR_QUERIES.items()
+        for c in clauses
+        for t in c
+    })
+    qt_vals = ", ".join(f"('{qid}', '{t}')" for qid, t in qt)
+    branches = []
+    for qid, clauses in sorted(SPAN_OR_QUERIES.items()):
+        n = len(clauses)
+        froms = ", ".join(f"pos p{i}" for i in range(n))
+        conds = []
+        for i, c in enumerate(clauses):
+            alts = ", ".join(f"'{t}'" for t in sorted(set(c)))
+            conds.append(f"p{i}.term IN ({alts})")
+        conds += [f"p{i}.doc_id = p0.doc_id" for i in range(1, n)]
+        conds += [f"p{i}.p > p{i - 1}.p" for i in range(1, n)]
+        if n > 1:
+            conds.append(f"p{n - 1}.p <= p0.p + {SPAN_SLOP + n - 1}")
+        branches.append(
+            f"SELECT '{qid}' AS query_id, p0.doc_id FROM {froms} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qt_vals}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+matched AS (SELECT DISTINCT query_id, doc_id
+            FROM ({" UNION ALL ".join(branches)}))
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s
+      JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id)
+WHERE rank <= 10
 """
 
 
@@ -7478,6 +7570,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "multi_match_cross_fields": _multi_match_sql(
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
+        "span_or_topk": _span_or_sql(),
         "zipf_fit": _zipf_sql(),
         "js_divergence_lang": _js_divergence_sql(),
         "scripted_metric_agg": _scripted_metric_sql(),

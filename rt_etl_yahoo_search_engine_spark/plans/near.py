@@ -523,3 +523,105 @@ def span_within_topk(
     return _span_big_little(
         spark, index_root, queries, slop, k, lambda trip: trip[2:]
     )
+
+
+def span_or_near_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, list[list[str]]],
+    slop: int = 0,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Ordered proximity with OR-clauses — Lucene SpanNearQuery whose
+    clauses are SpanOrQuery over term alternatives: each query is a
+    SEQUENCE of clauses, each clause a non-empty list of alternative
+    terms; a doc matches iff positions p_1 < ... < p_n exist, p_i
+    drawn from clause i's alternatives' occurrences, with span width
+    p_n - p_1 <= slop + n - 1.
+
+    The greedy chain of span_near_topk carries over unchanged: a
+    clause's occurrence list is the UNION of its alternatives'
+    position lists (disjoint by construction — one term per position),
+    and greedy minimality is clause-agnostic, so feasibility is still
+    exact.  Ranking contract: matched docs ordered by disjunctive BM25
+    over the union of all the query's alternative terms (score DESC,
+    doc_id ASC) — the deterministic stand-in for Lucene's sloppy-freq
+    span scoring, same choice span_near_topk makes for plain terms.
+
+    Scale shape: identical to span_near_topk — positions are read
+    term-pruned from the sidecar, the chain shuffles only (query, doc,
+    start, cur) int rows for candidate docs, one round per clause.
+    """
+    from .stats import score_docs
+
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, score double"
+    )
+    live = {
+        qid: [sorted(set(c)) for c in clauses]
+        for qid, clauses in queries.items()
+        if clauses and all(c for c in clauses)
+    }
+    if not live:
+        return empty
+
+    union_q = {
+        qid: " ".join(sorted({t for c in cl for t in c}))
+        for qid, cl in live.items()
+    }
+    scores = score_docs(spark, index_root, union_q, spec.MODE_DISJUNCTIVE)
+
+    seq_rows = [
+        (qid, i, t, len(cl))
+        for qid, cl in live.items()
+        for i, c in enumerate(cl)
+        for t in c
+    ]
+    qt = spark.createDataFrame(
+        seq_rows, "query_id string, idx int, term string, n_clauses int"
+    )
+    terms = sorted({r[2] for r in seq_rows})
+    pos = read_positions(spark, index_root, terms)
+    ex = (
+        pos.join(F.broadcast(qt), "term")
+        .join(scores.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .select(
+            "query_id", "doc_id", "idx", "n_clauses",
+            F.explode("positions").alias("p"),
+        )
+    )
+    parts = []
+    for n in sorted({len(cl) for cl in live.values()}):
+        bound = slop + n - 1
+        exn = ex.filter(F.col("n_clauses") == n)
+        m = exn.filter(F.col("idx") == 0).select(
+            "query_id", "doc_id",
+            F.col("p").alias("start"), F.col("p").alias("cur"),
+        )
+        for i in range(1, n):
+            nxt = exn.filter(F.col("idx") == i).select(
+                "query_id", "doc_id", "p"
+            )
+            m = (
+                m.join(nxt, ["query_id", "doc_id"])
+                .filter(
+                    (F.col("p") > F.col("cur"))
+                    & (F.col("p") <= F.col("start") + F.lit(bound))
+                )
+                .groupBy("query_id", "doc_id", "start")
+                .agg(F.min("p").alias("cur"))
+            )
+        parts.append(m.select("query_id", "doc_id").distinct())
+    matched = parts[0]
+    for p_ in parts[1:]:
+        matched = matched.unionByName(p_)
+    verified = scores.join(matched, ["query_id", "doc_id"])
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
