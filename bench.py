@@ -155,7 +155,7 @@ JOB_EQUIV_REVS = {
     "64181a6": "23c0dc3",  # zipf/js/scripted: additive text_analysis fns +
                            # new functions/scripted.py — scaling leg never
                            # imports them
-    "1c1e657": "23c0dc3",  # ledger-map-only
+    "4476004": "23c0dc3",  # ledger-map-only
     "fc7e04d": "23c0dc3",  # span_or: additive plans/near.py function —
                            # scaling leg never imports plans/near
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
