@@ -158,6 +158,10 @@ JOB_EQUIV_REVS = {
     "4476004": "23c0dc3",  # ledger-map-only
     "fc7e04d": "23c0dc3",  # span_or: additive plans/near.py function —
                            # scaling leg never imports plans/near
+    "e8c7ae4": "23c0dc3",  # ledger-map-only (and 5da9ef0 before it)
+    "5da9ef0": "23c0dc3",  # ledger-map-only
+    "d803156": "23c0dc3",  # trending stream: new streaming/ module —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
