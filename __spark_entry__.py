@@ -20,7 +20,7 @@ import sys
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1843,6 +1843,55 @@ def _q_bucket_correlation_agg(spark, sf_dir):
     return out.select(
         F.round("corr", 6).alias("corr"),
         F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+_SHINGLE_TOP = 50
+_EDGE_MIN, _EDGE_MAX = 2, 5
+_EDGE_TOP = 100
+
+
+def _q_shingle_counts(spark, sf_dir):
+    """ES `shingle` filter (functions/analysis.shingles): corpus-wide
+    2-shingle (word bigram) counts, top 50 by (count DESC, shingle
+    ASC) — the index form behind fast phrase matching."""
+    from rt_etl_yahoo_search_engine_spark.functions.analysis import shingles
+
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"), n=2)
+    g = sh.groupBy("shingle").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("shingle"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SHINGLE_TOP)
+        .select("shingle", F.col("n").cast("long").alias("n"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _q_edge_ngram_index(spark, sf_dir):
+    """ES `edge_ngram` filter (functions/analysis.edge_ngrams): the
+    search-as-you-type prefix table — per leading gram (2..5 chars),
+    how many distinct vocabulary terms it covers; top 100 by
+    (n_terms DESC, gram ASC)."""
+    from rt_etl_yahoo_search_engine_spark.functions.analysis import (
+        edge_ngrams,
+    )
+
+    eg = edge_ngrams(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        _EDGE_MIN, _EDGE_MAX,
+    )
+    g = (
+        eg.select("term", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_terms"))
+    )
+    w = Window.orderBy(F.desc("n_terms"), F.asc("gram"))
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _EDGE_TOP)
+        .select("gram", F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("rank").cast("int").alias("rank"))
     )
 
 
@@ -4427,6 +4476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
         "span_or_topk": _q_span_or_topk,
+        "shingle_counts": _q_shingle_counts,
+        "edge_ngram_index": _q_edge_ngram_index,
         "zipf_fit": _q_zipf_fit,
         "js_divergence_lang": _q_js_divergence,
         "scripted_metric_agg": _q_scripted_metric_agg,
@@ -4920,6 +4971,49 @@ SELECT ROUND((sxy - sx * sy / n)
              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr,
        CAST(n AS BIGINT) AS n_buckets
 FROM s
+"""
+
+
+def _shingle_sql() -> str:
+    """Word-bigram mirror of functions/analysis.shingles(n=2): adjacent
+    position self-join, '_'-joined, top _SHINGLE_TOP."""
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                     AS toks
+              FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS p
+        FROM docs),
+sh AS (SELECT a.term || '_' || b.term AS shingle
+       FROM pos a JOIN pos b
+         ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+g AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY shingle)
+SELECT shingle, n, CAST(rank AS INTEGER) AS rank
+FROM (SELECT shingle, n,
+             row_number() OVER (ORDER BY n DESC, shingle ASC) AS rank
+      FROM g)
+WHERE rank <= {_SHINGLE_TOP}
+"""
+
+
+def _edge_ngram_sql() -> str:
+    """Prefix-table mirror of functions/analysis.edge_ngrams: distinct
+    vocabulary terms per leading gram (2..5 chars), top _EDGE_TOP."""
+    return f"""
+WITH vocab AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+                                      '[a-z0-9]+')) AS term
+               FROM documents),
+eg AS (SELECT DISTINCT term, substr(term, 1, g) AS gram
+       FROM vocab,
+            unnest(generate_series({_EDGE_MIN},
+                                   least(length(term), {_EDGE_MAX}))) AS u(g)
+       WHERE length(term) >= {_EDGE_MIN}),
+g AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_terms FROM eg GROUP BY gram)
+SELECT gram, n_terms, CAST(rank AS INTEGER) AS rank
+FROM (SELECT gram, n_terms,
+             row_number() OVER (ORDER BY n_terms DESC, gram ASC) AS rank
+      FROM g)
+WHERE rank <= {_EDGE_TOP}
 """
 
 
@@ -7571,6 +7665,8 @@ FROM hits h JOIN documents d USING (doc_id)
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
         "span_or_topk": _span_or_sql(),
+        "shingle_counts": _shingle_sql(),
+        "edge_ngram_index": _edge_ngram_sql(),
         "zipf_fit": _zipf_sql(),
         "js_divergence_lang": _js_divergence_sql(),
         "scripted_metric_agg": _scripted_metric_sql(),
