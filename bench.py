@@ -162,6 +162,9 @@ JOB_EQUIV_REVS = {
     "5da9ef0": "23c0dc3",  # ledger-map-only
     "d803156": "23c0dc3",  # trending stream: new streaming/ module —
                            # scaling leg never imports it
+    "e805243": "23c0dc3",  # ledger-map-only
+    "e1209ba": "23c0dc3",  # analyzers: new functions/analysis.py —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
