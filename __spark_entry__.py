@@ -3777,6 +3777,30 @@ def _q_bpe_pairs(spark, sf_dir):
 _BPE_MERGES = 6
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """BPE ENCODE (functions/text_analysis.bpe_encode): apply the 6
+    merges bpe_learn trains on this corpus back to the corpus —
+    per-doc raw vs subword token counts, the token-budget accounting
+    of a training pipeline.  Merges apply on the vocabulary relation
+    only; per-doc counts ride the tf join."""
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        bpe_encode, bpe_learn,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(docs, n_merges=_BPE_MERGES)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id", "n_tokens", "n_bpe_tokens",
+        F.round("compression", 6).alias("compression"),
+    )
+
+
 def _q_ngram_lang_id(spark, sf_dir):
     """Cavnar-Trenkle n-gram rank-profile language ID
     (functions/text_analysis.ngram_lang_id): per-language top-40
@@ -3877,6 +3901,54 @@ s{i + 1} AS (SELECT s.term, s.n,
         for i in range(n_merges)
     )
     return ",".join(blocks) + "\n" + union
+
+
+def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled train-then-encode oracle: the _bpe_learn_sql round
+    chain INCLUDING the final merge apply, then per-word symbol counts
+    joined to the doc tf relation (bpe_encode semantics)."""
+    blocks = [
+        """
+WITH w AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+                 FROM documents) GROUP BY term),
+s0 AS (SELECT term, n, regexp_replace(term, '(.)', '(\\1)', 'g') AS sym FROM w)"""
+    ]
+    for i in range(n_merges):
+        blocks.append(
+            f"""
+p{i} AS (SELECT pair, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT n, unnest(list_transform(range(1, len(tk)),
+                     j -> tk[j] || ' ' || tk[j + 1])) AS pair
+    FROM (SELECT n, string_split(trim(sym, '()'), ')(') AS tk FROM s{i}))
+  GROUP BY pair),
+m{i} AS (SELECT string_split(pair, ' ')[1] AS left_sym,
+                string_split(pair, ' ')[2] AS right_sym
+         FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+s{i + 1} AS (SELECT s.term, s.n,
+             replace(s.sym, '(' || m.left_sym || ')(' || m.right_sym || ')',
+                     '(' || m.left_sym || m.right_sym || ')') AS sym
+             FROM s{i} s, m{i} m)"""
+        )
+    tail = f""",
+wsyms AS (SELECT term,
+                 len(string_split(trim(sym, '()'), ')(')) AS n_syms
+          FROM s{n_merges}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS term
+             FROM documents)
+       GROUP BY doc_id, term)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf * w.n_syms) AS BIGINT) AS n_bpe_tokens,
+       ROUND(sum(tf.tf * w.n_syms) / sum(tf.tf), 6) AS compression
+FROM tf JOIN wsyms w USING (term)
+GROUP BY tf.doc_id"""
+    return ",".join(blocks) + tail
 
 
 def _bpe_pairs_sql() -> str:
@@ -4590,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_selector_agg": _q_bucket_selector,
         "bpe_pair_counts": _q_bpe_pairs,
         "bpe_learn": _q_bpe_learn,
+        "bpe_encode": _q_bpe_encode,
         "ngram_lang_id": _q_ngram_lang_id,
         "terms_set_topk": _q_terms_set_topk,
         "dsir_weights": _q_dsir_weights,
@@ -7716,6 +7789,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "bucket_selector_agg": _bucket_selector_sql(),
         "bpe_pair_counts": _bpe_pairs_sql(),
         "bpe_learn": _bpe_learn_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "ngram_lang_id": _NGRAM_LANGID_SQL,
         "terms_set_topk": _terms_set_sql(),
         "dsir_weights": _DSIR_SQL,

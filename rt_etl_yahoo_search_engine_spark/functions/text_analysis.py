@@ -685,3 +685,52 @@ def js_divergence(docs: DataFrame, group_col: str) -> DataFrame:
         ).alias("js"),
         "n_shared",
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens, compression): apply a LEARNED
+    ordered merge list (bpe_learn's output) to the corpus — the encode
+    half of the BPE tokenizer loop, the per-doc "how many subword
+    tokens is this document" accounting every token-budgeted training
+    pipeline needs (packing, mix weights, cost estimates all key on
+    it).
+
+    Scale-correct structure (mirror of bpe_learn's): merges are applied
+    to the VOCABULARY relation only (distinct term -> parenthesized
+    symbol string, one JVM `replace` per merge — never per-document
+    work), then per-doc counts come from the tf relation joined to the
+    vocabulary's symbol counts (broadcastable: vocabulary-scale).
+    Greedy left-to-right non-overlapping application per merge is exact
+    BPE by the parenthesis-delimiter argument (see bpe_learn)."""
+    vocab = (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+        .withColumn("sym", F.expr("regexp_replace(term, '(.)', '($1)')"))
+    )
+    for left, right in merges:
+        vocab = vocab.withColumn(
+            "sym",
+            F.expr(f"replace(sym, '({left})({right})', '({left}{right})')"),
+        )
+    tk = "split(trim(BOTH '()' FROM sym), '[)][(]')"
+    word_syms = vocab.select("term", F.expr(f"size({tk})").alias("n_syms"))
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(word_syms), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("n_syms")).cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.col("n_bpe_tokens") / F.col("n_tokens"),
+        )
+    )

@@ -80,3 +80,47 @@ def test_exhaustion_stops_early(spark):
     got = _run(spark, texts, 5)
     assert got == _py_bpe(texts, 5)
     assert len(got) == 1
+
+
+def test_bpe_encode_matches_python(spark):
+    """bpe_encode: per-doc subword counts equal a greedy left-to-right
+    non-overlapping merge application in pure python."""
+    from rt_etl_yahoo_search_engine_spark import spec
+    from rt_etl_yahoo_search_engine_spark.functions.text_analysis import (
+        bpe_encode, bpe_learn,
+    )
+
+    rows = [
+        (0, "the theme thesis then"),
+        (1, "there other ethers"),
+        (2, "a b c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(df, n_merges=4).orderBy("merge_idx").collect()
+    ]
+
+    def apply_merges(word):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    for did, text in rows:
+        toks = spec.tokenize(text)
+        want_bpe = sum(len(apply_merges(t)) for t in toks)
+        assert got[did] == (len(toks), want_bpe), did
