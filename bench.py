@@ -165,6 +165,9 @@ JOB_EQUIV_REVS = {
     "e805243": "23c0dc3",  # ledger-map-only
     "e1209ba": "23c0dc3",  # analyzers: new functions/analysis.py —
                            # scaling leg never imports it
+    "ee6c84b": "23c0dc3",  # ledger-map-only
+    "cbb93e2": "23c0dc3",  # bpe_encode: additive text_analysis fn —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
