@@ -1895,6 +1895,28 @@ def _q_edge_ngram_index(spark, sf_dir):
     )
 
 
+_RAG_WINDOW, _RAG_STRIDE = 64, 48
+
+
+def _q_rag_chunks(spark, sf_dir):
+    """RAG retrieval-unit chunking (functions/webtext.rag_chunks):
+    64-token windows at stride 48 (16-token overlap), md5 chunk keys —
+    the unit a vector store embeds and dedups."""
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import rag_chunks
+
+    out = rag_chunks(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        window=_RAG_WINDOW, stride=_RAG_STRIDE,
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        "chunk_hash",
+    )
+
+
 def _q_zipf_fit(spark, sf_dir):
     """Corpus-health diagnostic (functions/text_analysis.zipf_fit):
     OLS fit of ln(frequency) vs ln(rank) over the documents table's
@@ -4548,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
         "span_or_topk": _q_span_or_topk,
+        "rag_chunks": _q_rag_chunks,
         "shingle_counts": _q_shingle_counts,
         "edge_ngram_index": _q_edge_ngram_index,
         "zipf_fit": _q_zipf_fit,
@@ -5139,6 +5162,33 @@ FROM (SELECT s.query_id, s.doc_id, s.score,
       FROM scored s
       JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id)
 WHERE rank <= 10
+"""
+
+
+def _rag_chunks_sql() -> str:
+    """Sliding-window chunk mirror of functions/webtext.rag_chunks
+    (floor on both sides so the chunk count never rides a cast-rounding
+    difference)."""
+    w, s = _RAG_WINDOW, _RAG_STRIDE
+    return f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+nz AS (SELECT doc_id, toks,
+              1 + CAST(floor(greatest(len(toks) - {w} + {s} - 1, 0)
+                             / {s}) AS INT) AS n_chunks
+       FROM d WHERE len(toks) > 0),
+c AS (SELECT doc_id,
+             unnest(range(0, n_chunks)) AS chunk_id,
+             toks
+      FROM nz)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * {s} AS INTEGER) AS start_tok,
+       CAST(len(toks[chunk_id * {s} + 1 : chunk_id * {s} + {w}]) AS INTEGER)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * {s} + 1 : chunk_id * {s} + {w}],
+                           ' ')) AS chunk_hash
+FROM c
 """
 
 
@@ -7738,6 +7788,7 @@ FROM hits h JOIN documents d USING (doc_id)
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
         "span_or_topk": _span_or_sql(),
+        "rag_chunks": _rag_chunks_sql(),
         "shingle_counts": _shingle_sql(),
         "edge_ngram_index": _edge_ngram_sql(),
         "zipf_fit": _zipf_sql(),

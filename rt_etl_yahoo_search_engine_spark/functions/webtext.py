@@ -494,3 +494,42 @@ def latest_snapshot(
         .filter(F.col("_snap_rn") == 1)
         .drop("_snap_rn")
     )
+
+
+def rag_chunks(docs: DataFrame, window: int = 64,
+               stride: int = 48) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_hash) — the
+    standard RAG retrieval-unit chunking: fixed token windows of
+    `window` tokens at `stride` steps (overlap = window - stride so no
+    boundary sentence is lost to retrieval), last window truncated, one
+    chunk for any non-empty doc shorter than the window.  chunk_hash =
+    md5 of the space-joined chunk tokens — the embedding/dedup key a
+    vector store indexes.
+
+    Pure codegen: tokenize + a transform over the chunk-start sequence
+    + slice/array_join/md5 — scan-local, no shuffle, no UDF; the
+    explode emits ~n_tokens/stride rows per doc, the same order as the
+    token relation every other operator already pays for."""
+    n_chunks = (
+        f"1 + CAST(floor(greatest(size(tokens) - {window} + {stride} - 1, 0)"
+        f" / {stride}) AS INT)"
+    )
+    chunk_expr = (
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> struct(i AS chunk_id, i * {stride} AS start_tok,"
+        f" slice(tokens, i * {stride} + 1, {window}) AS ctoks))"
+    )
+    return (
+        docs.withColumn("tokens", F.expr(TOKENS_EXPR))
+        .filter(F.size("tokens") > 0)
+        .select("doc_id", F.explode(F.expr(chunk_expr)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.size("c.ctoks").alias("n_chunk_tokens"),
+            F.md5(
+                F.encode(F.array_join("c.ctoks", " "), "UTF-8")
+            ).alias("chunk_hash"),
+        )
+    )

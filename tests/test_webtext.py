@@ -81,3 +81,42 @@ def test_webtext_plans_have_no_python_udf(spark, docs):
     for df in (pii_stats(docs), repetition_stats(docs), chunk_dedup(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rag_chunks_match_python(spark):
+    """rag_chunks: chunk boundaries, truncation, overlap, and hashes
+    equal a pure-python sliding-window reference."""
+    import hashlib
+
+    from rt_etl_yahoo_search_engine_spark import spec
+    from rt_etl_yahoo_search_engine_spark.functions.webtext import rag_chunks
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(10)),    # < window: 1 chunk
+        1: " ".join(f"w{i}" for i in range(64)),    # == window: 1 chunk
+        2: " ".join(f"w{i}" for i in range(65)),    # 2 chunks (17-tail)
+        3: " ".join(f"w{i}" for i in range(113)),   # 3 chunks
+        4: "",                                       # empty: no chunks
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in rag_chunks(df, window=64, stride=48).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (
+            r["start_tok"], r["n_chunk_tokens"], r["chunk_hash"]
+        )
+    want = {}
+    for did, text in texts.items():
+        toks = spec.tokenize(text)
+        if not toks:
+            continue
+        n = 1 + max(len(toks) - 64 + 47, 0) // 48
+        for i in range(n):
+            ctoks = toks[i * 48: i * 48 + 64]
+            want[(did, i)] = (
+                i * 48, len(ctoks),
+                hashlib.md5(" ".join(ctoks).encode()).hexdigest(),
+            )
+    assert got == want
+    assert (4, 0) not in got
