@@ -168,6 +168,9 @@ JOB_EQUIV_REVS = {
     "ee6c84b": "23c0dc3",  # ledger-map-only
     "cbb93e2": "23c0dc3",  # bpe_encode: additive text_analysis fn —
                            # scaling leg never imports it
+    "faa0841": "23c0dc3",  # ledger-map-only
+    "9ce36f7": "23c0dc3",  # rag_chunks: additive webtext fn — scaling
+                           # leg never imports functions/webtext
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
