@@ -3372,6 +3372,23 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (functions/similarity.pq_topk — Jegou
+    et al. 2011): 4 subspaces x 4-codeword deterministic Lloyd's
+    codebooks, corpus encoded to 4 codes per vector, asymmetric-
+    distance (ADC) top-10 with a fixed-order per-subspace sum."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = sim.pq_topk(
+        emb, ANN_QUERY_IDS, m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS,
+        k=10,
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank", "vec_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
@@ -4570,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_cross_fields": _q_multi_match_cross_fields,
         "nb_lang_classify": _q_nb_lang_classify,
         "span_or_topk": _q_span_or_topk,
+        "ann_pq_topk": _q_ann_pq,
         "rag_chunks": _q_rag_chunks,
         "shingle_counts": _q_shingle_counts,
         "edge_ngram_index": _q_edge_ngram_index,
@@ -7491,6 +7509,101 @@ def _kmeans_ctes(k: int, iters: int) -> list[str]:
     return ctes
 
 
+_PQ_M = 4
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def _pq_sql() -> str:
+    """Product-quantization ANN oracle (functions/similarity.pq_topk):
+    per-subspace unrolled Lloyd's (the _kmeans_ctes chain over sliced
+    sub-vectors), code assignment from the final centroids, query ADC
+    lookup tables, fixed-order per-subspace pivot sum (the engine's
+    exact addition order), top-10 by (adc ASC, vec_id ASC)."""
+    m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
+    sub = 64 // m
+    dist = (
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    qids = ", ".join(str(q) for q in ANN_QUERY_IDS)
+    ctes = []
+    for mi in range(m):
+        lo = mi * sub + 1
+        hi = (mi + 1) * sub
+        ctes.append(
+            f"e{mi} AS (SELECT vec_id,"
+            f" (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+            f" FROM embeddings)"
+        )
+        ctes.append(
+            f"c0_{mi} AS (SELECT vec_id AS cell, v AS c"
+            f" FROM e{mi} WHERE vec_id < {k})"
+        )
+        for t in range(iters + 1):
+            ctes.append(
+                f"a{t}_{mi} AS (SELECT vec_id, v, cell, dist2 FROM ("
+                f"SELECT e.vec_id, e.v, c.cell, {dist} AS dist2, "
+                f"row_number() OVER (PARTITION BY e.vec_id"
+                f" ORDER BY {dist}, c.cell) AS rn"
+                f" FROM e{mi} e, c{t}_{mi} c) WHERE rn = 1)"
+            )
+            if t == iters:
+                break
+            ctes.append(
+                f"s{t}_{mi} AS (SELECT cell, list(mean ORDER BY dim) AS c"
+                f" FROM (SELECT cell, dim, avg(x) AS mean FROM ("
+                f"SELECT cell, generate_subscripts(v, 1) AS dim,"
+                f" unnest(v) AS x FROM a{t}_{mi})"
+                f" GROUP BY cell, dim) GROUP BY cell)"
+            )
+            ctes.append(
+                f"c{t + 1}_{mi} AS (SELECT p.cell, COALESCE(s.c, p.c) AS c"
+                f" FROM c{t}_{mi} p LEFT JOIN s{t}_{mi} s USING (cell))"
+            )
+        ctes.append(
+            f"lut{mi} AS (SELECT e.vec_id AS query_id, c.cell AS code,"
+            f" {dist} AS dsub"
+            f" FROM (SELECT vec_id, v FROM e{mi}"
+            f" WHERE vec_id IN ({qids})) e, c{iters}_{mi} c)"
+        )
+    codes_u = " UNION ALL ".join(
+        f"SELECT vec_id, {mi} AS m, cell AS code FROM a{iters}_{mi}"
+        for mi in range(m)
+    )
+    luts_u = " UNION ALL ".join(
+        f"SELECT query_id, {mi} AS m, code, dsub FROM lut{mi}"
+        for mi in range(m)
+    )
+    pivots = ", ".join(
+        f"sum(CASE WHEN m = {mi} THEN dsub END) AS s{mi}" for mi in range(m)
+    )
+    adc = " + ".join(f"s{mi}" for mi in range(m))
+    notnull = " AND ".join(f"s{mi} IS NOT NULL" for mi in range(m))
+    ctes.append(f"codes AS ({codes_u})")
+    ctes.append(f"luts AS ({luts_u})")
+    ctes.append(
+        "j AS (SELECT l.query_id, c.vec_id, c.m, l.dsub"
+        " FROM codes c JOIN luts l ON c.m = l.m AND c.code = l.code"
+        " WHERE c.vec_id <> l.query_id)"
+    )
+    ctes.append(
+        f"pv AS (SELECT query_id, vec_id, {pivots}"
+        " FROM j GROUP BY query_id, vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       vec_id, ROUND(adc_dist, 6) AS adc_dist
+FROM (SELECT query_id, vec_id, {adc} AS adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {adc} ASC, vec_id ASC) AS rank
+      FROM pv WHERE {notnull})
+WHERE rank <= 10
+"""
+    )
+
+
 def _kmeans_sql() -> str:
     """Per-cluster member count + inertia over the final Lloyd
     assignment (_kmeans_ctes)."""
@@ -7788,6 +7901,7 @@ FROM hits h JOIN documents d USING (doc_id)
             "cross_fields", _MM_CROSS, _MM_TB),
         "nb_lang_classify": _nb_classify_sql(),
         "span_or_topk": _span_or_sql(),
+        "ann_pq_topk": _pq_sql(),
         "rag_chunks": _rag_chunks_sql(),
         "shingle_counts": _shingle_sql(),
         "edge_ngram_index": _edge_ngram_sql(),

@@ -401,3 +401,123 @@ def semdedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int = 4,
+    codebook_k: int = 4,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, vec_id, adc_dist) — product-quantization ANN
+    (Jegou et al. 2011, the compression path IVF deployments pair with
+    at billion-vector scale): the D-dim space splits into `m` equal
+    subspaces, each gets its own `codebook_k`-codeword k-means codebook
+    (kmeans_train's deterministic Lloyd's per subspace), every corpus
+    vector is encoded as m small codes, and queries score by
+    ASYMMETRIC DISTANCE (ADC): per query a lookup table of
+    query-subvector -> codeword squared distances, a vector's distance
+    = sum of its m table entries.  Top-k per query (adc ASC, vec_id
+    ASC); queries are the corpus vectors with id in `query_ids` (the
+    ANN entries' shared convention), self excluded.
+
+    Scale shape: codebooks train on sliced sub-vectors with
+    kmeans_train's zero-exchange assignment; the encoded corpus is m
+    CODE columns (bytes at real scale — the 256x compression that
+    makes 10^12-vector search feasible); query LUTs are Q*m*k driver
+    floats shipped as a broadcast literal table; scoring is one join
+    on (m, code) + a per-(query, vec) sum — map-side combinable, no
+    vector payloads move anywhere after encode."""
+    if m <= 0 or codebook_k <= 0:
+        raise ValueError("need m > 0 and codebook_k > 0")
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dim_row = base.select(F.size("v").alias("d")).first()
+    if dim_row is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id int, rank int, vec_id long, adc_dist double"
+        )
+    d = int(dim_row["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    code_parts = []
+    books = []  # books[mi][cell] = centroid list
+    for mi in range(m):
+        sliced = base.select(
+            "vec_id", F.slice("v", mi * sub + 1, sub).alias("embedding")
+        )
+        assign, cents = kmeans_train(
+            sliced, k=codebook_k, iters=iters, id_col="vec_id",
+            vec_col="embedding",
+        )
+        books.append(cents)
+        code_parts.append(
+            assign.select(
+                "vec_id", F.lit(mi).alias("m"),
+                F.col("cell").cast("int").alias("code"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in base.filter(
+            F.col("vec_id").isin([int(q) for q in query_ids])
+        ).collect()
+    }
+    lut_rows = []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        for mi in range(m):
+            qs = qv[mi * sub: (mi + 1) * sub]
+            na = sum(x * x for x in qs)
+            for cell, c in enumerate(books[mi]):
+                ab = sum(x * y for x, y in zip(qs, c))
+                nb = sum(x * x for x in c)
+                lut_rows.append((qid, mi, cell, na - 2 * ab + nb))
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows, "query_id int, m int, code int, dsub double"
+    )
+    # Fixed-order ADC combine: one pivoted column per subspace, summed
+    # s0 + s1 + ... left-associatively.  With tiny codebooks many
+    # vectors share ALL codes, so exact-equal ADC values are the COMMON
+    # case — a shuffle-order float sum would break those ties
+    # differently per run (and vs the oracle); the pivot makes the
+    # addition order a fixed property of the expression.
+    subs = [
+        F.sum(F.when(F.col("m") == mi, F.col("dsub"))).alias(f"_s{mi}")
+        for mi in range(m)
+    ]
+    adc = F.col("_s0")
+    for mi in range(1, m):
+        adc = adc + F.col(f"_s{mi}")
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(*subs)
+        .filter(
+            F.expr(" AND ".join(f"_s{mi} IS NOT NULL" for mi in range(m)))
+        )
+        .select("query_id", "vec_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "adc_dist")
+    )

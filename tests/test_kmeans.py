@@ -142,3 +142,94 @@ def test_semdedup_bad_threshold(spark):
     )
     with pytest.raises(ValueError, match="threshold"):
         semdedup(emb, k=2, threshold=0.0)
+
+
+def test_pq_topk_matches_python(spark):
+    """pq_topk: full train/encode/ADC pipeline equals a from-scratch
+    python PQ with the same deterministic conventions (id<k seeds,
+    lowest-cell ties, empty-cell carryover, fixed-order subspace sum,
+    self excluded, (adc ASC, vec_id ASC) ranking)."""
+    import pytest as _pytest
+
+    from rt_etl_yahoo_search_engine_spark.functions.similarity import pq_topk
+
+    dim, m, k, iters = 8, 2, 2, 1
+    vecs = {
+        i: [((i * 7 + j * 13) % 19) / 19.0 + (0.5 if (i + j) % 3 == 0
+            else 0.0) for j in range(dim)]
+        for i in range(20)
+    }
+    rows = [(i, v) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 3]
+
+    sub = dim // m
+
+    def d2(a, b):
+        na = sum(x * x for x in a)
+        ab = sum(x * y for x, y in zip(a, b))
+        nb = sum(x * x for x in b)
+        return na - 2 * ab + nb
+
+    def train(mi):
+        sv = {i: v[mi * sub:(mi + 1) * sub] for i, v in vecs.items()}
+        cents = [list(sv[i]) for i in range(k)]
+        assign = {}
+        for _ in range(iters + 1):
+            assign = {
+                i: min(range(k), key=lambda c: (d2(v, cents[c]), c))
+                for i, v in sv.items()
+            }
+            new = []
+            for c in range(k):
+                members = [sv[i] for i, cc in assign.items() if cc == c]
+                if members:
+                    new.append([
+                        sum(mv[j] for mv in members) / len(members)
+                        for j in range(sub)
+                    ])
+                else:
+                    new.append(cents[c])
+            prev, cents = cents, new
+        # the returned assignment is vs the centroids AFTER `iters`
+        # updates: one more argmin against the last update
+        cents = prev
+        assign = {
+            i: min(range(k), key=lambda c: (d2(v, cents[c]), c))
+            for i, v in sv.items()
+        }
+        return cents, assign
+
+    books, codes = [], []
+    for mi in range(m):
+        c, a = train(mi)
+        books.append(c)
+        codes.append(a)
+
+    want = {}
+    for q in qids:
+        luts = []
+        for mi in range(m):
+            qs = vecs[q][mi * sub:(mi + 1) * sub]
+            luts.append([d2(qs, c) for c in books[mi]])
+        scored = []
+        for i in vecs:
+            if i == q:
+                continue
+            s = luts[0][codes[0][i]]
+            for mi in range(1, m):
+                s = s + luts[mi][codes[mi][i]]
+            scored.append((s, i))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        for r, (s, i) in enumerate(scored[:10], start=1):
+            want[(q, r)] = (i, s)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+        for r in pq_topk(df, qids, m=m, codebook_k=k, iters=iters,
+                         k=10).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == _pytest.approx(want[key][1], abs=1e-9)
