@@ -171,6 +171,9 @@ JOB_EQUIV_REVS = {
     "faa0841": "23c0dc3",  # ledger-map-only
     "9ce36f7": "23c0dc3",  # rag_chunks: additive webtext fn — scaling
                            # leg never imports functions/webtext
+    "54a3546": "23c0dc3",  # ledger-map-only
+    "429f4aa": "23c0dc3",  # PQ ANN: additive similarity fn — scaling
+                           # leg never imports functions/similarity
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
