@@ -174,6 +174,8 @@ JOB_EQUIV_REVS = {
     "54a3546": "23c0dc3",  # ledger-map-only
     "429f4aa": "23c0dc3",  # PQ ANN: additive similarity fn — scaling
                            # leg never imports functions/similarity
+    "69ea28d": "23c0dc3",  # ledger-map-only
+    "0dfca78": "23c0dc3",  # EXPLAIN.md doc-only
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
