@@ -1171,6 +1171,34 @@ def _q_dismax_topk(spark, sf_dir):
     )
 
 
+_MM_COMBINED_W = {"title": 2.0, "body": 1.0}
+
+
+def _q_multi_match_combined(spark, sf_dir):
+    """ES `multi_match` type=combined_fields (plans/multimatch.
+    combined_fields_topk — BM25F shape): weighted tf and doc-length
+    sums across title^2/body into one pseudo-field, blended df, one
+    BM25 expression per term; top-10 per DOC_QUERY."""
+    from rt_etl_yahoo_search_engine_spark.plans.multimatch import (
+        combined_fields_topk,
+    )
+
+    roots = {
+        "body": _index_for(spark, sf_dir),
+        "title": _index_for_title(spark, sf_dir),
+    }
+    out = combined_fields_topk(
+        spark, roots, DOC_QUERIES, weights=_MM_COMBINED_W, k=10
+    )
+    dm = _docmap_orig(spark, sf_dir)
+    return dm.join(F.broadcast(out), "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # multi_match field boosts per entry (field -> boost), mirrored in SQL.
 _MM_BEST = {"title": 2.0, "body": 1.0}
 _MM_MOST = {"title": 1.5, "body": 1.0}
@@ -4585,6 +4613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_best_fields": _q_multi_match_best_fields,
         "multi_match_most_fields": _q_multi_match_most_fields,
         "multi_match_cross_fields": _q_multi_match_cross_fields,
+        "multi_match_combined": _q_multi_match_combined,
         "nb_lang_classify": _q_nb_lang_classify,
         "span_or_topk": _q_span_or_topk,
         "ann_pq_topk": _q_ann_pq,
@@ -5332,6 +5361,67 @@ SELECT d.doc_id, d.lang AS label, r1.pred_label,
 FROM docs d
 JOIN ranked r1 ON r1.doc_id = d.doc_id AND r1.rn = 1
 JOIN ranked r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
+"""
+
+
+def _multi_match_combined_sql() -> str:
+    """combined_fields oracle: weighted tf/dl sums in sorted field
+    order (body then title — the engine's pivot order), blended max-df
+    idf, one BM25 expression of the combined quantities."""
+    wb = repr(_MM_COMBINED_W["body"])
+    wt = repr(_MM_COMBINED_W["title"])
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {_qterms_values()}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+tdocs AS (SELECT doc_id, toks[1:{_TITLE_K}] AS toks FROM docs),
+bdl AS (SELECT doc_id, len(toks) AS doc_len FROM docs),
+tdl AS (SELECT doc_id, len(toks) AS doc_len FROM tdocs),
+btf AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+        GROUP BY doc_id, term),
+ttf AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM tdocs)
+        GROUP BY doc_id, term),
+blex AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+tlex AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+st AS (SELECT (SELECT count(*) FROM docs) AS n_docs,
+              (SELECT avg(doc_len) FROM bdl) AS b_avgdl,
+              (SELECT avg(doc_len) FROM tdl) AS t_avgdl),
+dfb AS (SELECT term, max(df) AS df
+        FROM (SELECT term, df FROM blex UNION ALL SELECT term, df FROM tlex)
+        GROUP BY term),
+bq AS (SELECT q.query_id, b.term, b.doc_id, b.tf
+       FROM btf b JOIN qterms q USING (term)),
+tq AS (SELECT q.query_id, t.term, t.doc_id, t.tf
+       FROM ttf t JOIN qterms q USING (term)),
+tfc AS (SELECT COALESCE(b.query_id, t.query_id) AS query_id,
+               COALESCE(b.term, t.term) AS term,
+               COALESCE(b.doc_id, t.doc_id) AS doc_id,
+               COALESCE({wb} * CAST(b.tf AS DOUBLE), 0.0)
+               + COALESCE({wt} * CAST(t.tf AS DOUBLE), 0.0) AS tf_c
+        FROM bq b FULL JOIN tq t
+          ON b.query_id = t.query_id AND b.term = t.term
+         AND b.doc_id = t.doc_id),
+dlc AS (SELECT b.doc_id,
+               {wb} * CAST(b.doc_len AS DOUBLE)
+               + {wt} * CAST(t.doc_len AS DOUBLE) AS dl_c
+        FROM bdl b JOIN tdl t USING (doc_id)),
+wts AS (SELECT tfc.query_id, tfc.doc_id,
+               ln((st.n_docs - dfb.df + 0.5) / (dfb.df + 0.5) + 1.0)
+               * (tfc.tf_c * (1.2 + 1.0))
+               / (tfc.tf_c + 1.2 * ((1.0 - 0.75)
+                  + 0.75 * dlc.dl_c
+                    / ({wb} * st.b_avgdl + {wt} * st.t_avgdl))) AS w
+        FROM tfc JOIN dfb USING (term) JOIN dlc USING (doc_id), st),
+scored AS (SELECT query_id, doc_id, sum(w) AS score
+           FROM wts GROUP BY query_id, doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
 """
 
 
@@ -7899,6 +7989,7 @@ FROM hits h JOIN documents d USING (doc_id)
             "most_fields", _MM_MOST, 0.0),
         "multi_match_cross_fields": _multi_match_sql(
             "cross_fields", _MM_CROSS, _MM_TB),
+        "multi_match_combined": _multi_match_combined_sql(),
         "nb_lang_classify": _nb_classify_sql(),
         "span_or_topk": _span_or_sql(),
         "ann_pq_topk": _pq_sql(),

@@ -187,3 +187,150 @@ def multi_match_topk(
             F.col("n_matched") == F.col("n_terms")
         )
     return _topk_window(per_doc.select("query_id", "doc_id", "score"), k)
+
+
+def combined_fields_topk(
+    spark: SparkSession,
+    field_roots: dict[str, str],
+    queries: dict[str, str],
+    weights: dict[str, float] | None = None,
+    mode: str = spec.MODE_DISJUNCTIVE,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — ES `multi_match`
+    type=combined_fields (the BM25F-shaped third type): the fields act
+    as ONE pseudo-field whose term frequency and length are weighted
+    sums across fields,
+
+        tf_c(d,t)  = sum_f w_f * tf_f(d,t)
+        dl_c(d)    = sum_f w_f * dl_f(d)
+        avgdl_c    = sum_f w_f * avgdl_f
+        df_c(t)    = max_f df_f(t)          (the blended df)
+
+    and each term scores as standard BM25 of the combined quantities:
+    idf(df_c) * tf_c*(k1+1) / (tf_c + k1*(1-b+b*dl_c/avgdl_c)), summed
+    per doc.  Unlike best/most_fields this rewards a term's occurrences
+    ACROSS fields as if they were one field (ES's documented motivation
+    for the type); unlike cross_fields the combination happens on the
+    raw frequencies, not on per-field normalized weights.
+
+    Determinism contract: tf_c and dl_c are combined in SORTED FIELD
+    ORDER with a per-field pivot (one column per field, added left to
+    right), so exact ties — common when fields overlap — break
+    identically in any engine evaluating the same expression.
+
+    Scale shape: per-field stats.term_raw unit scans (O(sum df) narrow
+    integer rows), a (query, term, doc) pivot groupBy, one doc-keyed
+    join per field to that field's (doc_id, doc_len) projection of the
+    doc-major tokens store (column-pruned scan, hash join), a vocab-bounded broadcast of blended idfs,
+    and a final (query, doc) sum + WindowGroupLimit top-k."""
+    from ..plans.stats import term_raw
+
+    if not field_roots:
+        raise ValueError("need at least one field index")
+    weights = weights or {}
+    fields = sorted(field_roots)
+    wmap = {f: float(weights.get(f, 1.0)) for f in fields}
+
+    all_terms = sorted(
+        {t for text in queries.values() for t in spec.tokenize(text)}
+    )
+    df_blend: dict[str, int] = {}
+    n_docs = 0
+    avgdl_c = 0.0
+    for f in fields:
+        cat = Catalog(field_roots[f])
+        reg = cat.read_registry()
+        n_docs = max(n_docs, int(reg["n_docs"]))
+        avgdl_c = avgdl_c + wmap[f] * (
+            float(reg["sum_dl"]) / int(reg["n_docs"])
+        )
+        for t, d in lexicon_df(cat, reg, all_terms).items():
+            df_blend[t] = max(df_blend.get(t, 0), d)
+    if not df_blend:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
+    idf_df = spark.createDataFrame(
+        [(t, spec.idf(n_docs, d)) for t, d in sorted(df_blend.items())],
+        "term string, idf_c double",
+    )
+
+    parts = []
+    for f in fields:
+        tr = term_raw(spark, field_roots[f], queries)
+        parts.append(
+            tr.select(
+                "query_id", "term", "doc_id",
+                F.lit(f).alias("field"), F.col("tf").cast("double"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pivots = [
+        F.sum(
+            F.when(F.col("field") == f, F.lit(wmap[f]) * F.col("tf"))
+        ).alias(f"_tf_{i}")
+        for i, f in enumerate(fields)
+    ]
+    tfc_expr = F.coalesce(F.col("_tf_0"), F.lit(0.0))
+    for i in range(1, len(fields)):
+        tfc_expr = tfc_expr + F.coalesce(F.col(f"_tf_{i}"), F.lit(0.0))
+    tfc = (
+        u.groupBy("query_id", "term", "doc_id")
+        .agg(*pivots)
+        .select("query_id", "term", "doc_id", tfc_expr.alias("tf_c"))
+    )
+    dl = None
+    for i, f in enumerate(fields):
+        cat = Catalog(field_roots[f])
+        reg = cat.read_registry()
+        dm = (
+            cat.read(spark, *reg.get("token_dirs", ["tokens"]))
+            .select("doc_id", "doc_len")
+            .distinct()
+            .select("doc_id",
+                    (F.lit(wmap[f]) * F.col("doc_len")).alias(f"_dl_{i}"))
+        )
+        dl = dm if dl is None else dl.join(dm, "doc_id")
+    dlc_expr = F.col("_dl_0")
+    for i in range(1, len(fields)):
+        dlc_expr = dlc_expr + F.col(f"_dl_{i}")
+    dlc = dl.select("doc_id", dlc_expr.alias("dl_c"))
+
+    scored_terms = (
+        tfc.join(dlc, "doc_id")
+        .join(F.broadcast(idf_df), "term")
+        .select(
+            "query_id", "doc_id",
+            (
+                F.col("idf_c")
+                * (F.col("tf_c") * F.lit(spec.K1 + 1.0))
+                / (
+                    F.col("tf_c")
+                    + F.lit(spec.K1)
+                    * (
+                        F.lit(1.0 - spec.B)
+                        + F.lit(spec.B) * F.col("dl_c") / F.lit(avgdl_c)
+                    )
+                )
+            ).alias("w"),
+            F.lit(1).alias("one"),
+        )
+    )
+    per_doc = scored_terms.groupBy("query_id", "doc_id").agg(
+        F.sum("w").alias("score"), F.sum("one").alias("n_matched")
+    )
+    if mode == spec.MODE_CONJUNCTIVE:
+        qn = spark.createDataFrame(
+            [
+                (qid, len(set(spec.tokenize(text))))
+                for qid, text in sorted(queries.items())
+            ],
+            "query_id string, n_terms int",
+        )
+        per_doc = per_doc.join(F.broadcast(qn), "query_id").filter(
+            F.col("n_matched") == F.col("n_terms")
+        )
+    return _topk_window(per_doc.select("query_id", "doc_id", "score"), k)

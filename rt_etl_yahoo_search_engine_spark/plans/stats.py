@@ -403,6 +403,74 @@ def term_norms(
     )
 
 
+def term_raw(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+) -> DataFrame:
+    """(query_id, term, doc_id, tf): the RAW per-term match relation —
+    integer term frequencies straight off the pruned block decode, no
+    normalization at all.  The primitive under cross-field frequency
+    COMBINATION (plans/multimatch combined_fields / BM25F), where tf
+    itself is blended across fields before any score expression runs.
+
+    Scale shape: identical to term_norms — same unit scan, same
+    O(sum df) narrow rows; tombstones masked unit-locally."""
+    schema = "query_id string, term string, doc_id long, tf long"
+    empty = spark.createDataFrame([], schema)
+    plan = _plan(spark, index_root, queries, spec.MODE_DISJUNCTIVE)
+    if plan is None:
+        return empty
+    set_terms, map_df, units, corpus_terms, del_paths, _idf, _avgdl = plan
+    b = spark.sparkContext.broadcast((set_terms, corpus_terms, del_paths))
+
+    def raw_units(pdfs):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.dataset as pds
+
+        from ..operators.topk import decode_term_postings_raw
+
+        sets_l, terms_l, del_paths_l = b.value
+        for updf in pdfs:
+            for path in updf["path"]:
+                tbl = pds.dataset(path).to_table(
+                    columns=_POSTINGS_READ_COLS,
+                    filter=pds.field("term").isin(terms_l),
+                )
+                if tbl.num_rows == 0:
+                    continue
+                bl = tbl.to_pandas()
+                bl["shard"] = 0
+                tdata = {
+                    t: decode_term_postings_raw(g)
+                    for t, g in bl.groupby("term", sort=True)
+                }
+                deleted = _unit_deleted(del_paths_l, bl)
+                for si, terms in enumerate(sets_l):
+                    for t in terms:
+                        if t not in tdata:
+                            continue
+                        ids, tfs = tdata[t][0], tdata[t][1]
+                        if deleted is not None and len(ids):
+                            keep = ~np.isin(ids, deleted)
+                            ids, tfs = ids[keep], tfs[keep]
+                        if len(ids):
+                            yield pd.DataFrame(
+                                {"set_idx": si, "term": t,
+                                 "doc_id": ids,
+                                 "tf": tfs.astype("int64")}
+                            )
+
+    rel = _unit_scan(
+        spark, units,
+        (raw_units, "set_idx int, term string, doc_id long, tf long"),
+    )
+    return rel.join(F.broadcast(map_df), "set_idx").select(
+        "query_id", "term", "doc_id", "tf"
+    )
+
+
 def facet_counts(
     spark: SparkSession,
     index_root: str,

@@ -231,3 +231,98 @@ def test_conjunctive_cross_fields(spark, field_roots, docmap):
                 assert (qid, i) in got, (qid, i)
             else:
                 assert (qid, i) not in got, (qid, i)
+
+
+def _py_combined(weights):
+    """Reference for combined_fields: weighted tf/dl sums, blended df."""
+    fields = {
+        "body": _py_field_stats(DOCS),
+        "title": _py_field_stats([_title(t) for t in DOCS]),
+    }
+    n_docs = len(DOCS)
+    avgdl_c = sum(
+        weights[f] * fields[f][2] for f in sorted(fields)
+    )
+    out = {}
+    for qid, qtext in QUERIES.items():
+        terms = sorted(set(spec.tokenize(qtext)))
+        scores = {}
+        for i in range(n_docs):
+            dl_c = sum(
+                weights[f] * fields[f][1][i] for f in sorted(fields)
+            )
+            s, matched = 0.0, 0
+            for term in terms:
+                df_c = max(fields[f][3].get(term, 0) for f in fields)
+                if not df_c:
+                    continue
+                tf_c = sum(
+                    weights[f] * fields[f][0][i].count(term)
+                    for f in sorted(fields)
+                )
+                if tf_c <= 0:
+                    continue
+                matched += 1
+                s += spec.idf(n_docs, df_c) * (
+                    tf_c * (spec.K1 + 1.0)
+                    / (tf_c + spec.K1 * (1.0 - spec.B
+                                         + spec.B * dl_c / avgdl_c))
+                )
+            if matched:
+                scores[i] = (s, matched)
+        out[qid] = scores
+    return out
+
+
+def test_combined_fields_single_field_is_bm25(spark, field_roots, docmap):
+    from rt_etl_yahoo_search_engine_spark.plans.multimatch import (
+        combined_fields_topk,
+    )
+
+    mm = combined_fields_topk(
+        spark, {"body": field_roots["body"]}, QUERIES, k=len(DOCS)
+    )
+    plain = topk(spark, field_roots["body"], QUERIES,
+                 mode=spec.MODE_DISJUNCTIVE, k=len(DOCS))
+    a = _collect(mm, docmap)
+    b = _collect(plain.select("query_id", "doc_id", "score"), docmap)
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key] == pytest.approx(b[key], abs=1e-9)
+
+
+def test_combined_fields_matches_python(spark, field_roots, docmap):
+    from rt_etl_yahoo_search_engine_spark.plans.multimatch import (
+        combined_fields_topk,
+    )
+
+    weights = {"title": 2.0, "body": 1.0}
+    mm = combined_fields_topk(
+        spark, field_roots, QUERIES, weights=weights, k=len(DOCS)
+    )
+    got = _collect(mm, docmap)
+    want = _py_combined(weights)
+    flat = {(q, i): s for q, sc in want.items() for i, (s, _m) in sc.items()}
+    assert set(got) == set(flat)
+    for key in got:
+        assert got[key] == pytest.approx(flat[key], abs=1e-9), key
+
+
+def test_combined_fields_conjunctive(spark, field_roots, docmap):
+    from rt_etl_yahoo_search_engine_spark.plans.multimatch import (
+        combined_fields_topk,
+    )
+
+    weights = {"title": 1.0, "body": 1.0}
+    mm = combined_fields_topk(
+        spark, field_roots, QUERIES, weights=weights,
+        mode=spec.MODE_CONJUNCTIVE, k=len(DOCS)
+    )
+    got = _collect(mm, docmap)
+    want = _py_combined(weights)
+    for qid, qtext in QUERIES.items():
+        n_terms = len(set(spec.tokenize(qtext)))
+        keep = {
+            (qid, i) for i, (_s, m) in want[qid].items() if m == n_terms
+        }
+        assert {k for k in got if k[0] == qid} == keep
