@@ -176,6 +176,9 @@ JOB_EQUIV_REVS = {
                            # leg never imports functions/similarity
     "69ea28d": "23c0dc3",  # ledger-map-only
     "0dfca78": "23c0dc3",  # EXPLAIN.md doc-only
+    "44004c8": "23c0dc3",  # ledger-map-only
+    "372c0d6": "23c0dc3",  # combined_fields: additive plans/{multimatch,
+                           # stats} code — scaling leg never imports them
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
