@@ -1821,6 +1821,23 @@ def _q_geo_distance_agg(spark, sf_dir):
     )
 
 
+def _q_attribution_join(spark, sf_dir):
+    """Attribution join + last touch (streaming/join_stream, batch
+    path): each click joined to same-user views within a 10-minute
+    window (the stream-stream join's oracle relation), then the LATEST
+    view per click wins."""
+    from rt_etl_yahoo_search_engine_spark.streaming.join_stream import (
+        attribution_batch, last_touch,
+    )
+
+    j = attribution_batch(_read(spark, sf_dir, "events"))
+    return last_touch(j).select(
+        "click_id", "view_id",
+        F.unix_timestamp("view_ts").cast("long").alias("view_epoch"),
+        F.unix_timestamp("click_ts").cast("long").alias("click_epoch"),
+    )
+
+
 def _q_change_point_agg(spark, sf_dir):
     """ES `change_point` (functions/mlaggs.change_point): exact CUSUM
     step detector over the error-event day histogram — argmax |S_k|
@@ -4623,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "js_divergence_lang": _q_js_divergence,
         "scripted_metric_agg": _q_scripted_metric_agg,
+        "attribution_join": _q_attribution_join,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -5047,6 +5065,28 @@ r AS (SELECT d_km,
 SELECT ring, CAST(count(*) AS BIGINT) AS n,
        ROUND(min(d_km), 6) AS min_km, ROUND(max(d_km), 6) AS max_km
 FROM r GROUP BY ring
+"""
+
+
+def _attribution_sql() -> str:
+    """Batch mirror of the stream-stream attribution join + last-touch
+    (view_ts DESC, view_id ASC per click)."""
+    return """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT v.view_id, c.click_id, v.view_ts, c.click_ts
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.click_ts >= v.view_ts
+       AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE)
+SELECT click_id, view_id,
+       CAST(floor(epoch(view_ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch
+FROM (SELECT *, row_number() OVER (PARTITION BY click_id
+                                   ORDER BY view_ts DESC, view_id ASC) AS rn
+      FROM j)
+WHERE rn = 1
 """
 
 
@@ -7999,6 +8039,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "zipf_fit": _zipf_sql(),
         "js_divergence_lang": _js_divergence_sql(),
         "scripted_metric_agg": _scripted_metric_sql(),
+        "attribution_join": _attribution_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),
