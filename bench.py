@@ -179,6 +179,9 @@ JOB_EQUIV_REVS = {
     "44004c8": "23c0dc3",  # ledger-map-only
     "372c0d6": "23c0dc3",  # combined_fields: additive plans/{multimatch,
                            # stats} code — scaling leg never imports them
+    "fcf1e1b": "23c0dc3",  # ledger-map-only
+    "d7a2342": "23c0dc3",  # attribution join: new streaming/ module —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
