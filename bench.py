@@ -182,6 +182,9 @@ JOB_EQUIV_REVS = {
     "fcf1e1b": "23c0dc3",  # ledger-map-only
     "d7a2342": "23c0dc3",  # attribution join: new streaming/ module —
                            # scaling leg never imports it
+    "8d1587f": "23c0dc3",  # ledger-map-only
+    "6873416": "23c0dc3",  # README doc-only
+    "89ee866": "23c0dc3",  # SCALE.md doc-only
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
