@@ -1821,6 +1821,77 @@ def _q_geo_distance_agg(spark, sf_dir):
     )
 
 
+_KMV_K = 256
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+_HLL_P = 8
+
+
+def _cms_probes() -> list[str]:
+    terms = sorted({
+        t for text in DOC_QUERIES.values() for t in spec.tokenize(text)
+    })
+    return terms + ["zzznope"]
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch (functions/sketches.kmv_distinct): k=256
+    minimum md5-hash values over the documents vocabulary; estimate
+    (k-1)/u_k next to the exact count for the gate."""
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        kmv_distinct,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    out = kmv_distinct(toks, "term", k=_KMV_K)
+    return out.select(
+        "k", "kth_hash",
+        F.round("estimate", 6).alias("estimate"),
+        F.col("exact").cast("long").alias("exact"),
+        "n_kept",
+    )
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (functions/sketches.cms_counts): 4x512 counter
+    grid over the documents token stream; per probe term the min-of-
+    rows estimate next to the exact count (estimate >= exact always —
+    only collisions inflate)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        cms_counts,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    return cms_counts(toks, "term", _cms_probes(),
+                      depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog sketch (functions/sketches.hll_distinct): p=8 (256
+    registers) over events.user_id, integer-exact register ranks,
+    harmonic estimate with linear-counting correction, next to the
+    exact count."""
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        hll_distinct,
+    )
+
+    out = hll_distinct(_read(spark, sf_dir, "events"), "user_id", p=_HLL_P)
+    return out.select(
+        F.col("m").cast("long").alias("m"),
+        "v_zeros",
+        F.round("raw_estimate", 6).alias("raw_estimate"),
+        F.round("estimate", 6).alias("estimate"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+
+
 def _q_attribution_join(spark, sf_dir):
     """Attribution join + last touch (streaming/join_stream, batch
     path): each click joined to same-user views within a 10-minute
@@ -4641,6 +4712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_lang": _q_js_divergence,
         "scripted_metric_agg": _q_scripted_metric_agg,
         "attribution_join": _q_attribution_join,
+        "kmv_distinct": _q_kmv_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -5065,6 +5139,95 @@ r AS (SELECT d_km,
 SELECT ring, CAST(count(*) AS BIGINT) AS n,
        ROUND(min(d_km), 6) AS min_km, ROUND(max(d_km), 6) AS max_km
 FROM r GROUP BY ring
+"""
+
+
+_H60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_H60_SPACE = float(2 ** 60)
+
+
+def _kmv_sql() -> str:
+    return f"""
+WITH v AS (SELECT DISTINCT term AS v
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS term
+                 FROM documents)),
+h AS (SELECT {_H60_SQL.format(x='v')} AS h FROM v),
+ks AS (SELECT h FROM h ORDER BY h ASC LIMIT {_KMV_K}),
+a AS (SELECT count(*) AS n_kept, max(h) AS kth FROM ks),
+e AS (SELECT count(*) AS exact FROM v)
+SELECT CAST({_KMV_K} AS INTEGER) AS k, kth AS kth_hash,
+       ROUND(CASE WHEN a.n_kept < {_KMV_K} THEN CAST(e.exact AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)!r} / (kth / {_H60_SPACE!r}) END,
+             6) AS estimate,
+       CAST(e.exact AS BIGINT) AS exact,
+       CAST(a.n_kept AS BIGINT) AS n_kept
+FROM a, e
+"""
+
+
+def _cms_sql() -> str:
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    probes = ", ".join(f"('{p}')" for p in _cms_probes())
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, "
+        + _H60_SQL.format(x=f"'{i}' || '|' || v")
+        + f" % {w} AS bucket FROM vals"
+        for i in range(d)
+    )
+    prows = " UNION ALL ".join(
+        f"SELECT probe, {i} AS row, "
+        + _H60_SQL.format(x=f"'{i}' || '|' || probe")
+        + f" % {w} AS bucket FROM probes"
+        for i in range(d)
+    )
+    return f"""
+WITH vals AS (SELECT term AS v
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                  '[a-z0-9]+')) AS term
+                    FROM documents)),
+probes(probe) AS (VALUES {probes}),
+rows_ AS ({rows}),
+cells AS (SELECT row, bucket, count(*) AS c FROM rows_ GROUP BY row, bucket),
+pr AS ({prows}),
+est AS (SELECT probe, min(COALESCE(c, 0)) AS estimate
+        FROM pr LEFT JOIN cells USING (row, bucket) GROUP BY probe),
+exact AS (SELECT v AS probe, count(*) AS exact FROM vals GROUP BY v)
+SELECT p.probe, CAST(e.estimate AS BIGINT) AS estimate,
+       CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact
+FROM probes p JOIN est e USING (probe)
+LEFT JOIN exact x ON x.probe = p.probe
+"""
+
+
+def _hll_sql() -> str:
+    p = _HLL_P
+    m = 2 ** p
+    low = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = repr(alpha * m * m)
+    return f"""
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+              WHERE user_id IS NOT NULL),
+h AS (SELECT {_H60_SQL.format(x='v')} AS h FROM vals),
+r AS (SELECT h % {m} AS reg, CAST(floor(h / {m}) AS BIGINT) AS rest FROM h),
+regs AS (SELECT reg,
+                max(CASE WHEN rest = 0 THEN {low + 1}
+                         ELSE {low} - length(bin(rest)) + 1 END) AS mx
+         FROM r GROUP BY reg),
+s AS (SELECT sum(pow(2.0, -mx)) AS ssum, count(*) AS n_regs FROM regs),
+e AS (SELECT count(DISTINCT v) AS exact FROM vals),
+o AS (SELECT CAST({m} AS BIGINT) AS m,
+             CAST({m} - n_regs AS BIGINT) AS v_zeros,
+             {amm} / (ssum + ({m} - n_regs)) AS raw_estimate,
+             exact
+      FROM s, e)
+SELECT m, v_zeros, ROUND(raw_estimate, 6) AS raw_estimate,
+       ROUND(CASE WHEN raw_estimate <= {2.5 * m!r} AND v_zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v_zeros)
+                  ELSE raw_estimate END, 6) AS estimate,
+       CAST(exact AS BIGINT) AS exact
+FROM o
 """
 
 
@@ -8040,6 +8203,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "js_divergence_lang": _js_divergence_sql(),
         "scripted_metric_agg": _scripted_metric_sql(),
         "attribution_join": _attribution_sql(),
+        "kmv_distinct": _kmv_sql(),
+        "cms_heavy_hitters": _cms_sql(),
+        "hll_distinct": _hll_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),

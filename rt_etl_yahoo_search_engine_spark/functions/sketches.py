@@ -1,0 +1,191 @@
+"""Bounded-memory sketches — the at-scale estimation knob next to this
+engine's exact aggregates: KMV distinct counting, count-min frequency
+estimation, and HyperLogLog distinct counting, each built from a
+DETERMINISTIC cross-engine hash (15 hex chars of md5 parsed as a
+60-bit integer — bit-identical in any engine that has md5), so every
+sketch has an exact SQL oracle despite being an approximation
+algorithm.
+
+Why they matter at 100 TB: exact distinct/frequency over 10^12 rows
+costs a corpus-scale shuffle on the key (cardinality_agg documents the
+same trade); these sketches cut that to O(k) / O(d*w) / O(2^p) state
+with map-side combinable partials — the shapes Spark's own
+approx_count_distinct / count_min_sketch use internally, here in the
+open with reproducible hashes and oracle-checkable outputs.
+
+  kmv_distinct   k-minimum-values estimator: keep the k smallest
+                 normalized hash values of the distinct keys; with u_k
+                 the k-th smallest, E[distinct] = (k-1)/u_k.  Exact
+                 when distinct < k.
+  cms_counts     count-min sketch: d rows x w buckets of counters,
+                 h_i(x) = md5(i||x) % w; estimate(x) = min_i
+                 counter[i][h_i(x)] — an upper bound on the true count
+                 (only hash collisions inflate it, never deflate).
+  hll_distinct   HyperLogLog: register = top p hash bits, rank =
+                 leading-zero count of the rest + 1 (computed with the
+                 INTEGER bin-string length, no float log2), harmonic
+                 mean estimate with the standard small-range linear
+                 counting correction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex chars of md5 -> [0, 2^60)
+_SPACE = float(2 ** HASH_BITS)
+
+
+def _h60(col, salt: str | None = None):
+    """60-bit deterministic hash of a string column (md5-prefix parse;
+    same value as SQL CAST('0x' || substr(md5(x),1,15) AS BIGINT))."""
+    base = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        base = F.concat(F.lit(salt), F.lit("|"), base)
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One row: (k, kth_hash, estimate, exact, n_kept) — KMV distinct
+    estimate of `col` plus the exact count for comparison (a real
+    deployment drops the exact branch; it is here because the oracle
+    gate compares both).  n_kept < k means the key space was smaller
+    than k and estimate == exact by construction.
+
+    Scale shape: distinct -> hash -> global k-smallest (TakeOrdered,
+    map-side partial top-k; k rows reach the driver-side limit) — no
+    full-key shuffle is REQUIRED by the sketch (the exact column here
+    adds one, deliberately, for the comparison)."""
+    hashes = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .select(_h60("v").alias("h"))
+    )
+    k_small = hashes.orderBy(F.asc("h")).limit(k)
+    agg = k_small.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    exact = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .agg(F.countDistinct("v").alias("exact"))
+    )
+    return agg.crossJoin(exact).select(
+        F.lit(int(k)).alias("k"),
+        "kth_hash",
+        F.when(
+            F.col("n_kept") < k, F.col("exact").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) / (F.col("kth_hash") / F.lit(_SPACE))
+        ).alias("estimate"),
+        "exact",
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def cms_counts(df: DataFrame, col: str, probes: list[str],
+               depth: int = 4, width: int = 512) -> DataFrame:
+    """(probe, estimate, exact): count-min estimates for the probe keys
+    next to their exact counts.  estimate >= exact always (min over
+    depth rows of colliding counters).
+
+    Scale shape: the sketch build is ONE groupBy over (row, bucket) —
+    d*w result cells regardless of corpus size, map-side combinable;
+    probe lookup touches d cells per probe."""
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    rows = None
+    for i in range(depth):
+        r = vals.select(
+            F.lit(i).alias("row"),
+            (_h60("v", str(i)) % F.lit(int(width))).alias("bucket"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    cells = rows.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+    # probe bucket coordinates, driver-side with the same md5 parse
+    import hashlib
+
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    probe_rows = [
+        (p, i, h60_py(f"{i}|{p}") % width)
+        for p in sorted(set(probes))
+        for i in range(depth)
+    ]
+    spark = df.sparkSession
+    pr = spark.createDataFrame(
+        probe_rows, "probe string, row int, bucket long"
+    )
+    est = (
+        pr.join(cells, ["row", "bucket"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("estimate"))
+    )
+    exact = vals.groupBy(F.col("v").alias("probe")).agg(
+        F.count("*").alias("exact")
+    )
+    return est.join(exact, "probe", "left").select(
+        "probe",
+        F.col("estimate").cast("long").alias("estimate"),
+        F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """One row: (m, v_zeros, raw_estimate, estimate, exact) — HLL
+    distinct estimate with the standard small-range correction
+    (linear counting m*ln(m/V) when raw <= 2.5m and V > 0).
+
+    Rank uses the INTEGER length of the binary string of the low
+    (60-p) hash bits — no float log2, so engine and oracle agree
+    bit-for-bit on every register.
+
+    Scale shape: one groupBy to 2^p register rows (map-side max),
+    then a single-row reduce; the exact column is for the gate."""
+    m = 2 ** p
+    low_bits = HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    h = vals.select(_h60("v").alias("h"))
+    regs = h.select(
+        (F.col("h") % F.lit(m)).alias("reg"),
+        F.floor(F.col("h") / F.lit(m)).cast("long").alias("rest"),
+    ).select(
+        "reg",
+        F.when(F.col("rest") == 0, F.lit(low_bits + 1)).otherwise(
+            F.lit(low_bits) - F.length(F.bin("rest")) + F.lit(1)
+        ).alias("rank"),
+    ).groupBy("reg").agg(F.max("rank").alias("mx"))
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("ssum"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = vals.agg(F.countDistinct("v").alias("exact"))
+    out = s.crossJoin(exact).select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_regs")).cast("long").alias("v_zeros"),
+        (
+            F.lit(alpha * m * m)
+            / (F.col("ssum") + (F.lit(m) - F.col("n_regs")))
+        ).alias("raw_estimate"),
+        "exact",
+    )
+    return out.select(
+        "m", "v_zeros",
+        "raw_estimate",
+        F.when(
+            (F.col("raw_estimate") <= F.lit(2.5 * m))
+            & (F.col("v_zeros") > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("v_zeros")),
+        ).otherwise(F.col("raw_estimate")).alias("estimate"),
+        "exact",
+    )
