@@ -185,6 +185,10 @@ JOB_EQUIV_REVS = {
     "8d1587f": "23c0dc3",  # ledger-map-only
     "6873416": "23c0dc3",  # README doc-only
     "89ee866": "23c0dc3",  # SCALE.md doc-only
+    "2e63eba": "23c0dc3",  # ledger-map-only
+    "e10bde8": "23c0dc3",  # BENCH evidence-only
+    "e18196b": "23c0dc3",  # sketches: new functions/sketches.py —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
