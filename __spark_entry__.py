@@ -1892,6 +1892,31 @@ def _q_hll_distinct(spark, sf_dir):
     )
 
 
+_BQ_QS = [0.5, 0.9, 0.99]
+_BQ_WIDTH = 5.0
+
+
+def _q_binned_quantiles(spark, sf_dir):
+    """Histogram-binned quantile estimation (functions/sketches.
+    binned_quantiles — HDR-histogram / Prometheus histogram_quantile):
+    width-5 bins over events.value, p50/p90/p99 interpolated within
+    the containing bin, exact percentile_cont alongside (error bounded
+    by the bin width)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        binned_quantiles,
+    )
+
+    out = binned_quantiles(
+        _read(spark, sf_dir, "events"), "value", _BQ_QS,
+        bin_width=_BQ_WIDTH,
+    )
+    return out.select(
+        "q",
+        F.round("estimate", 6).alias("estimate"),
+        F.round("exact", 6).alias("exact"),
+    )
+
+
 def _q_attribution_join(spark, sf_dir):
     """Attribution join + last touch (streaming/join_stream, batch
     path): each click joined to same-user views within a 10-minute
@@ -4715,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
+        "binned_quantiles": _q_binned_quantiles,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -5228,6 +5254,31 @@ SELECT m, v_zeros, ROUND(raw_estimate, 6) AS raw_estimate,
                   ELSE raw_estimate END, 6) AS estimate,
        CAST(exact AS BIGINT) AS exact
 FROM o
+"""
+
+
+def _binned_quantiles_sql() -> str:
+    w = repr(_BQ_WIDTH)
+    qvals = ", ".join(f"({float(q)!r})" for q in sorted(_BQ_QS))
+    return f"""
+WITH vals AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+              WHERE value IS NOT NULL),
+bins AS (SELECT floor(x / {w}) AS b, count(*) AS c FROM vals GROUP BY b),
+cum AS (SELECT b, c,
+               sum(c) OVER (ORDER BY b) AS cum_after,
+               sum(c) OVER (ORDER BY b) - c AS cum_before
+        FROM bins),
+n AS (SELECT count(*) AS n FROM vals),
+qs AS (SELECT CAST(v AS DOUBLE) AS q FROM (VALUES {qvals}) t(v)),
+tgt AS (SELECT q, q * (n.n - 1) AS r FROM qs, n),
+est AS (SELECT t.q,
+               LEAST(cum.b * {w} + {w} * (t.r - cum.cum_before) / cum.c,
+                     cum.b * {w} + {w}) AS estimate
+        FROM tgt t JOIN cum
+          ON t.r >= cum.cum_before AND t.r < cum.cum_after),
+ex AS (SELECT CAST(0.5 AS DOUBLE) AS q, quantile_cont(x, 0.5) AS exact FROM vals UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, quantile_cont(x, 0.9) AS exact FROM vals UNION ALL SELECT CAST(0.99 AS DOUBLE) AS q, quantile_cont(x, 0.99) AS exact FROM vals)
+SELECT e.q, ROUND(e.estimate, 6) AS estimate, ROUND(x.exact, 6) AS exact
+FROM est e JOIN ex x USING (q)
 """
 
 
@@ -8206,6 +8257,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "kmv_distinct": _kmv_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "hll_distinct": _hll_sql(),
+        "binned_quantiles": _binned_quantiles_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),

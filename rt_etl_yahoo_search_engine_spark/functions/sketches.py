@@ -189,3 +189,91 @@ def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         ).otherwise(F.col("raw_estimate")).alias("estimate"),
         "exact",
     )
+
+
+def binned_quantiles(df: DataFrame, col: str, qs: list[float],
+                     bin_width: float = 1.0) -> DataFrame:
+    """(q, estimate, exact) — fixed-width-histogram quantile estimation
+    (the HDR-histogram / Prometheus approach): values bucket into bins
+    of `bin_width`, and each requested quantile is linearly
+    interpolated WITHIN its containing bin from the cumulative counts.
+    O(value_range / bin_width) state, map-side combinable — the
+    bounded-memory alternative to the exact percentile sort at 10^12
+    rows; `exact` (percentile_cont) rides along for the gate.
+
+    Estimate contract (mirrored by the SQL oracle): with n values,
+    target rank r = q*(n-1) (the percentile_cont convention), find the
+    bin where the 0-based cumulative range [cum_before, cum_after)
+    contains r, and interpolate
+
+        est = bin_lo + bin_width * (r - cum_before) / bin_count
+
+    (the Prometheus histogram_quantile interpolation); error is
+    bounded by bin_width by construction."""
+    vals = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    w = float(bin_width)
+    bins = (
+        vals.select(F.floor(F.col("x") / F.lit(w)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window as _W
+
+    cum = bins.withColumn(
+        "cum_after",
+        F.sum("c").over(
+            _W.orderBy("b").rowsBetween(_W.unboundedPreceding, 0)
+        ),
+    ).withColumn("cum_before", F.col("cum_after") - F.col("c"))
+    n = vals.agg(F.count("*").alias("n"))
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in sorted(qs)], "q double"
+    )
+    tgt = qdf.crossJoin(F.broadcast(n)).select(
+        "q", (F.col("q") * (F.col("n") - F.lit(1))).alias("r")
+    )
+    est = (
+        tgt.join(
+            cum,
+            (F.col("r") >= F.col("cum_before"))
+            & (F.col("r") < F.col("cum_after")),
+        )
+        .select(
+            "q",
+            (
+                F.col("b") * F.lit(w)
+                + F.lit(w)
+                * (F.col("r") - F.col("cum_before"))
+                / F.col("c")
+            ).alias("raw"),
+            (F.col("b") * F.lit(w)).alias("lo"),
+        )
+        .select(
+            "q",
+            F.least(F.col("raw"), F.col("lo") + F.lit(w)).alias("estimate"),
+        )
+    )
+    exact = (
+        qdf.crossJoin(
+            vals.agg(
+                *[
+                    F.expr(f"percentile(x, {float(q)!r})").alias(
+                        f"_p{i}"
+                    )
+                    for i, q in enumerate(sorted(qs))
+                ]
+            )
+        )
+        .select(
+            "q",
+            F.coalesce(
+                *[
+                    F.when(F.col("q") == float(q), F.col(f"_p{i}"))
+                    for i, q in enumerate(sorted(qs))
+                ]
+            ).alias("exact"),
+        )
+    )
+    return est.join(exact, "q").select("q", "estimate", "exact")

@@ -101,3 +101,48 @@ def test_hll_small_range_is_linear_counting(spark):
     m, v = out["m"], out["v_zeros"]
     assert v == m - 3  # 3 distinct keys land in 3 registers
     assert out["estimate"] == pytest.approx(m * math.log(m / v), rel=1e-12)
+
+
+def test_binned_quantiles_match_python_and_bound(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        binned_quantiles,
+    )
+
+    vals = [float((i * 37) % 1000) / 3.0 for i in range(2000)]
+    w = 5.0
+    qs = [0.5, 0.9, 0.99]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["q"]: (r["estimate"], r["exact"])
+           for r in binned_quantiles(df, "x", qs, bin_width=w).collect()}
+    # python reference (identical contract)
+    import math as _m
+    bins = {}
+    for v in vals:
+        bins[_m.floor(v / w)] = bins.get(_m.floor(v / w), 0) + 1
+    n = len(vals)
+    for q in qs:
+        r = q * (n - 1)
+        cum = 0
+        for b in sorted(bins):
+            if r < cum + bins[b]:
+                raw = b * w + w * (r - cum) / bins[b]
+                want = min(raw, b * w + w)
+                break
+            cum += bins[b]
+        assert out[q][0] == pytest.approx(want, abs=1e-9), q
+        # bounded by bin width vs the exact percentile
+        assert abs(out[q][0] - out[q][1]) <= w + 1e-9, q
+
+
+def test_binned_quantiles_exact_when_bins_tiny(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        binned_quantiles,
+    )
+
+    vals = [float(i) for i in range(101)]  # integers, bin width 1
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["q"]: (r["estimate"], r["exact"])
+           for r in binned_quantiles(df, "x", [0.5, 0.25],
+                                     bin_width=1.0).collect()}
+    assert out[0.5][0] == pytest.approx(out[0.5][1], abs=1e-9)  # 50.0
+    assert out[0.25][0] == pytest.approx(out[0.25][1], abs=1e-9)
