@@ -189,6 +189,10 @@ JOB_EQUIV_REVS = {
     "e10bde8": "23c0dc3",  # BENCH evidence-only
     "e18196b": "23c0dc3",  # sketches: new functions/sketches.py —
                            # scaling leg never imports it
+    "4d72eac": "23c0dc3",  # ledger-map-only
+    "7d81798": "23c0dc3",  # PROGRESS-only
+    "bc60038": "23c0dc3",  # binned quantiles: additive sketches fn —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
