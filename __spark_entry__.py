@@ -1896,6 +1896,37 @@ _BQ_QS = [0.5, 0.9, 0.99]
 _BQ_WIDTH = 5.0
 
 
+def _q_asof_join(spark, sf_dir):
+    """AS-OF join (streaming/join_stream.asof_join — kdb aj / pandas
+    merge_asof / DuckDB ASOF JOIN): for every purchase event, the
+    LATEST prior click of the same user (unbounded lookback), null
+    when the user never clicked before."""
+    from rt_etl_yahoo_search_engine_spark.streaming.join_stream import (
+        asof_join,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("_asof_rid"),
+    )
+    out = asof_join(purchases, clicks, "user_id", "p_ts", "c_ts")
+    return out.select(
+        "purchase_id",
+        F.coalesce(F.col("_asof_rid"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_timestamp("c_ts").cast("long"), F.lit(-1)
+        ).alias("click_epoch"),
+        F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+    )
+
+
 def _q_binned_quantiles(spark, sf_dir):
     """Histogram-binned quantile estimation (functions/sketches.
     binned_quantiles — HDR-histogram / Prometheus histogram_quantile):
@@ -4741,6 +4772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
         "binned_quantiles": _q_binned_quantiles,
+        "asof_join": _q_asof_join,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -5254,6 +5286,25 @@ SELECT m, v_zeros, ROUND(raw_estimate, 6) AS raw_estimate,
                   ELSE raw_estimate END, 6) AS estimate,
        CAST(exact AS BIGINT) AS exact
 FROM o
+"""
+
+
+def _asof_sql() -> str:
+    """Explicit-window AS-OF mirror (latest prior click per purchase,
+    ties rts DESC then click id DESC — asof_join's contract)."""
+    return """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.purchase_id, c.click_id, c.c_ts, p.p_ts,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+SELECT p.purchase_id, COALESCE(j.click_id, -1) AS click_id,
+       COALESCE(CAST(floor(epoch(j.c_ts)) AS BIGINT), -1) AS click_epoch,
+       CAST(floor(epoch(p.p_ts)) AS BIGINT) AS purchase_epoch
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (purchase_id)
 """
 
 
@@ -8258,6 +8309,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "cms_heavy_hitters": _cms_sql(),
         "hll_distinct": _hll_sql(),
         "binned_quantiles": _binned_quantiles_sql(),
+        "asof_join": _asof_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),

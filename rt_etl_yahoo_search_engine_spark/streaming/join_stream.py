@@ -99,3 +99,51 @@ def last_touch(joined: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("click_id", "view_id", "view_ts", "click_ts")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """AS-OF join — for every left row, the single LATEST right row of
+    the same key with right_ts <= left_ts (optionally within
+    `tolerance`).  The time-series primitive Spark lacks as a native
+    operator (kdb aj / pandas merge_asof / DuckDB ASOF JOIN): state
+    snapshots, latest-price lookups, "what did this user last see".
+
+    Ties on right_ts break by the largest right event id (`_asof_rid`
+    if present, else nondeterministic — pass frames with an id column
+    named by convention below for full determinism).
+
+    Input contract: left(key, left_ts, ...), right(key, right_ts,
+    _asof_rid, ...payload).  Output: left row + right payload columns
+    (null when no prior right row exists — LEFT asof semantics).
+
+    Scale shape: one range-join on the key + a per-left-row max_by
+    aggregate — the same candidates relation a SQL ASOF join builds;
+    at 100 TB the win over a window-over-union approach is that only
+    (key, ts)-matched candidate pairs shuffle, never a merged
+    timeline.  A `tolerance` bound additionally caps candidates per
+    row (and is what a streaming deployment needs anyway to bound
+    state — see attribution_join)."""
+    lcols = left.columns
+    rpayload = [c for c in right.columns if c not in (key, right_ts)]
+    cond = (left[key] == right[key]) & (right[right_ts] <= left[left_ts])
+    if tolerance is not None:
+        cond = cond & (
+            right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {tolerance}")
+        )
+    j = left.join(right, cond, "left")
+    order = F.struct(
+        right[right_ts].alias("_ts"),
+        (right["_asof_rid"] if "_asof_rid" in right.columns
+         else F.lit(0)).alias("_rid"),
+    )
+    aggs = [
+        F.max_by(right[c], order).alias(c) for c in rpayload
+    ] + [F.max_by(right[right_ts], order).alias(right_ts)]
+    return j.groupBy(*[left[c] for c in lcols]).agg(*aggs)

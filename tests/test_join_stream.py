@@ -89,3 +89,51 @@ def test_last_touch_picks_latest_view(spark):
     joined = attribution_batch(spark.createDataFrame(EVENTS, SCHEMA))
     lt = {r["click_id"]: r["view_id"] for r in last_touch(joined).collect()}
     assert lt == {2: 1, 6: 5}  # click 6 attributes to the LATER view 5
+
+
+def test_asof_join_matches_python(spark):
+    """asof_join: latest right row per key at-or-before each left ts,
+    with tolerance bound and unmatched-null semantics."""
+    import datetime as _dt
+
+    from rt_etl_yahoo_search_engine_spark.streaming.join_stream import (
+        asof_join,
+    )
+
+    B = _dt.datetime(2024, 9, 21)
+
+    def ts(s):
+        return B + _dt.timedelta(seconds=s)
+
+    left_rows = [
+        ("u1", ts(100), 1), ("u1", ts(200), 2), ("u1", ts(50), 3),
+        ("u2", ts(500), 4), ("u3", ts(10), 5),
+    ]
+    right_rows = [
+        ("u1", ts(90), 11, "a"), ("u1", ts(150), 12, "b"),
+        ("u1", ts(150), 13, "c"),   # tie at 150: larger rid (13) wins
+        ("u2", ts(100), 14, "d"), ("u2", ts(499), 15, "e"),
+    ]
+    left = spark.createDataFrame(
+        left_rows, "user string, lts timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows, "user string, rts timestamp, _asof_rid long, v string")
+
+    out = {r["lid"]: (r["v"], r["rts"])
+           for r in asof_join(left, right, "user", "lts", "rts").collect()}
+    assert out[1] == ("a", ts(90))
+    assert out[2] == ("c", ts(150))     # tie broken by rid
+    assert out[3] == (None, None)       # no right row at/before 50
+    assert out[4] == ("e", ts(499))
+    assert out[5] == (None, None)       # key with no right rows
+
+    # tolerance: only right rows within 60 s before qualify
+    out_tol = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, "user", "lts", "rts",
+                           tolerance="60 seconds").collect()
+    }
+    assert out_tol[1] == "a"      # 90 within [40, 100]
+    assert out_tol[2] == "c"      # 150 within [140, 200]
+    assert out_tol[4] == "e"
+    assert out_tol[3] is None and out_tol[5] is None
