@@ -193,6 +193,9 @@ JOB_EQUIV_REVS = {
     "7d81798": "23c0dc3",  # PROGRESS-only
     "bc60038": "23c0dc3",  # binned quantiles: additive sketches fn —
                            # scaling leg never imports it
+    "844ce85": "23c0dc3",  # ledger/PROGRESS-only (and its predecessor)
+    "4b61e84": "23c0dc3",  # asof join: additive join_stream fn —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
