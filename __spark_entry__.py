@@ -1896,6 +1896,29 @@ _BQ_QS = [0.5, 0.9, 0.99]
 _BQ_WIDTH = 5.0
 
 
+_LINK_DIST, _LINK_BLOCK = 2, 4
+
+
+def _q_fuzzy_link(spark, sf_dir):
+    """Blocked fuzzy record linkage (functions/linkage.fuzzy_link):
+    part names with one deterministically dropped character linked
+    back to the part table — prefix-4 blocking, Levenshtein <= 2
+    verify, best match per row (dist ASC, key ASC), -1 sentinels on
+    blocking misses."""
+    from rt_etl_yahoo_search_engine_spark.functions.linkage import (
+        corrupt_names, fuzzy_link,
+    )
+
+    parts = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.col("p_name").alias("name")
+    )
+    left = corrupt_names(parts, "k", "name")
+    return fuzzy_link(
+        left, parts, "k", "name",
+        max_dist=_LINK_DIST, block_len=_LINK_BLOCK,
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """AS-OF join (streaming/join_stream.asof_join — kdb aj / pandas
     merge_asof / DuckDB ASOF JOIN): for every purchase event, the
@@ -4773,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "binned_quantiles": _q_binned_quantiles,
         "asof_join": _q_asof_join,
+        "fuzzy_link": _q_fuzzy_link,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -5286,6 +5310,32 @@ SELECT m, v_zeros, ROUND(raw_estimate, 6) AS raw_estimate,
                   ELSE raw_estimate END, 6) AS estimate,
        CAST(exact AS BIGINT) AS exact
 FROM o
+"""
+
+
+def _fuzzy_link_sql() -> str:
+    """Linkage mirror: same corruption (drop char at key mod length),
+    same prefix blocking, levenshtein verify, (dist, key) min."""
+    d, b = _LINK_DIST, _LINK_BLOCK
+    return f"""
+WITH r AS (SELECT p_partkey AS rk, p_name AS rn FROM part),
+l AS (SELECT p_partkey AS lk,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+             || substr(p_name,
+                       CAST(p_partkey % length(p_name) AS INT) + 2) AS ln
+      FROM part),
+cand AS (SELECT l.lk, r.rk, levenshtein(l.ln, r.rn) AS dist
+         FROM l JOIN r ON substr(l.ln, 1, {b}) = substr(r.rn, 1, {b})
+         WHERE levenshtein(l.ln, r.rn) <= {d}),
+best AS (SELECT lk, rk, dist FROM (
+           SELECT lk, rk, dist,
+                  row_number() OVER (PARTITION BY lk
+                                     ORDER BY dist ASC, rk ASC) AS rn_
+           FROM cand) WHERE rn_ = 1)
+SELECT l.lk AS left_key,
+       CAST(COALESCE(b2.rk, -1) AS BIGINT) AS match_key,
+       CAST(COALESCE(b2.dist, -1) AS INTEGER) AS dist
+FROM l LEFT JOIN best b2 ON b2.lk = l.lk
 """
 
 
@@ -8310,6 +8360,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "hll_distinct": _hll_sql(),
         "binned_quantiles": _binned_quantiles_sql(),
         "asof_join": _asof_sql(),
+        "fuzzy_link": _fuzzy_link_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),
