@@ -196,6 +196,9 @@ JOB_EQUIV_REVS = {
     "844ce85": "23c0dc3",  # ledger/PROGRESS-only (and its predecessor)
     "4b61e84": "23c0dc3",  # asof join: additive join_stream fn —
                            # scaling leg never imports it
+    "804b091": "23c0dc3",  # ledger-map-only
+    "d5ca6db": "23c0dc3",  # fuzzy linkage: new functions/linkage.py —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
