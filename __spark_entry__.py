@@ -1899,6 +1899,29 @@ _BQ_WIDTH = 5.0
 _LINK_DIST, _LINK_BLOCK = 2, 4
 
 
+_WS_K, _WS_SEED = 50, "ws0"
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (functions/sampling.
+    weighted_sample — Efraimidis-Spirakis A-ES): top-50 documents by
+    u^(1/n_chars) with the deterministic md5 unit-interval draw, so
+    longer documents are proportionally likelier."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = weighted_sample(docs, "n_chars", _WS_K, seed=_WS_SEED,
+                          id_col="doc_id")
+    return out.select(
+        "id",
+        F.col("weight").cast("double").alias("weight"),
+        F.round("key", 6).alias("key"),
+        "rank",
+    )
+
+
 def _q_fuzzy_link(spark, sf_dir):
     """Blocked fuzzy record linkage (functions/linkage.fuzzy_link):
     part names with one deterministically dropped character linked
@@ -4797,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_quantiles": _q_binned_quantiles,
         "asof_join": _q_asof_join,
         "fuzzy_link": _q_fuzzy_link,
+        "weighted_sample": _q_weighted_sample,
         "change_point_agg": _q_change_point_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -5310,6 +5334,26 @@ SELECT m, v_zeros, ROUND(raw_estimate, 6) AS raw_estimate,
                   ELSE raw_estimate END, 6) AS estimate,
        CAST(exact AS BIGINT) AS exact
 FROM o
+"""
+
+
+def _weighted_sample_sql() -> str:
+    """A-ES mirror: identical md5 unit draw, pow(u, 1/w) key, top-K by
+    (key DESC, id ASC)."""
+    return f"""
+WITH d AS (SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight
+           FROM documents WHERE n_chars > 0),
+keyed AS (SELECT id, weight,
+                 pow((CAST(('0x' || substr(md5('{_WS_SEED}' || '|'
+                            || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                     / {float(2 ** 60)!r},
+                     1.0 / weight) AS key
+          FROM d)
+SELECT id, weight, ROUND(key, 6) AS key, CAST(rank AS INTEGER) AS rank
+FROM (SELECT id, weight, key,
+             row_number() OVER (ORDER BY key DESC, id ASC) AS rank
+      FROM keyed)
+WHERE rank <= {_WS_K}
 """
 
 
@@ -8361,6 +8405,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "binned_quantiles": _binned_quantiles_sql(),
         "asof_join": _asof_sql(),
         "fuzzy_link": _fuzzy_link_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),

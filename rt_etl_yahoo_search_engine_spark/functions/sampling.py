@@ -20,7 +20,7 @@ Input contract: a DataFrame with (doc_id: long, ...).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -278,4 +278,59 @@ def dsir_weights(
             F.sum("c").cast("long").alias("n_grams"),
             F.sum(F.col("c") * F.col("logr")).alias("logw"),
         )
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    seed: str = "ws0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, weight, key, rank) — weighted random sampling WITHOUT
+    replacement, the Efraimidis-Spirakis A-ES one-pass algorithm: each
+    item draws u in (0,1] and keeps key = u^(1/w); the k LARGEST keys
+    are a weighted sample without replacement.  u comes from the same
+    deterministic md5-hash-to-unit-interval construction the other
+    sampling ops use (salted by `seed`), so the sample is reproducible
+    across runs/engines and the SQL oracle draws the identical sample.
+
+    Items with weight <= 0 or null are excluded (zero-probability by
+    the A-ES contract).  Ties on key (measure-zero for real weights)
+    break id-ascending via the rank window.
+
+    Scale shape: one scan computing the key expression in codegen +
+    a global top-k (TakeOrderedAndProject: map-side partial top-k, k
+    rows to the driver stage) — the exact shape training-mix samplers
+    need at 10^12 docs, no full sort, no shuffle beyond k rows per
+    partition."""
+    def _u(idc):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), F.lit("|"),
+                                   idc.cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            + F.lit(1)
+        ) / F.lit(float(2 ** 60))
+
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        docs.select(F.col(id_col).alias("id"), w.alias("weight"))
+        .filter(F.col("weight") > 0)
+        .select(
+            "id", "weight",
+            F.pow(_u(F.col("id")), F.lit(1.0) / F.col("weight"))
+            .alias("key"),
+        )
+    )
+    win = Window.orderBy(F.desc("key"), F.asc("id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("id", "weight", "key", F.col("rank").cast("int").alias("rank"))
     )

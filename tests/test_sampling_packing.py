@@ -125,3 +125,51 @@ def test_contamination_and_decontaminate(spark):
     assert got == {0: 1, 2: 2}
     clean = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
     assert clean == {1, 3, 4}
+
+
+def test_weighted_sample_matches_python(spark):
+    """A-ES weighted sampling: keys, membership and order equal the
+    python reference; zero/negative weights excluded; heavier items
+    sampled more often across seeds."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, float((i % 7) + 1)) for i in range(200)] + [
+        (900, 0.0), (901, -3.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+
+    def u(seed, i):
+        h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+        return (h + 1) / float(2 ** 60)
+
+    got = [
+        (r["id"], r["key"])
+        for r in weighted_sample(df, "wt", 20, seed="t1")
+        .orderBy("rank").collect()
+    ]
+    want = sorted(
+        (
+            (i, u("t1", i) ** (1.0 / w))
+            for i, w in rows
+            if w > 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gk), (wi, wk) in zip(got, want):
+        assert gk == _pytest.approx(wk, rel=1e-12)
+    assert all(i not in (900, 901) for i, _ in got)
+
+    # heavier weights overrepresented: mean weight of the sample should
+    # exceed the population mean across several seeds
+    pop_mean = sum(w for _, w in rows if w > 0) / 200
+    for seed in ("a", "b", "c"):
+        samp = weighted_sample(df, "wt", 40, seed=seed).collect()
+        mean_w = sum(r["weight"] for r in samp) / len(samp)
+        assert mean_w > pop_mean, seed
