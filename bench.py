@@ -199,6 +199,9 @@ JOB_EQUIV_REVS = {
     "804b091": "23c0dc3",  # ledger-map-only
     "d5ca6db": "23c0dc3",  # fuzzy linkage: new functions/linkage.py —
                            # scaling leg never imports it
+    "8d69fd6": "23c0dc3",  # ledger-map-only
+    "8b2e4dd": "23c0dc3",  # weighted sampling: additive sampling fn —
+                           # scaling leg never imports functions/sampling
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
