@@ -1994,6 +1994,28 @@ def _q_binned_quantiles(spark, sf_dir):
     )
 
 
+_BLOOM_M, _BLOOM_K = 8192, 4
+
+
+def _q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership (functions/sketches.bloom_filter): the
+    documents vocabulary folded into 8192 bits x 4 hashes, probed with
+    the DOC query terms plus absent controls — no false negatives,
+    reproducible false positives (deterministic hashes)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        bloom_filter,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term")
+    )
+    probes = _cms_probes() + [f"absentprobe{i}" for i in range(20)]
+    return bloom_filter(toks, "term", probes,
+                        m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+
+
 def _q_attribution_join(spark, sf_dir):
     """Attribution join + last touch (streaming/join_stream, batch
     path): each click joined to same-user views within a 10-minute
@@ -4817,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
+        "bloom_filter": _q_bloom_filter,
         "binned_quantiles": _q_binned_quantiles,
         "asof_join": _q_asof_join,
         "fuzzy_link": _q_fuzzy_link,
@@ -5424,6 +5447,44 @@ est AS (SELECT t.q,
 ex AS (SELECT CAST(0.5 AS DOUBLE) AS q, quantile_cont(x, 0.5) AS exact FROM vals UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, quantile_cont(x, 0.9) AS exact FROM vals UNION ALL SELECT CAST(0.99 AS DOUBLE) AS q, quantile_cont(x, 0.99) AS exact FROM vals)
 SELECT e.q, ROUND(e.estimate, 6) AS estimate, ROUND(x.exact, 6) AS exact
 FROM est e JOIN ex x USING (q)
+"""
+
+
+def _bloom_sql() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    probes = ", ".join(
+        f"('{p}')"
+        for p in sorted(set(_cms_probes()
+                            + [f"absentprobe{i}" for i in range(20)]))
+    )
+    bit_rows = " UNION ALL ".join(
+        "SELECT "
+        + _H60_SQL.format(x=f"'b{i}' || '|' || v")
+        + f" % {m} AS bit FROM vals"
+        for i in range(k)
+    )
+    probe_bits = " UNION ALL ".join(
+        "SELECT probe, "
+        + _H60_SQL.format(x=f"'b{i}' || '|' || probe")
+        + f" % {m} AS bit FROM probes"
+        for i in range(k)
+    )
+    return f"""
+WITH vals AS (SELECT term AS v
+              FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                  '[a-z0-9]+')) AS term
+                    FROM documents)),
+bitset AS (SELECT DISTINCT bit FROM ({bit_rows})),
+probes(probe) AS (VALUES {probes}),
+pb AS ({probe_bits}),
+hit AS (SELECT pb.probe,
+               (count(bs.bit) = {k}) AS maybe_present
+        FROM pb LEFT JOIN bitset bs ON bs.bit = pb.bit
+        GROUP BY pb.probe),
+present AS (SELECT DISTINCT v AS probe FROM vals)
+SELECT h.probe, h.maybe_present,
+       (p.probe IS NOT NULL) AS actually_present
+FROM hit h LEFT JOIN present p ON p.probe = h.probe
 """
 
 
@@ -8402,6 +8463,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "kmv_distinct": _kmv_sql(),
         "cms_heavy_hitters": _cms_sql(),
         "hll_distinct": _hll_sql(),
+        "bloom_filter": _bloom_sql(),
         "binned_quantiles": _binned_quantiles_sql(),
         "asof_join": _asof_sql(),
         "fuzzy_link": _fuzzy_link_sql(),

@@ -277,3 +277,63 @@ def binned_quantiles(df: DataFrame, col: str, qs: list[float],
         )
     )
     return est.join(exact, "q").select("q", "estimate", "exact")
+
+
+def bloom_filter(df: DataFrame, col: str, probes: list[str],
+                 m_bits: int = 8192, k_hashes: int = 4) -> DataFrame:
+    """(probe, maybe_present, actually_present) — Bloom-filter
+    membership: the key set folds into `m_bits` bits via `k_hashes`
+    salted 60-bit hashes; a probe is maybe_present iff ALL its k bits
+    are set.  No false negatives ever (actually_present implies
+    maybe_present — the property the tests pin); false positives at
+    the standard (1 - e^{-kn/m})^k rate.
+
+    This is the semi-join pushdown primitive at 100 TB: ship the
+    bit-set (m/8 bytes) instead of the key set, drop non-members at
+    the scan before any join/shuffle — the same trick Spark's runtime
+    bloom-filter join uses, here with the deterministic cross-engine
+    hash so the filter (and its false positives!) is reproducible and
+    oracle-checkable bit for bit.
+
+    Scale shape: build = one scan to (bit) rows + distinct on a
+    <= m-row relation (map-side combinable); probing touches k bits
+    per probe."""
+    vals = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    bits = None
+    for i in range(k_hashes):
+        b = vals.select(
+            (_h60("v", f"b{i}") % F.lit(int(m_bits))).alias("bit")
+        )
+        bits = b if bits is None else bits.unionByName(b)
+    bitset = bits.distinct()
+
+    import hashlib
+
+    def h60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    probe_rows = [
+        (p, i, h60_py(f"b{i}|{p}") % m_bits)
+        for p in sorted(set(probes))
+        for i in range(k_hashes)
+    ]
+    spark = df.sparkSession
+    pr = spark.createDataFrame(probe_rows, "probe string, i int, bit long")
+    hit = (
+        pr.join(bitset.withColumn("_set", F.lit(1)), "bit", "left")
+        .groupBy("probe")
+        .agg(
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+             == F.lit(k_hashes)).alias("maybe_present")
+        )
+    )
+    present = vals.distinct().select(
+        F.col("v").alias("probe"), F.lit(True).alias("actually_present")
+    )
+    return hit.join(present, "probe", "left").select(
+        "probe", "maybe_present",
+        F.coalesce("actually_present", F.lit(False))
+        .alias("actually_present"),
+    )

@@ -146,3 +146,34 @@ def test_binned_quantiles_exact_when_bins_tiny(spark):
                                      bin_width=1.0).collect()}
     assert out[0.5][0] == pytest.approx(out[0.5][1], abs=1e-9)  # 50.0
     assert out[0.25][0] == pytest.approx(out[0.25][1], abs=1e-9)
+
+
+def test_bloom_filter_no_false_negatives_and_python_parity(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.sketches import (
+        bloom_filter,
+    )
+
+    members = [f"key{i}" for i in range(300)]
+    probes = members[:20] + [f"absent{i}" for i in range(200)]
+    out = {
+        r["probe"]: (r["maybe_present"], r["actually_present"])
+        for r in bloom_filter(_df(spark, members), "v", probes,
+                              m_bits=2048, k_hashes=3).collect()
+    }
+    # python reference with the identical hashes
+    bits = set()
+    for v in members:
+        for i in range(3):
+            bits.add(_h60(v, f"b{i}") % 2048)
+    fp = 0
+    for p in probes:
+        want = all(_h60(p, f"b{i}") % 2048 in bits for i in range(3))
+        assert out[p][0] == want, p
+        assert out[p][1] == (p in set(members))
+        if out[p][1]:
+            assert out[p][0]  # no false negatives
+        elif out[p][0]:
+            fp += 1
+    # fp rate sanity: (1 - e^(-kn/m))^k ~ 8.7% at n=300,m=2048,k=3;
+    # allow generous slack on 200 absent probes
+    assert fp / 200 < 0.25
