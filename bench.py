@@ -202,6 +202,10 @@ JOB_EQUIV_REVS = {
     "8d69fd6": "23c0dc3",  # ledger-map-only
     "8b2e4dd": "23c0dc3",  # weighted sampling: additive sampling fn —
                            # scaling leg never imports functions/sampling
+    "5c37d5c": "23c0dc3",  # ledger/PROGRESS-only (and 8937356 before it)
+    "8937356": "23c0dc3",  # ledger-map-only
+    "fa29716": "23c0dc3",  # bloom filter: additive sketches fn —
+                           # scaling leg never imports it
     "7cbf165": "23c0dc3",  # percentile_ranks/string_stats/filtered-knn/
                            # phrase-suggest — scaling leg never imports
                            # plans/{stats,suggest} or functions/similarity
