@@ -135,7 +135,9 @@ def mix_weights(
     )
 
 
-def seeded_shuffle(docs: DataFrame, seed: str = "s0") -> DataFrame:
+def seeded_shuffle(
+    docs: DataFrame, seed: str = "s0", prefix_len: int = 4
+) -> DataFrame:
     """(rank, doc_id, shuffle_key) — deterministic global shuffle: every
     doc keyed by md5('doc_id:seed') (the cross-engine hash idiom above)
     and ranked by that key — simultaneously ES function_score
@@ -144,11 +146,23 @@ def seeded_shuffle(docs: DataFrame, seed: str = "s0") -> DataFrame:
     packing (hash order is reproducible across runs AND insensitive to
     input partitioning, which a rand()-based shuffle is not).
 
-    Scale shape: the key is scan-local; the global rank is the one
-    unavoidable total-order sort (Spark range-partitions it).  For
-    training pipelines that only need shard-local shuffle, drop the
-    rank and sortWithinPartitions(shuffle_key) instead — same key, no
-    global exchange."""
+    Scale shape (two jobs, no global-order window): md5 hex keys are
+    fixed-width, so the first ``prefix_len`` hex chars split the key
+    space into 16^prefix_len ORDERED buckets (lexicographic prefix
+    order == lexicographic key order).  Job 1 counts docs per bucket
+    (map-side-combinable agg to a 16^prefix_len-row relation) and the
+    driver turns the counts into per-bucket rank offsets — the same
+    offset arithmetic as the url_ordered docmap build
+    (operators/index_build._ordered_offsets).  Job 2 ranks each bucket
+    independently (Window.partitionBy(bucket) — parallel, never a
+    single-task global WindowExec) and adds the bucket offset.  Offsets
+    depend only on key VALUES, never on partition layout, so the
+    two-scan pattern cannot drift.  At 10^12 docs with prefix_len=4
+    each of the 65 536 buckets sorts ~1.5e7 rows — bounded per-task
+    work; raise prefix_len for more parallelism.  For training
+    pipelines that only need shard-local shuffle, drop the rank and
+    sortWithinPartitions(shuffle_key) instead — same key, no global
+    exchange."""
     from pyspark.sql import Window
 
     keyed = docs.select(
@@ -156,11 +170,25 @@ def seeded_shuffle(docs: DataFrame, seed: str = "s0") -> DataFrame:
         F.md5(
             F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))
         ).alias("shuffle_key"),
+    ).withColumn("_bkt", F.substring("shuffle_key", 1, prefix_len))
+    counts = keyed.groupBy("_bkt").agg(F.count("*").alias("_cnt")).collect()
+    counts.sort(key=lambda r: r["_bkt"])
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["_bkt"], acc))
+        acc += r["_cnt"]
+    off_df = docs.sparkSession.createDataFrame(
+        offs or [("", 0)], "_bkt string, _off long"
     )
-    w = Window.orderBy("shuffle_key", "doc_id")
-    return keyed.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).select("rank", "doc_id", "shuffle_key")
+    w = Window.partitionBy("_bkt").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(off_df), "_bkt")
+        .withColumn(
+            "rank",
+            (F.col("_off") + F.row_number().over(w)).cast("long"),
+        )
+        .select("rank", "doc_id", "shuffle_key")
+    )
 
 
 def scroll_slices(docs: DataFrame, n_slices: int = 4) -> DataFrame:

@@ -564,22 +564,66 @@ def zipf_fit(docs: DataFrame) -> DataFrame:
     or non-linguistic text).
 
     Scale shape: one corpus-scale token aggregation (map-side
-    combinable) down to the vocabulary relation, ONE vocab-scale
-    window for ranks, then a five-sum OLS reduce — nothing after the
-    first groupBy touches corpus-scale rows."""
+    combinable) down to the vocabulary relation, then BUCKETED rank
+    assignment (no vocab-scale un-partitioned window): rank order is
+    (cf DESC, term ASC), so the vocabulary splits into ordered buckets
+    — exact-cf groups for cf <= 1024 (sub-split by the term's first
+    char, which preserves the within-tie term order) and power-of-two
+    cf bands for the tiny Zipf head above that.  A bucket-count
+    aggregate (<= ~38 * 1024 + 54 rows, collected driver-side — the
+    same metadata-scale offset pattern as the url_ordered docmap)
+    yields each bucket's global rank offset; a Window.partitionBy
+    (bucket) row_number plus that offset reproduces the exact global
+    rank.  Within an exact-cf tie the OLS y value is constant, so any
+    bijection of the tie's rank range onto its terms leaves every OLS
+    sum unchanged — bucketed ranks are value-identical to the global
+    window, and the plan never funnels the vocabulary through one
+    task.  After rank assignment: a five-sum OLS reduce — nothing
+    after the first groupBy touches corpus-scale rows."""
     cf = (
         with_tokens(docs)
         .select(F.explode("tokens").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cf"))
     )
-    ranked = cf.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
-    ).select(
-        F.log(F.col("rank").cast("double")).alias("x"),
-        F.log(F.col("cf").cast("double")).alias("y"),
-        "cf",
+    head_cut = 1024
+    is_head = F.col("cf") > head_cut
+    bk = F.when(is_head, F.floor(F.log2(F.col("cf").cast("double")))).otherwise(
+        F.col("cf")
+    ).cast("long")
+    bs = F.when(is_head, F.lit("")).otherwise(F.substring("term", 1, 1))
+    bucketed = cf.withColumn("_bh", is_head).withColumn("_bk", bk).withColumn(
+        "_bs", bs
+    )
+    counts = (
+        bucketed.groupBy("_bh", "_bk", "_bs")
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
+    )
+    # Global bucket order: head (log2) bands first, largest band first;
+    # then exact-cf groups by cf desc, first-char asc within a tie.
+    counts.sort(
+        key=lambda r: (0, -r["_bk"], "") if r["_bh"] else (1, -r["_bk"], r["_bs"])
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["_bh"], r["_bk"], r["_bs"], acc))
+        acc += r["_cnt"]
+    off_df = docs.sparkSession.createDataFrame(
+        offs or [(False, 0, "", 0)],
+        "_bh boolean, _bk long, _bs string, _off long",
+    )
+    w = Window.partitionBy("_bh", "_bk", "_bs").orderBy(
+        F.desc("cf"), F.asc("term")
+    )
+    ranked = (
+        bucketed.join(F.broadcast(off_df), ["_bh", "_bk", "_bs"])
+        .withColumn("rank", F.col("_off") + F.row_number().over(w))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cf").cast("double")).alias("y"),
+            "cf",
+        )
     )
     s = ranked.agg(
         F.count("*").cast("double").alias("n"),
