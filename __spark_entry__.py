@@ -3664,18 +3664,40 @@ def _q_media_frame_sample(spark, sf_dir):
 
 
 def _q_media_image_features(spark, sf_dir):
-    """Fake-decode image feature extraction (decode itself is a deterministic
-    stand-in — real codecs aren't in this container; rows-only check)."""
+    """Fake-decode image feature extraction — FULLY value-checked (r3):
+    the fake payload is the closed-form affine byte stream
+    multimodal.PAYLOAD_SQL, so every pixel stat (mean/std/min/max, the
+    16-bin histogram, the nearest-neighbor thumbnail mean) is
+    recomputable in SQL; decode still runs through the real
+    mapInPandas plumbing (real codecs aren't in this container)."""
     from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
 
-    return mm.image_features(_media(spark, sf_dir)).drop("hist")
+    out = mm.image_features(_media(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        F.col("px_min").cast("int").alias("px_min"),
+        F.col("px_max").cast("int").alias("px_max"),
+        "hist",
+        F.round("thumb_mean", 6).alias("thumb_mean"),
+    )
 
 
 def _q_media_audio_features(spark, sf_dir):
-    """Fake-decode audio RMS/ZCR/peak (rows-only check)."""
+    """Fake-decode audio RMS/ZCR/peak — FULLY value-checked (r3; see
+    _q_media_image_features)."""
     from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
 
-    return mm.audio_features(_media(spark, sf_dir))
+    out = mm.audio_features(_media(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.round("rms", 6).alias("rms"),
+        F.col("zero_crossings").cast("int").alias("zero_crossings"),
+        F.col("peak").cast("int").alias("peak"),
+    )
 
 
 def _q_media_image_meta(spark, sf_dir):
@@ -8774,6 +8796,48 @@ WHERE rank <= 10
             FROM (SELECT doc_id, 4 + doc_id % 13 AS nf FROM documents
                   WHERE doc_id % 3 = 2),
                  unnest(range(0, nf, 2)) AS u(i)
+        """,
+        # Full pixel-level value check: the payload byte stream is the
+        # closed-form multimodal.PAYLOAD_SQL, so DuckDB regenerates every
+        # decoded pixel and reproduces the mapInPandas feature math.
+        "media_image_features": f"""
+WITH img AS (SELECT doc_id, 8 + (doc_id % 5) * 4 AS w,
+                    8 + (doc_id % 7) * 2 AS h
+             FROM documents WHERE doc_id % 3 = 0),
+px AS (SELECT doc_id, {mm.PAYLOAD_SQL} AS b
+       FROM img, unnest(range(0, w * h)) AS u(i)),
+stats AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bytes,
+                 ROUND(avg(b), 6) AS px_mean,
+                 ROUND(stddev_pop(b), 6) AS px_std,
+                 CAST(min(b) AS INTEGER) AS px_min,
+                 CAST(max(b) AS INTEGER) AS px_max,
+                 [{", ".join(
+                     f"CAST(count(*) FILTER (WHERE b // 16 = {k})"
+                     " AS INTEGER)" for k in range(16))}] AS hist
+          FROM px GROUP BY doc_id),
+thumb AS (SELECT doc_id,
+                 ROUND(avg((doc_id * {mm.PAYLOAD_A}
+                            + ((r * h // 4) * w + (c * w // 4))
+                              * {mm.PAYLOAD_B}
+                            + {mm.PAYLOAD_C}) % 256), 6) AS thumb_mean
+          FROM img, unnest(range(0, 4)) AS rr(r),
+               unnest(range(0, 4)) AS cc(c)
+          GROUP BY doc_id)
+SELECT stats.*, thumb.thumb_mean FROM stats JOIN thumb USING (doc_id)
+        """,
+        "media_audio_features": f"""
+WITH aud AS (SELECT doc_id, 256 + (doc_id % 50) * 16 AS ns
+             FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT doc_id, i, ({mm.PAYLOAD_SQL}) - 128 AS v,
+             (doc_id * {mm.PAYLOAD_A} + (i - 1) * {mm.PAYLOAD_B}
+              + {mm.PAYLOAD_C}) % 256 - 128 AS pv
+      FROM aud, unnest(range(0, ns)) AS u(i))
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_samples,
+       ROUND(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+       CAST(count(*) FILTER (WHERE i >= 1 AND (v < 0) <> (pv < 0))
+            AS INTEGER) AS zero_crossings,
+       CAST(max(abs(v)) AS INTEGER) AS peak
+FROM s GROUP BY doc_id
         """,
         "ann_lsh_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -16,9 +16,12 @@ shapes, flatMap row explosion — is real and fully tested.  Swap
 ``fake_decode_*`` for the real codec on a cluster that has the libs; every
 DataFrame-level contract stays identical.
 
-The synthetic media table is derived deterministically from ``doc_id`` (a
-seeded numpy PCG64 stream per row, closed-form metadata), so tests and the
-driver's DuckDB oracle can recompute sizes/offsets exactly.
+The synthetic media table is derived deterministically from ``doc_id``
+with CLOSED-FORM payload bytes and metadata —
+``byte[i] = (doc_id*7919 + i*104729 + 12345) mod 256`` — so tests and the
+driver's DuckDB oracle can recompute not just sizes/offsets but every
+decoded pixel/sample value exactly (the feature entries are fully
+hash-gated, not rows-only; see __spark_entry__ media_*_features oracles).
 """
 
 from __future__ import annotations
@@ -95,11 +98,23 @@ def _meta_for(doc_id: int) -> dict:
     }
 
 
+# Affine byte stream: b odd -> full 256-cycle; closed form in (doc_id, i)
+# lets DuckDB recompute every decoded pixel/sample for the feature oracles.
+PAYLOAD_A, PAYLOAD_B, PAYLOAD_C = 7919, 104729, 12345
+PAYLOAD_SQL = (
+    f"(doc_id * {PAYLOAD_A} + i * {PAYLOAD_B} + {PAYLOAD_C}) % 256"
+)
+
+
 def payload_bytes(doc_id: int) -> bytes:
-    """Deterministic payload for doc_id (seeded PCG64 byte stream)."""
+    """Deterministic payload for doc_id: byte[i] = (A*doc_id+B*i+C) % 256."""
     meta = _meta_for(doc_id)
-    rng = np.random.Generator(np.random.PCG64(2_000_003 * doc_id + 17))
-    return rng.integers(0, 256, size=meta["payload_len"], dtype=np.uint8).tobytes()
+    i = np.arange(meta["payload_len"], dtype=np.int64)
+    return (
+        ((doc_id * PAYLOAD_A + i * PAYLOAD_B + PAYLOAD_C) % 256)
+        .astype(np.uint8)
+        .tobytes()
+    )
 
 
 def _synth_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
