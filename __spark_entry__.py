@@ -2998,6 +2998,56 @@ def _q_intervals(spark, sf_dir):
     )
 
 
+# r3: constrained-ORDERED all_of over non-single-term children — the
+# minimal-interval DP path (plans/intervals._node_intervals): any_of
+# children, multi-term ordered/unordered match children, and a nested
+# ordered all_of, each with cross-child gap bounds.
+def _intervals_ordered_queries():
+    from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+        AllOf, AnyOf, Match,
+    )
+
+    return {
+        "ivo1": AllOf((AnyOf((Match("join"), Match("merge"))),
+                       Match("column")), ordered=True, max_gaps=4),
+        "ivo2": AllOf((Match("customer"),
+                       Match("order line", ordered=True, max_gaps=2)),
+                      ordered=True, max_gaps=3),
+        "ivo3": AllOf((Match("window"),
+                       AnyOf((Match("table hash", ordered=True, max_gaps=1),
+                              Match("key")))), ordered=True),
+        "ivo4": AllOf((AllOf((AnyOf((Match("join"), Match("hash"))),
+                              Match("column")), ordered=True, max_gaps=2),
+                       Match("scan")), ordered=True, max_gaps=6),
+    }
+
+
+def _q_intervals_ordered(spark, sf_dir):
+    """ES `intervals` all_of(ordered, max_gaps) over complex children
+    (plans/intervals): relational minimal-interval DP — child interval
+    relations chained with strictly-after starts, (doc, start, ncov)
+    min-end frontier, total-gap filter; disjunctive-BM25 ranked."""
+    from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+        intervals_topk,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = intervals_topk(spark, root, _intervals_ordered_queries(), k=10)
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_span_near(spark, sf_dir):
     """Ordered span-near top-k (plans/near.span_near_topk — Lucene
     SpanNearQuery in_order=true, slop=3): terms in query order within a
@@ -4893,6 +4943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_agg": _q_sampler,
         "diversified_sampler_agg": _q_diversified_sampler,
         "intervals_topk": _q_intervals,
+        "intervals_ordered_topk": _q_intervals_ordered,
         "span_near_topk": _q_span_near,
         "span_not_topk": _q_span_not,
         "match_phrase_prefix_topk": _q_match_phrase_prefix,
@@ -8010,6 +8061,69 @@ WHERE rank <= 10
 """
 
 
+def _intervals_ordered_sql() -> str:
+    """Existence-enumeration mirror of the r3 minimal-interval DP
+    (plans/intervals._node_intervals): a doc matches a constrained-
+    ordered all_of iff SOME chain of child intervals (one per child,
+    strictly-after starts) satisfies total-width - covered <= max_gaps
+    — enumerating all chains (no minimality) is equivalent, since for
+    a fixed child start a smaller child end weakly dominates."""
+    qt = ", ".join(
+        f"('{q}', '{t}')"
+        for q, ts in [
+            ("ivo1", ["join", "merge", "column"]),
+            ("ivo2", ["customer", "order", "line"]),
+            ("ivo3", ["window", "table", "hash", "key"]),
+            ("ivo4", ["join", "hash", "column", "scan"]),
+        ]
+        for t in ts
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qt}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+m1 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term IN ('join', 'merge') AND b.term = 'column'
+         AND b.p > a.p AND b.p - a.p <= 5),
+m2 AS (SELECT DISTINCT c.doc_id
+       FROM pos c JOIN pos o USING (doc_id) JOIN pos l USING (doc_id)
+       WHERE c.term = 'customer' AND o.term = 'order' AND l.term = 'line'
+         AND o.p > c.p AND l.p > o.p AND l.p - o.p <= 3
+         AND l.p - c.p <= 5),
+m3 AS (SELECT DISTINCT w.doc_id
+       FROM pos w JOIN pos t USING (doc_id) JOIN pos h USING (doc_id)
+       WHERE w.term = 'window' AND t.term = 'table' AND h.term = 'hash'
+         AND t.p > w.p AND h.p > t.p AND h.p - t.p <= 2
+       UNION
+       SELECT DISTINCT w.doc_id FROM pos w JOIN pos k USING (doc_id)
+       WHERE w.term = 'window' AND k.term = 'key' AND k.p > w.p),
+m4 AS (SELECT DISTINCT a.doc_id
+       FROM pos a JOIN pos b USING (doc_id) JOIN pos s USING (doc_id)
+       WHERE a.term IN ('join', 'hash') AND b.term = 'column'
+         AND s.term = 'scan'
+         AND b.p > a.p AND b.p - a.p <= 3
+         AND s.p > b.p AND s.p - a.p <= 8),
+matched AS (SELECT 'ivo1' AS query_id, doc_id FROM m1
+            UNION ALL SELECT 'ivo2', doc_id FROM m2
+            UNION ALL SELECT 'ivo3', doc_id FROM m3
+            UNION ALL SELECT 'ivo4', doc_id FROM m4)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN matched m USING (query_id, doc_id))
+WHERE rank <= 10
+"""
+
+
 def _span_first_sql() -> str:
     """Single-term BM25 rank over docs whose first term occurrence sits
     within the first `end` positions (1-based subscripts: p <= end) —
@@ -8520,6 +8634,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "sampler_agg": _sampler_sql(False),
         "diversified_sampler_agg": _sampler_sql(True),
         "intervals_topk": _intervals_sql(),
+        "intervals_ordered_topk": _intervals_ordered_sql(),
         "span_near_topk": _span_near_sql(),
         "span_not_topk": _span_not_sql(),
         "match_phrase_prefix_topk": _mpp_sql(),

@@ -23,12 +23,28 @@ Supported surface and its exact semantics:
   child matches (exact, because any_of's interval set is the union).
 * ``AllOf(sources)`` — unordered, unbounded combination: a doc matches
   iff EVERY child matches (ES all_of with ordered=false, max_gaps=-1,
-  overlaps allowed — Lucene's `Intervals.unordered`).  When `ordered`
-  or `max_gaps` is set, the node is supported ONLY if every child is a
-  single-term Match — it then collapses to the equivalent Match leaf;
-  cross-child gap/order constraints over multi-term children need full
-  minimal-interval algebra and raise NotImplementedError (honest
-  guardrail, not silent wrong answers).
+  overlaps allowed — Lucene's `Intervals.unordered`).  When every
+  child is a single-term Match, a constrained node collapses to the
+  equivalent Match leaf (cheap path).  ``ordered=True`` over ARBITRARY
+  children (any_of, multi-term match, nested ordered all_of) runs the
+  full minimal-interval algebra (r3, closes the r2 gap): each child
+  contributes an interval RELATION (doc_id, s, e, n) of left-minimal
+  match intervals (n = covered term count), and the ordered
+  combination is a relational DP — children chained in order with
+  strictly-after starts (s_{i+1} > e_i, Lucene Intervals.ordered
+  non-overlap), keeping per (doc, start, ncov) the minimal chain end.
+  Total gaps of a chain telescope to (end - start + 1) - Σn (child-
+  internal gaps + between-child gaps — uncovered positions either
+  way), so the DP's min-end frontier decides max_gaps feasibility
+  EXACTLY: a doc matches iff some final state has
+  (e - s + 1) - ncov <= max_gaps.  Left-minimal child intervals
+  suffice: for a fixed child start, a smaller end weakly dominates
+  (loosens the next strictly-after constraint and never grows the
+  final width), so existence over all child intervals equals
+  existence over the left-minimal set.  ``ordered=False`` with
+  max_gaps over non-single-term children (unordered cross-child
+  algebra needs a subset DP) remains the one NotImplementedError
+  guardrail.
 
 Ranking: matched docs are ordered by disjunctive BM25 over the UNION of
 the query's terms (score DESC, doc_id ASC), top-k — interval rules
@@ -88,8 +104,10 @@ Source = Union[Match, AnyOf, AllOf]
 
 
 def _normalize(node: Source) -> Source:
-    """Collapse constrained AllOf-of-single-terms into a Match leaf;
-    reject constrained AllOf over anything wider."""
+    """Collapse constrained AllOf-of-single-terms into a Match leaf
+    (cheap path); keep ordered AllOf over wider children for the
+    minimal-interval DP; reject only constrained-UNORDERED AllOf over
+    non-single-term children."""
     if isinstance(node, Match):
         return node
     if isinstance(node, AnyOf):
@@ -97,24 +115,37 @@ def _normalize(node: Source) -> Source:
     kids = tuple(_normalize(s) for s in node.sources)
     if not node.ordered and node.max_gaps < 0:
         return AllOf(kids)
-    texts = []
-    for s in kids:
-        if not isinstance(s, Match) or len(spec.tokenize(s.text)) != 1:
-            raise NotImplementedError(
-                "all_of with ordered/max_gaps needs single-term children "
-                "(cross-child interval algebra is not implemented)"
-            )
-        texts.append(spec.tokenize(s.text)[0])
-    return Match(" ".join(texts), ordered=node.ordered,
-                 max_gaps=node.max_gaps)
+    if all(
+        isinstance(s, Match) and len(spec.tokenize(s.text)) == 1
+        for s in kids
+    ):
+        return Match(
+            " ".join(spec.tokenize(s.text)[0] for s in kids),
+            ordered=node.ordered, max_gaps=node.max_gaps,
+        )
+    if not node.ordered:
+        raise NotImplementedError(
+            "all_of with max_gaps but ordered=false over non-single-term "
+            "children needs an unordered cross-child subset DP "
+            "(not implemented); ordered=true is fully supported"
+        )
+    return AllOf(kids, ordered=True, max_gaps=node.max_gaps)
 
 
-def _leaves(node: Source, path: str, out: dict) -> None:
+def _is_complex(node: Source) -> bool:
+    """An AllOf that needs the minimal-interval DP (ordered, kept by
+    _normalize because some child is wider than a single term)."""
+    return isinstance(node, AllOf) and (node.ordered or node.max_gaps >= 0)
+
+
+def _leaves(node: Source, path: str, out: dict, complex_out: dict) -> None:
     if isinstance(node, Match):
         out[path] = node
+    elif _is_complex(node):
+        complex_out[path] = node
     else:
         for i, s in enumerate(node.sources):
-            _leaves(s, f"{path}.{i}", out)
+            _leaves(s, f"{path}.{i}", out, complex_out)
 
 
 def _terms(node: Source) -> set:
@@ -256,8 +287,165 @@ def _leaf_matches(
     return out
 
 
-def _eval(node: Source, leaf_df: DataFrame, path: str) -> DataFrame:
+def _required(node: Source) -> set:
+    """Terms every matching doc MUST contain (any_of children can't
+    require anything; all_of/match require all theirs)."""
     if isinstance(node, Match):
+        return set(spec.tokenize(node.text))
+    if isinstance(node, AnyOf):
+        return set()
+    return set().union(*(_required(s) for s in node.sources))
+
+
+def _node_intervals(
+    node: Source, pos: DataFrame, cdocs: DataFrame | None
+) -> DataFrame:
+    """(doc_id, s, e, n) left-minimal match-interval relation for a
+    source node (n = covered term count, so a chain's total gaps =
+    width - Σn).  `pos` is the positions sidecar relation restricted to
+    the needed terms; `cdocs` an optional (doc_id) candidate prefilter
+    (docs containing every required term of the enclosing complex
+    node).  All relations are doc-keyed and O(sum df)-bounded; the
+    ordered DP is a chain of doc-equi-joins with a (doc, start, ncov)
+    min-end frontier — never a corpus-scale window or cross join."""
+    if isinstance(node, Match):
+        ts = spec.tokenize(node.text)
+        ex = pos.filter(F.col("term").isin(sorted(set(ts))))
+        if cdocs is not None:
+            ex = ex.join(cdocs, "doc_id", "left_semi")
+        ex = ex.select(
+            "doc_id", "term", F.explode("positions").alias("p")
+        )
+        if len(ts) == 1:
+            return ex.select(
+                "doc_id", F.col("p").alias("s"), F.col("p").alias("e"),
+                F.lit(1).alias("n"),
+            )
+        if node.ordered:
+            # greedy per-start min fold (as the leaf existence path),
+            # keeping (start, minimal end); own width bound applied
+            m = ex.filter(F.col("term") == ts[0]).select(
+                "doc_id", F.col("p").alias("s"), F.col("p").alias("cur")
+            )
+            bound = (
+                len(ts) - 1 + node.max_gaps
+                if node.max_gaps >= 0 else _UNBOUNDED
+            )
+            for t in ts[1:]:
+                nxt = ex.filter(F.col("term") == t).select("doc_id", "p")
+                m = (
+                    m.join(nxt, "doc_id")
+                    .filter(
+                        (F.col("p") > F.col("cur"))
+                        & (F.col("p") <= F.col("s") + bound)
+                    )
+                    .groupBy("doc_id", "s")
+                    .agg(F.min("p").alias("cur"))
+                )
+            return m.select(
+                "doc_id", "s", F.col("cur").alias("e"),
+                F.lit(len(ts)).alias("n"),
+            )
+        # unordered: anchor-window left-minimal intervals — for each
+        # anchor position a, e(a) = max over DISTINCT terms of the
+        # term's first occurrence in [a, a + win)
+        nd = len(set(ts))
+        win = nd + node.max_gaps if node.max_gaps >= 0 else _UNBOUNDED
+        anchors = ex.select("doc_id", F.col("p").alias("a")).distinct()
+        return (
+            anchors.join(ex, "doc_id")
+            .filter(
+                (F.col("p") >= F.col("a"))
+                & (F.col("p") < F.col("a") + F.lit(win))
+            )
+            .groupBy("doc_id", "a", "term")
+            .agg(F.min("p").alias("mn"))
+            .groupBy("doc_id", "a")
+            .agg(F.count("*").alias("hit"), F.max("mn").alias("e"))
+            .filter(F.col("hit") == nd)
+            .select(
+                "doc_id", F.col("a").alias("s"), "e", F.lit(nd).alias("n")
+            )
+        )
+    if isinstance(node, AnyOf):
+        kids = [_node_intervals(s, pos, cdocs) for s in node.sources]
+        out = kids[0]
+        for kdf in kids[1:]:
+            out = out.unionByName(kdf)
+        return out
+    if not (node.ordered or node.max_gaps >= 0):
+        raise NotImplementedError(
+            "unordered-unbounded all_of nested inside a constrained "
+            "all_of has no interval-set implementation (use ordered, "
+            "or lift it out of the constrained node)"
+        )
+    if not node.ordered:  # unreachable after _normalize; keep honest
+        raise NotImplementedError(
+            "unordered constrained all_of over non-single-term children"
+        )
+    # ordered DP: chain children left to right; frontier keyed by
+    # (doc, start, covered-count) with the minimal chain end
+    first = _node_intervals(node.sources[0], pos, cdocs)
+    m = first.select(
+        "doc_id", "s", F.col("e").alias("cur"), F.col("n").alias("ncov")
+    )
+    for child in node.sources[1:]:
+        kid = _node_intervals(child, pos, cdocs).select(
+            "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2"),
+            F.col("n").alias("n2"),
+        )
+        m = (
+            m.join(kid, "doc_id")
+            .filter(F.col("s2") > F.col("cur"))
+            .groupBy(
+                "doc_id", "s", (F.col("ncov") + F.col("n2")).alias("ncov")
+            )
+            .agg(F.min("e2").alias("cur"))
+        )
+    if node.max_gaps >= 0:
+        m = m.filter(
+            F.col("cur") - F.col("s") + 1 - F.col("ncov") <= node.max_gaps
+        )
+    return m.select(
+        "doc_id", "s", F.col("cur").alias("e"), F.col("ncov").alias("n")
+    )
+
+
+def _complex_matches(
+    spark: SparkSession, index_root: str, nodes: dict[str, "AllOf"]
+) -> DataFrame:
+    """(lkey, doc_id) match relation for constrained-ordered AllOf
+    nodes: one positions read for the union of their terms, a
+    conjunctive match_docs prefilter on each node's required terms,
+    then the minimal-interval DP per node."""
+    need = sorted(set().union(*(_terms(n) for n in nodes.values())))
+    pos = read_positions(spark, index_root, need)
+    req = {
+        k: " ".join(sorted(_required(n)))
+        for k, n in nodes.items() if _required(n)
+    }
+    cand = (
+        match_docs(spark, index_root, req, mode=spec.MODE_CONJUNCTIVE)
+        if req else None
+    )
+    parts = []
+    for k, n in nodes.items():
+        cdocs = (
+            cand.filter(F.col("query_id") == k).select("doc_id")
+            if cand is not None and k in req else None
+        )
+        iv = _node_intervals(n, pos, cdocs)
+        parts.append(
+            iv.select(F.lit(k).alias("lkey"), "doc_id").distinct()
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def _eval(node: Source, leaf_df: DataFrame, path: str) -> DataFrame:
+    if isinstance(node, Match) or _is_complex(node):
         return leaf_df.filter(F.col("lkey") == path).select("doc_id")
     kids = [
         _eval(s, leaf_df, f"{path}.{i}") for i, s in enumerate(node.sources)
@@ -284,9 +472,14 @@ def intervals_topk(
     intervals source tree (module docstring)."""
     norm = {qid: _normalize(src) for qid, src in queries.items()}
     leaves: dict[str, Match] = {}
+    complex_nodes: dict[str, AllOf] = {}
     for qid, src in norm.items():
-        _leaves(src, qid, leaves)
+        _leaves(src, qid, leaves, complex_nodes)
     leaf_df = _leaf_matches(spark, index_root, leaves)
+    if complex_nodes:
+        leaf_df = leaf_df.unionByName(
+            _complex_matches(spark, index_root, complex_nodes)
+        )
 
     score_q = {
         qid: " ".join(sorted(_terms(src)))

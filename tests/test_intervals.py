@@ -84,16 +84,72 @@ def _match_leaf(seq, m: Match):
     )
 
 
+def _ivset(seq, node):
+    """Ground truth: ALL genuine match intervals (s, e, ncov) of a node
+    (brute-force enumeration, no minimality) — existence over this set
+    equals existence over the implementation's left-minimal set."""
+    import itertools
+
+    if isinstance(node, Match):
+        terms = spec.tokenize(node.text)
+        pos = {
+            t: [i for i, x in enumerate(seq) if x == t] for t in set(terms)
+        }
+        if len(terms) == 1:
+            return {(i, i, 1) for i in pos[terms[0]]}
+        if node.ordered:
+            bound = (
+                len(terms) - 1 + node.max_gaps
+                if node.max_gaps >= 0 else 10**9
+            )
+            out = set()
+
+            def chains(i, prev, start):
+                if i == len(terms):
+                    out.add((start, prev, len(terms)))
+                    return
+                for p in pos[terms[i]]:
+                    if p > prev and p <= start + bound:
+                        chains(i + 1, p, start)
+
+            for p0 in pos[terms[0]]:
+                chains(1, p0, p0)
+            return out
+        nd = len(set(terms))
+        w = nd + node.max_gaps if node.max_gaps >= 0 else 10**9
+        out = set()
+        for combo in itertools.product(
+            *[pos[t] for t in sorted(set(terms))]
+        ):
+            if max(combo) - min(combo) + 1 <= w:
+                out.add((min(combo), max(combo), nd))
+        return out
+    if isinstance(node, AnyOf):
+        return set().union(*(_ivset(seq, s) for s in node.sources))
+    assert node.ordered or node.max_gaps >= 0
+    kids = [_ivset(seq, s) for s in node.sources]
+    cur = set(kids[0])
+    for kv in kids[1:]:
+        cur = {
+            (s, e2, n + n2)
+            for (s, e, n) in cur
+            for (s2, e2, n2) in kv
+            if s2 > e
+        }
+    if node.max_gaps >= 0:
+        cur = {
+            (s, e, n) for (s, e, n) in cur if e - s + 1 - n <= node.max_gaps
+        }
+    return cur
+
+
 def _match(seq, node):
     if isinstance(node, Match):
         return _match_leaf(seq, node)
     if isinstance(node, AnyOf):
         return any(_match(seq, s) for s in node.sources)
     if node.ordered or node.max_gaps >= 0:
-        terms = " ".join(spec.tokenize(s.text)[0] for s in node.sources)
-        return _match_leaf(
-            seq, Match(terms, ordered=node.ordered, max_gaps=node.max_gaps)
-        )
+        return bool(_ivset(seq, node))
     return all(_match(seq, s) for s in node.sources)
 
 
@@ -112,6 +168,21 @@ QUERIES = {
                          ordered=True, max_gaps=1),
     "nested": AnyOf((AllOf((Match("zeta"), Match("epsilon"))),
                      Match("gamma gamma", ordered=True, max_gaps=0))),
+    # r3: constrained-ordered all_of over NON-single-term children
+    # (minimal-interval DP path)
+    "cx_any": AllOf((AnyOf((Match("alpha"), Match("gamma"))),
+                     Match("beta")), ordered=True, max_gaps=1),
+    "cx_multi": AllOf((Match("alpha beta", ordered=True, max_gaps=3),
+                       Match("gamma")), ordered=True, max_gaps=2),
+    "cx_unb": AllOf((Match("beta"),
+                     Match("alpha beta", ordered=True)), ordered=True),
+    "cx_unord_child": AllOf((Match("delta epsilon", max_gaps=1),
+                             Match("delta")), ordered=True, max_gaps=3),
+    "cx_nested": AllOf(
+        (AllOf((AnyOf((Match("alpha"), Match("x"))), Match("beta")),
+               ordered=True, max_gaps=0),
+         Match("gamma")),
+        ordered=True, max_gaps=4),
 }
 
 
@@ -162,8 +233,20 @@ def test_scores_are_disjunctive_bm25(spark, iv_index):
         assert r["score"] == pytest.approx(s, rel=1e-12)
 
 
-def test_constrained_allof_needs_single_terms(spark, iv_index):
+def test_unordered_constrained_allof_still_gated(spark, iv_index):
     root, _, _ = iv_index
-    bad = AllOf((Match("alpha beta"), Match("gamma")), ordered=True)
-    with pytest.raises(NotImplementedError, match="single-term"):
+    bad = AllOf(
+        (Match("alpha beta"), Match("gamma")), ordered=False, max_gaps=2
+    )
+    with pytest.raises(NotImplementedError, match="subset DP"):
         intervals_topk(spark, root, {"q": bad}, k=5)
+
+
+def test_plain_allof_nested_in_ordered_gated(spark, iv_index):
+    root, _, _ = iv_index
+    bad = AllOf(
+        (AllOf((Match("alpha"), Match("beta x"))), Match("gamma")),
+        ordered=True,
+    )
+    with pytest.raises(NotImplementedError, match="lift it out"):
+        intervals_topk(spark, root, {"q": bad}, k=5).collect()
