@@ -1962,7 +1962,9 @@ def _q_asof_join(spark, sf_dir):
         F.col("ts").alias("c_ts"),
         F.col("event_id").alias("_asof_rid"),
     )
-    out = asof_join(purchases, clicks, "user_id", "p_ts", "c_ts")
+    out = asof_join(
+        purchases, clicks, "user_id", "p_ts", "c_ts", unbounded=True
+    )
     return out.select(
         "purchase_id",
         F.coalesce(F.col("_asof_rid"), F.lit(-1)).alias("click_id"),

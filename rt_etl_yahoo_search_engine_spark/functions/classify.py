@@ -118,15 +118,19 @@ def nb_predict(docs: DataFrame, pairs: DataFrame,
              + F.coalesce(F.col("seen_part"), F.lit(0.0))).alias("logp"),
         )
     )
-    # argmax + runner-up without a window: max_by/max aggregates over an
-    # orderable (logp, negated-label) struct — scan-side, no Exchange
-    # beyond the (doc, class) groupBy.
+    # argmax + runner-up without a window: min_by/min aggregates over an
+    # orderable (NEGATED logp, label) struct — float negation is an
+    # exact sign flip, so this is `ORDER BY logp DESC, label ASC` over
+    # the FULL label (r3; replaces the 8-char negated-codepoint prefix
+    # hack ADVICE r2 flagged as a latent tie-break mismatch) — scan-
+    # side, no Exchange beyond the (doc, class) groupBy.
+    key = F.struct((-F.col("logp")).alias("nl"), F.col("label"))
     best = per_class.groupBy("doc_id").agg(
-        F.max_by("label", F.struct(F.col("logp"), _neg_label())).alias(
-            "pred_label"
-        ),
-        F.max(F.struct(F.col("logp"), _neg_label())).alias("bk"),
-    ).select("doc_id", "pred_label", F.col("bk.logp").alias("logp"))
+        F.min_by("label", key).alias("pred_label"),
+        F.min(key).alias("bk"),
+    ).select(
+        "doc_id", "pred_label", (-F.col("bk.nl")).alias("logp")
+    )
     runner = (
         per_class.join(best.select("doc_id", "pred_label"), "doc_id")
         .filter(F.col("label") != F.col("pred_label"))
@@ -142,18 +146,6 @@ def nb_predict(docs: DataFrame, pairs: DataFrame,
             .alias("margin"),
         )
     )
-
-
-def _neg_label():
-    """An expression that orders label DESC inside an ascending struct
-    max — equal-logp ties resolve to the SMALLEST label, the tie-break
-    a SQL `ORDER BY logp DESC, label ASC` oracle picks (negated
-    codepoints of the first 8 chars; class labels are short)."""
-    cps = [
-        -F.ascii(F.substring("label", i + 1, 1)).cast("int")
-        for i in range(8)
-    ]
-    return F.struct(*cps)
 
 
 def nb_self_classify(docs: DataFrame, label_col: str) -> DataFrame:

@@ -54,7 +54,11 @@ def scripted_metric(
                batch) -> state dict
     reduce_fn: list of state dicts -> dict matching out_schema
     """
-    key_schema = ", ".join(f"{k} string" for k in keys)
+    # key columns keep their REAL Spark types (r3, ADVICE r2: forcing
+    # `string` silently stringified numeric bucket keys)
+    key_schema = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
     mid_schema = f"{key_schema}, state string"
 
     def map_partial(pdfs):
@@ -63,7 +67,7 @@ def scripted_metric(
                 continue
             for kv, grp in pdf.groupby(keys, sort=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
-                row = {k: str(v) for k, v in zip(keys, kv)}
+                row = {k: v for k, v in zip(keys, kv)}
                 row["state"] = json.dumps(
                     map_fn(grp), sort_keys=True, separators=(",", ":")
                 )

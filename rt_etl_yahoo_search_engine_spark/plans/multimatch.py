@@ -293,10 +293,13 @@ def combined_fields_topk(
             .select("doc_id",
                     (F.lit(wmap[f]) * F.col("doc_len")).alias(f"_dl_{i}"))
         )
-        dl = dm if dl is None else dl.join(dm, "doc_id")
-    dlc_expr = F.col("_dl_0")
+        # full outer + coalesce-0: a doc absent from one field's tokens
+        # store (genuinely empty field value) still scores on the others
+        # (r3, ADVICE r2: an inner join silently dropped such docs)
+        dl = dm if dl is None else dl.join(dm, "doc_id", "full_outer")
+    dlc_expr = F.coalesce(F.col("_dl_0"), F.lit(0.0))
     for i in range(1, len(fields)):
-        dlc_expr = dlc_expr + F.col(f"_dl_{i}")
+        dlc_expr = dlc_expr + F.coalesce(F.col(f"_dl_{i}"), F.lit(0.0))
     dlc = dl.select("doc_id", dlc_expr.alias("dl_c"))
 
     scored_terms = (

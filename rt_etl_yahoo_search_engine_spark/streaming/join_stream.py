@@ -108,6 +108,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance: str | None = None,
+    unbounded: bool = False,
 ) -> DataFrame:
     """AS-OF join — for every left row, the single LATEST right row of
     the same key with right_ts <= left_ts (optionally within
@@ -120,16 +121,29 @@ def asof_join(
     named by convention below for full determinism).
 
     Input contract: left(key, left_ts, ...), right(key, right_ts,
-    _asof_rid, ...payload).  Output: left row + right payload columns
-    (null when no prior right row exists — LEFT asof semantics).
+    _asof_rid, ...payload).  LEFT rows must be UNIQUE as full tuples —
+    the final aggregate groups by every left column, so fully
+    duplicate left rows collapse into one output row (carry a unique
+    event-id column, as the driver entry does, if duplicates are
+    possible).  Output: left row + right payload columns (null when no
+    prior right row exists — LEFT asof semantics).
 
     Scale shape: one range-join on the key + a per-left-row max_by
     aggregate — the same candidates relation a SQL ASOF join builds;
     at 100 TB the win over a window-over-union approach is that only
     (key, ts)-matched candidate pairs shuffle, never a merged
-    timeline.  A `tolerance` bound additionally caps candidates per
+    timeline.  WITHOUT `tolerance` the candidate relation is per-key
+    QUADRATIC on hot keys (every left row pairs with every prior right
+    row of its key), so unbounded use must be opted into explicitly
+    with ``unbounded=True``; a `tolerance` bound caps candidates per
     row (and is what a streaming deployment needs anyway to bound
     state — see attribution_join)."""
+    if tolerance is None and not unbounded:
+        raise ValueError(
+            "asof_join without `tolerance` builds a per-key-quadratic "
+            "candidate relation on hot keys; pass tolerance='...' or "
+            "opt in explicitly with unbounded=True"
+        )
     lcols = left.columns
     rpayload = [c for c in right.columns if c not in (key, right_ts)]
     cond = (left[key] == right[key]) & (right[right_ts] <= left[left_ts])

@@ -157,3 +157,17 @@ def test_scripted_metric_partition_invariant(spark):
     db = {r["k"]: (r["n"], round(r["mean"], 9), round(r["var"], 9))
           for r in b}
     assert da == db
+
+
+def test_scripted_metric_keeps_key_types(spark):
+    """Numeric bucket keys keep their Spark type (r3; ADVICE r2 flagged
+    the forced-string key schema as silently stringifying int keys)."""
+    rows = [(i % 3, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k int, value double")
+    var_map, var_reduce = _var_fns()
+    out = scripted_metric(
+        df, ["k"], var_map, var_reduce, "n long, mean double, var double"
+    )
+    assert out.schema["k"].dataType.simpleString() == "int"
+    got = {r["k"]: r["n"] for r in out.collect()}
+    assert got == {0: 10, 1: 10, 2: 10}

@@ -120,7 +120,8 @@ def test_asof_join_matches_python(spark):
         right_rows, "user string, rts timestamp, _asof_rid long, v string")
 
     out = {r["lid"]: (r["v"], r["rts"])
-           for r in asof_join(left, right, "user", "lts", "rts").collect()}
+           for r in asof_join(left, right, "user", "lts", "rts",
+                              unbounded=True).collect()}
     assert out[1] == ("a", ts(90))
     assert out[2] == ("c", ts(150))     # tie broken by rid
     assert out[3] == (None, None)       # no right row at/before 50
@@ -137,3 +138,34 @@ def test_asof_join_matches_python(spark):
     assert out_tol[2] == "c"      # 150 within [140, 200]
     assert out_tol[4] == "e"
     assert out_tol[3] is None and out_tol[5] is None
+
+
+def test_asof_unbounded_requires_opt_in(spark):
+    """Hot keys make the untolerated candidate relation per-key
+    quadratic — unbounded lookback must be loud (r3, VERDICT r2 #6)."""
+    import pytest
+
+    from rt_etl_yahoo_search_engine_spark.streaming.join_stream import (
+        asof_join,
+    )
+
+    # hot key: every left row pairs with every prior right row of "hot"
+    left = spark.createDataFrame(
+        [("hot", _ts(i), i) for i in range(20)],
+        "user string, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("hot", _ts(i), i, f"v{i}") for i in range(20)],
+        "user string, rts timestamp, _asof_rid long, v string",
+    )
+    with pytest.raises(ValueError, match="unbounded=True"):
+        asof_join(left, right, "user", "lts", "rts")
+    # the loud opt-in still computes the correct asof result on the
+    # hot key (latest right at-or-before each left ts)
+    out = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "user", "lts", "rts", unbounded=True
+        ).collect()
+    }
+    assert out == {i: f"v{i}" for i in range(20)}
