@@ -4851,7 +4851,148 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is the DRIVER WINDOW (the driver checks the first
+    50 entries): positions 1-50 lead with the never-driver-checked
+    entries plus the SURVEY-2 stragglers and this round's additions
+    (VERDICT r2 #1/#7 rotation); previously driver-green entries sit
+    last.  Rotate again next round so cumulative driver coverage keeps
+    growing."""
     return {
+        "scan_filter_project": _q_scan_filter_project,
+        "semi_join_inlist": _q_semi_join_inlist,
+        "broadcast_join_enrich": _q_broadcast_join_enrich,
+        "top1_per_key": _q_top1_per_key,
+        "events_tumbling": _q_events_tumbling,
+        "json_extract_agg": _q_json_extract,
+        "adjacent_grouping": _q_adjacent_grouping,
+        "extract_structured": _q_extract_structured,
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
+        "intervals_ordered_topk": _q_intervals_ordered,
+        "media_image_meta": _q_media_image_meta,
+        "media_audio_meta": _q_media_audio_meta,
+        "kmv_distinct": _q_kmv_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
+        "bloom_filter": _q_bloom_filter,
+        "binned_quantiles": _q_binned_quantiles,
+        "geotile_grid_agg": _q_geotile_grid_agg,
+        "geo_bounds_agg": _q_geo_bounds_agg,
+        "geo_distance_agg": _q_geo_distance_agg,
+        "asof_join": _q_asof_join,
+        "attribution_join": _q_attribution_join,
+        "fuzzy_link": _q_fuzzy_link,
+        "ks_test_agg": _q_ks_test_agg,
+        "bucket_correlation_agg": _q_bucket_correlation_agg,
+        "change_point_agg": _q_change_point_agg,
+        "bpe_pair_counts": _q_bpe_pairs,
+        "bpe_learn": _q_bpe_learn,
+        "bpe_encode": _q_bpe_encode,
+        "weighted_sample": _q_weighted_sample,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "scroll_slices": _q_scroll_slices,
+        "mix_weights": _q_mix_weights,
+        "dsir_weights": _q_dsir_weights,
+        "pipeline_agg": _q_pipeline_agg,
+        "terms_pipeline_agg": _q_terms_pipeline,
+        "sibling_pipeline_agg": _q_sibling_pipeline,
+        "bucket_script_agg": _q_bucket_script,
+        "normalize_pipeline_agg": _q_normalize_pipeline,
+        "moving_percentiles_agg": _q_moving_percentiles,
+        "serial_diff_agg": _q_serial_diff,
+        "rate_agg": _q_rate_agg,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "bucket_selector_agg": _q_bucket_selector,
+        "ann_pq_topk": _q_ann_pq,
+        "rag_chunks": _q_rag_chunks,
+        "shingle_counts": _q_shingle_counts,
+        "edge_ngram_index": _q_edge_ngram_index,
+        "zipf_fit": _q_zipf_fit,
+        # ---- end of driver window (first 50) ----
+        "js_divergence_lang": _q_js_divergence,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
+        "dedup_minhash_verified": _q_dedup_minhash_verified,
+        "scripted_metric_agg": _q_scripted_metric_agg,
+        "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
+        "winnow_fingerprints": _q_winnow,
+        "ngram_lang_id": _q_ngram_lang_id,
+        "quality_funnel": _q_quality_funnel,
+        "chunk_dedup": _q_chunk_dedup,
+        "c4_line_dedup": _q_line_dedup,
+        "boosting_topk": _q_boosting_topk,
+        "histogram_agg": _q_histogram_agg,
+        "cardinality_agg": _q_cardinality_agg,
+        "rescore_topk": _q_rescore_topk,
+        "composite_agg": _q_composite_agg,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "multi_terms_agg": _q_multi_terms,
+        "rare_terms_agg": _q_rare_terms,
+        "filters_agg": _q_filters_agg,
+        "term_vectors": _q_term_vectors,
+        "percentile_ranks_agg": _q_percentile_ranks,
+        "string_stats_agg": _q_string_stats,
+        "ann_filtered_topk": _q_ann_filtered,
+        "phrase_suggest": _q_phrase_suggest,
+        "sampler_agg": _q_sampler,
+        "diversified_sampler_agg": _q_diversified_sampler,
+        "intervals_topk": _q_intervals,
+        "span_near_topk": _q_span_near,
+        "span_not_topk": _q_span_not,
+        "match_phrase_prefix_topk": _q_match_phrase_prefix,
+        "decay_score_topk": _q_decay_score,
+        "completion_suggest": _q_completion_suggest,
+        "auto_date_histogram": _q_auto_date_histogram,
+        "matrix_stats_agg": _q_matrix_stats,
+        "percolate_matches": _q_percolate,
+        "rank_eval": _q_rank_eval,
+        "pinned_topk": _q_pinned,
+        "t_test_agg": _q_t_test,
+        "extended_stats_agg": _q_extended_stats,
+        "boxplot_agg": _q_boxplot,
+        "rank_feature_topk": _q_rank_feature,
+        "distance_feature_topk": _q_distance_feature,
+        "federated_topk": _q_federated,
+        "span_first_topk": _q_span_first,
+        "span_containing_topk": _q_span_containing,
+        "span_within_topk": _q_span_within,
+        "date_range_agg": _q_date_range,
+        "frequent_item_sets": _q_frequent_item_sets,
+        "mad_agg": _q_mad,
+        "synonym_topk": _q_synonym_topk,
+        "bool_query_topk": _q_bool_query,
+        "weighted_avg_agg": _q_weighted_avg,
+        "date_histogram_agg": _q_date_histogram,
+        "top_metrics_agg": _q_top_metrics,
+        "deterministic_sample": _q_deterministic_sample,
+        "stratified_sample": _q_stratified_sample,
+        "training_pack": _q_training_pack,
+        "decontamination": _q_decontamination,
+        "pii_redaction": _q_pii_redaction,
+        "repetition_stats": _q_repetition_stats,
+        "url_canonicalize": _q_url_canonicalize,
+        "link_extract": _q_link_extract,
+        "link_degree_stats": _q_link_degree_stats,
+        "link_pagerank": _q_link_pagerank,
+        "exact_substr_spans": _q_dup_spans,
+        "date_histogram_min0": _q_date_histogram_min0,
+        "terms_set_topk": _q_terms_set_topk,
+        "categorize_text": _q_categorize_text,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_sig": _q_dedup_minhash_sig,
+        "dedup_lsh_candidates": _q_dedup_lsh_candidates,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "media_meta_stats": _q_media_meta_stats,
+        "media_frame_sample": _q_media_frame_sample,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprints": _q_text_fingerprints,
         "tokenize_tf": _q_tokenize_tf,
         "doc_token_stats": _q_doc_token_stats,
         "lexicon_stats": _q_lexicon_stats,
@@ -4902,140 +5043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_combined": _q_multi_match_combined,
         "nb_lang_classify": _q_nb_lang_classify,
         "span_or_topk": _q_span_or_topk,
-        "ann_pq_topk": _q_ann_pq,
-        "rag_chunks": _q_rag_chunks,
-        "shingle_counts": _q_shingle_counts,
-        "edge_ngram_index": _q_edge_ngram_index,
-        "zipf_fit": _q_zipf_fit,
-        "js_divergence_lang": _q_js_divergence,
-        "scripted_metric_agg": _q_scripted_metric_agg,
-        "attribution_join": _q_attribution_join,
-        "kmv_distinct": _q_kmv_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "hll_distinct": _q_hll_distinct,
-        "bloom_filter": _q_bloom_filter,
-        "binned_quantiles": _q_binned_quantiles,
-        "asof_join": _q_asof_join,
-        "fuzzy_link": _q_fuzzy_link,
-        "weighted_sample": _q_weighted_sample,
-        "change_point_agg": _q_change_point_agg,
-        "geotile_grid_agg": _q_geotile_grid_agg,
-        "geo_bounds_agg": _q_geo_bounds_agg,
-        "geo_distance_agg": _q_geo_distance_agg,
-        "ks_test_agg": _q_ks_test_agg,
-        "bucket_correlation_agg": _q_bucket_correlation_agg,
-        "boosting_topk": _q_boosting_topk,
-        "histogram_agg": _q_histogram_agg,
-        "cardinality_agg": _q_cardinality_agg,
-        "rescore_topk": _q_rescore_topk,
-        "composite_agg": _q_composite_agg,
-        "pipeline_agg": _q_pipeline_agg,
-        "adjacency_matrix": _q_adjacency_matrix,
-        "multi_terms_agg": _q_multi_terms,
-        "rare_terms_agg": _q_rare_terms,
-        "filters_agg": _q_filters_agg,
-        "terms_pipeline_agg": _q_terms_pipeline,
-        "sibling_pipeline_agg": _q_sibling_pipeline,
-        "bucket_script_agg": _q_bucket_script,
-        "term_vectors": _q_term_vectors,
-        "percentile_ranks_agg": _q_percentile_ranks,
-        "string_stats_agg": _q_string_stats,
-        "ann_filtered_topk": _q_ann_filtered,
-        "phrase_suggest": _q_phrase_suggest,
-        "sampler_agg": _q_sampler,
-        "diversified_sampler_agg": _q_diversified_sampler,
-        "intervals_topk": _q_intervals,
-        "intervals_ordered_topk": _q_intervals_ordered,
-        "span_near_topk": _q_span_near,
-        "span_not_topk": _q_span_not,
-        "match_phrase_prefix_topk": _q_match_phrase_prefix,
-        "decay_score_topk": _q_decay_score,
-        "completion_suggest": _q_completion_suggest,
-        "auto_date_histogram": _q_auto_date_histogram,
-        "unigram_logprob": _q_unigram_logprob,
-        "bigram_logprob": _q_bigram_logprob,
-        "winnow_fingerprints": _q_winnow,
-        "matrix_stats_agg": _q_matrix_stats,
-        "percolate_matches": _q_percolate,
-        "rank_eval": _q_rank_eval,
-        "pinned_topk": _q_pinned,
-        "mix_weights": _q_mix_weights,
-        "seeded_shuffle": _q_seeded_shuffle,
-        "scroll_slices": _q_scroll_slices,
-        "t_test_agg": _q_t_test,
-        "extended_stats_agg": _q_extended_stats,
-        "moving_percentiles_agg": _q_moving_percentiles,
-        "boxplot_agg": _q_boxplot,
-        "rank_feature_topk": _q_rank_feature,
-        "distance_feature_topk": _q_distance_feature,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "semdedup": _q_semdedup,
-        "federated_topk": _q_federated,
-        "span_first_topk": _q_span_first,
-        "span_containing_topk": _q_span_containing,
-        "span_within_topk": _q_span_within,
-        "date_range_agg": _q_date_range,
-        "frequent_item_sets": _q_frequent_item_sets,
-        "mad_agg": _q_mad,
-        "cumulative_cardinality": _q_cumulative_cardinality,
-        "normalize_pipeline_agg": _q_normalize_pipeline,
-        "synonym_topk": _q_synonym_topk,
-        "bool_query_topk": _q_bool_query,
-        "weighted_avg_agg": _q_weighted_avg,
-        "date_histogram_agg": _q_date_histogram,
-        "top_metrics_agg": _q_top_metrics,
-        "deterministic_sample": _q_deterministic_sample,
-        "stratified_sample": _q_stratified_sample,
-        "training_pack": _q_training_pack,
-        "decontamination": _q_decontamination,
-        "scan_filter_project": _q_scan_filter_project,
-        "semi_join_inlist": _q_semi_join_inlist,
-        "broadcast_join_enrich": _q_broadcast_join_enrich,
-        "top1_per_key": _q_top1_per_key,
-        "events_tumbling": _q_events_tumbling,
-        "adjacent_grouping": _q_adjacent_grouping,
-        "json_extract_agg": _q_json_extract,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard_pairs": _q_dedup_jaccard,
-        "dedup_minhash_verified": _q_dedup_minhash_verified,
-        "dedup_minhash_sig": _q_dedup_minhash_sig,
-        "dedup_lsh_candidates": _q_dedup_lsh_candidates,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_cosine": _q_dedup_embedding,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "media_meta_stats": _q_media_meta_stats,
-        "media_frame_sample": _q_media_frame_sample,
-        "media_image_features": _q_media_image_features,
-        "media_audio_features": _q_media_audio_features,
-        "media_image_meta": _q_media_image_meta,
-        "media_audio_meta": _q_media_audio_meta,
-        "text_quality": _q_text_quality,
-        "text_lang_id": _q_text_lang_id,
-        "text_fingerprints": _q_text_fingerprints,
-        "pii_redaction": _q_pii_redaction,
-        "repetition_stats": _q_repetition_stats,
-        "url_canonicalize": _q_url_canonicalize,
-        "link_extract": _q_link_extract,
-        "link_degree_stats": _q_link_degree_stats,
-        "link_pagerank": _q_link_pagerank,
-        "chunk_dedup": _q_chunk_dedup,
-        "c4_line_dedup": _q_line_dedup,
-        "exact_substr_spans": _q_dup_spans,
-        "quality_funnel": _q_quality_funnel,
-        "date_histogram_min0": _q_date_histogram_min0,
-        "bucket_selector_agg": _q_bucket_selector,
-        "bpe_pair_counts": _q_bpe_pairs,
-        "bpe_learn": _q_bpe_learn,
-        "bpe_encode": _q_bpe_encode,
-        "ngram_lang_id": _q_ngram_lang_id,
-        "terms_set_topk": _q_terms_set_topk,
-        "dsir_weights": _q_dsir_weights,
-        "categorize_text": _q_categorize_text,
-        "serial_diff_agg": _q_serial_diff,
-        "rate_agg": _q_rate_agg,
-        "extract_structured": _q_extract_structured,
     }
 
 
