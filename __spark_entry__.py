@@ -3050,6 +3050,143 @@ def _q_intervals_ordered(spark, sf_dir):
     )
 
 
+# r3: ES join-data-model queries (functions/nested.py) over the TPC-H
+# parent/child relations — the layouts ES models with nested objects and
+# the parent-join field.
+def _q_nested_topk(spark, sf_dir):
+    """ES `nested` query (functions/nested.nested_topk): top-20 orders
+    having a SINGLE lineitem with quantity >= 30 AND discount >= 0.05
+    (both conditions inside ONE nested object — the semantics a
+    flattened table gets wrong), score_mode=sum over matching lines'
+    revenue."""
+    from rt_etl_yahoo_search_engine_spark.functions.nested import (
+        nested_topk,
+    )
+
+    out = nested_topk(
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey",
+        (F.col("l_quantity") >= 30) & (F.col("l_discount") >= 0.05),
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+        score_mode="sum", k=20,
+    )
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matching").cast("long").alias("n_matching"),
+    )
+
+
+def _q_has_child_topk(spark, sf_dir):
+    """ES `has_child` (functions/nested.has_child_topk): top-20
+    customers with >= 2 finished ('F') orders, scored by the max
+    matching order's totalprice."""
+    from rt_etl_yahoo_search_engine_spark.functions.nested import (
+        has_child_topk,
+    )
+
+    out = has_child_topk(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey",
+        F.col("o_orderstatus") == "F",
+        F.col("o_totalprice"),
+        score_mode="max", min_children=2, k=20,
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matching").cast("long").alias("n_matching"),
+    )
+
+
+def _q_has_parent_topk(spark, sf_dir):
+    """ES `has_parent` score=true (functions/nested.has_parent_topk):
+    top-20 orders of BUILDING-segment customers, each order inheriting
+    its customer's acctbal as score (ties -> order key asc)."""
+    from rt_etl_yahoo_search_engine_spark.functions.nested import (
+        has_parent_topk,
+    )
+
+    out = has_parent_topk(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        "c_custkey", "o_custkey",
+        F.col("c_mktsegment") == "BUILDING",
+        F.col("c_acctbal"),
+        child_id="o_orderkey", k=20,
+    )
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_bucket_sort_agg(spark, sf_dir):
+    """ES `bucket_sort` pipeline agg (plans/stats.bucket_sort): per
+    event_type, daily buckets sorted by event count desc (day asc
+    ties), then from=1/size=3 truncation — ES's sort+paginate over the
+    reduced bucket list."""
+    from rt_etl_yahoo_search_engine_spark.plans.stats import bucket_sort
+
+    buckets = (
+        _read(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("query_id"),
+            F.to_date("ts").cast("string").alias("bucket_key"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    out = bucket_sort(
+        buckets,
+        [F.desc("n_events"), F.asc("bucket_key")],
+        from_=1, size=3,
+    )
+    return out.select(
+        "query_id", "bucket_key", "n_events",
+        F.round("sum_value", 4).alias("sum_value"), "position",
+    )
+
+
+SPAN_MULTI_QUERIES = {
+    "sm1": ["tab*", "hash"],
+    "sm2": ["join", "col*"],
+    "sm3": ["zzznope*", "join"],  # dead prefix -> no matches
+}
+SPAN_MULTI_SLOP = 3
+
+
+def _q_span_multi(spark, sf_dir):
+    """ES `span_multi` (plans/near.span_multi_topk — Lucene
+    SpanMultiTermQueryWrapper in SpanNearQuery): prefix clauses expand
+    against the lexicon into SpanOr alternatives, ordered chain with
+    slop=3, disjunctive-BM25 ranked over the union terms."""
+    from rt_etl_yahoo_search_engine_spark.plans.near import span_multi_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = span_multi_topk(
+        spark, root, SPAN_MULTI_QUERIES, slop=SPAN_MULTI_SLOP, k=10
+    )
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_span_near(spark, sf_dir):
     """Ordered span-near top-k (plans/near.span_near_topk — Lucene
     SpanNearQuery in_order=true, slop=3): terms in query order within a
@@ -4869,6 +5006,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
         "intervals_ordered_topk": _q_intervals_ordered,
+        "nested_query_topk": _q_nested_topk,
+        "has_child_topk": _q_has_child_topk,
+        "has_parent_topk": _q_has_parent_topk,
+        "bucket_sort_agg": _q_bucket_sort_agg,
+        "span_multi_topk": _q_span_multi,
         "media_image_meta": _q_media_image_meta,
         "media_audio_meta": _q_media_audio_meta,
         "kmv_distinct": _q_kmv_distinct,
@@ -8133,6 +8275,108 @@ WHERE rank <= 10
 """
 
 
+def _span_multi_sql() -> str:
+    """span_multi oracle: prefix clauses expand to the en-corpus
+    vocabulary via LIKE (= expand_prefix's lexicon range read,
+    max_expand=None); ordered pair predicate with width <= slop + 1;
+    disjunctive BM25 over expansion + literal terms.  sm3's dead
+    prefix matches no vocab term, so its pair join is empty — the
+    Spark side kills the query at clause-expansion time."""
+    slop1 = SPAN_MULTI_SLOP + 1
+    return f"""
+WITH docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+vocab AS (SELECT term FROM lex),
+qterms AS (
+  SELECT 'sm1' AS query_id, term FROM vocab WHERE term LIKE 'tab%'
+  UNION SELECT 'sm1', 'hash'
+  UNION SELECT 'sm2', 'join'
+  UNION SELECT 'sm2', term FROM vocab WHERE term LIKE 'col%'
+  UNION SELECT 'sm3', term FROM vocab WHERE term LIKE 'zzznope%'
+  UNION SELECT 'sm3', 'join'),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+m1 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term LIKE 'tab%' AND b.term = 'hash'
+         AND b.p > a.p AND b.p - a.p <= {slop1}),
+m2 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term = 'join' AND b.term LIKE 'col%'
+         AND b.p > a.p AND b.p - a.p <= {slop1}),
+m3 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term LIKE 'zzznope%' AND b.term = 'join'
+         AND b.p > a.p AND b.p - a.p <= {slop1}),
+matched AS (SELECT 'sm1' AS query_id, doc_id FROM m1
+            UNION ALL SELECT 'sm2', doc_id FROM m2
+            UNION ALL SELECT 'sm3', doc_id FROM m3)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN matched m USING (query_id, doc_id))
+WHERE rank <= 10
+"""
+
+
+_NESTED_SQL = """
+WITH r AS (SELECT l_orderkey AS o_orderkey,
+                  sum(l_extendedprice * (1.0 - l_discount)) AS score,
+                  count(*) AS n_matching
+           FROM lineitem
+           WHERE l_quantity >= 30 AND l_discount >= 0.05
+           GROUP BY 1),
+j AS (SELECT r.o_orderkey, r.score, r.n_matching
+      FROM r JOIN orders USING (o_orderkey)
+      ORDER BY r.score DESC, r.o_orderkey ASC LIMIT 20)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(score, 4) AS score,
+       CAST(n_matching AS BIGINT) AS n_matching
+FROM j
+"""
+
+_HAS_CHILD_SQL = """
+WITH r AS (SELECT o_custkey AS c_custkey, max(o_totalprice) AS score,
+                  count(*) AS n_matching
+           FROM orders WHERE o_orderstatus = 'F'
+           GROUP BY 1 HAVING count(*) >= 2),
+j AS (SELECT c.c_custkey, r.score, r.n_matching
+      FROM r JOIN customer c USING (c_custkey)
+      ORDER BY r.score DESC, c.c_custkey ASC LIMIT 20)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, ROUND(score, 4) AS score,
+       CAST(n_matching AS BIGINT) AS n_matching
+FROM j
+"""
+
+_HAS_PARENT_SQL = """
+WITH p AS (SELECT c_custkey, c_acctbal AS score FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+j AS (SELECT o.o_orderkey, p.c_custkey, p.score
+      FROM orders o JOIN p ON o.o_custkey = p.c_custkey
+      ORDER BY p.score DESC, o.o_orderkey ASC LIMIT 20)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(c_custkey AS BIGINT) AS c_custkey, ROUND(score, 4) AS score
+FROM j
+"""
+
+_BUCKET_SORT_SQL = """
+WITH b AS (SELECT event_type AS query_id,
+                  CAST(CAST(ts AS DATE) AS VARCHAR) AS bucket_key,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  sum(value) AS sum_value
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY n_events DESC, bucket_key ASC) AS pos FROM b)
+SELECT query_id, bucket_key, n_events, ROUND(sum_value, 4) AS sum_value,
+       CAST(pos - 1 AS INTEGER) AS position
+FROM r WHERE pos > 1 AND pos <= 4
+"""
+
+
 def _span_first_sql() -> str:
     """Single-term BM25 rank over docs whose first term occurrence sits
     within the first `end` positions (1-based subscripts: p <= end) —
@@ -8644,6 +8888,11 @@ FROM hits h JOIN documents d USING (doc_id)
         "diversified_sampler_agg": _sampler_sql(True),
         "intervals_topk": _intervals_sql(),
         "intervals_ordered_topk": _intervals_ordered_sql(),
+        "nested_query_topk": _NESTED_SQL,
+        "has_child_topk": _HAS_CHILD_SQL,
+        "has_parent_topk": _HAS_PARENT_SQL,
+        "bucket_sort_agg": _BUCKET_SORT_SQL,
+        "span_multi_topk": _span_multi_sql(),
         "span_near_topk": _span_near_sql(),
         "span_not_topk": _span_not_sql(),
         "match_phrase_prefix_topk": _mpp_sql(),

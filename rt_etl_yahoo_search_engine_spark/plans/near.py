@@ -625,3 +625,41 @@ def span_or_near_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def span_multi_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, list[str]],
+    slop: int = 0,
+    max_expand: int | None = None,
+    k: int = spec.TOP_K_DEFAULT,
+) -> DataFrame:
+    """Lucene `SpanMultiTermQueryWrapper` inside `SpanNearQuery` (ES
+    `span_multi` clause in `span_near`): each clause is either a literal
+    term or a ``pre*`` prefix pattern; prefix clauses expand against the
+    term-sorted lexicon (plans/bm25.expand_prefix — a driver-side range
+    read of a few row groups, df-desc capped by ``max_expand``) into a
+    SpanOr alternative list, then the whole query delegates to
+    span_or_near_topk's greedy positional chain.  A prefix with zero
+    lexicon matches kills its query (a span clause that can never match),
+    same as Lucene.
+
+    Scale shape: expansion is lexicon-metadata work on the driver; the
+    positional verify inherits span_or_near_topk's term-pruned sidecar
+    reads and (query, doc, start, cur) int-row chain."""
+    from ..sources.catalog import Catalog
+    from .bm25 import expand_prefix
+
+    cat = Catalog(index_root)
+    reg = cat.read_registry()
+    expanded: dict[str, list[list[str]]] = {}
+    for qid, clauses in queries.items():
+        cl = []
+        for c in clauses:
+            if c.endswith("*"):
+                cl.append(expand_prefix(cat, reg, c[:-1], max_expand))
+            else:
+                cl.append([c])
+        expanded[qid] = cl
+    return span_or_near_topk(spark, index_root, expanded, slop=slop, k=k)

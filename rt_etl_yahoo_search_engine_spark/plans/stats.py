@@ -1302,3 +1302,34 @@ def boxplot_agg(
         "lower",
         "upper",
     )
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort_cols: list,
+    from_: int = 0,
+    size: int | None = None,
+    group_col: str = "query_id",
+) -> DataFrame:
+    """ES `bucket_sort` pipeline aggregation: reorder each group's
+    bucket list by `sort_cols` (pyspark Columns, e.g.
+    [F.desc("sum_value"), F.asc("bucket_key")]) and truncate to
+    buckets [from_, from_+size) — ES's from/size semantics (size=None
+    keeps the tail).
+
+    Scale shape: pipeline aggs are POST-aggregation arithmetic on the
+    reduced bucket relation (result-scale rows, thousands at most) —
+    the window is per-group, exactly how ES runs bucket_sort on the
+    coordinator's reduced bucket list."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*sort_cols)
+    out = (
+        buckets.withColumn("_bs_pos", F.row_number().over(w))
+        .filter(F.col("_bs_pos") > from_)
+    )
+    if size is not None:
+        out = out.filter(F.col("_bs_pos") <= from_ + size)
+    return out.withColumn(
+        "position", (F.col("_bs_pos") - from_).cast("int")
+    ).drop("_bs_pos")
