@@ -2519,6 +2519,40 @@ GROUP BY 1
 """
 
 
+_VWH_BUCKETS, _VWH_PREC = 5, 2
+
+
+def _q_variable_width_histogram(spark, sf_dir):
+    """ES `variable_width_histogram` (functions/numstats.
+    variable_width_histogram, deterministic batch variant): events.value
+    clustered into 5 buckets split at the 4 largest adjacent-value gaps
+    of the 2-dp rounded distinct values."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        variable_width_histogram,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return variable_width_histogram(
+        ev, "value", buckets=_VWH_BUCKETS, precision=_VWH_PREC
+    )
+
+
+_VWH_SQL = f"""
+WITH v AS (SELECT round(value, {2}) AS rv, count(*) AS c
+           FROM events GROUP BY 1),
+g AS (SELECT rv, c, rv - lag(rv) OVER (ORDER BY rv) AS gap FROM v),
+b AS (SELECT rv AS boundary FROM g WHERE gap IS NOT NULL
+      ORDER BY gap DESC, rv ASC LIMIT {5 - 1}),
+a AS (SELECT g.rv, g.c,
+             (SELECT count(*) FROM b WHERE b.boundary <= g.rv) AS bucket
+      FROM g)
+SELECT CAST(bucket AS INTEGER) AS bucket, min(rv) AS min_v, max(rv) AS max_v,
+       ROUND(sum(rv * c) / sum(c), 6) AS centroid,
+       CAST(sum(c) AS BIGINT) AS doc_count
+FROM a GROUP BY 1
+"""
+
+
 def _q_extended_stats(spark, sf_dir):
     """ES `extended_stats` agg (functions/numstats.extended_stats):
     per-returnflag moments of l_extendedprice from exact decimal sums,
@@ -3818,6 +3852,23 @@ def _q_ann_pq(spark, sf_dir):
     )
 
 
+def _q_ann_pq_rescore(spark, sf_dir):
+    """Two-stage ANN (functions/similarity.pq_rescore_topk — ES `knn`
+    oversampling + exact re-rank): PQ/ADC retrieves 50 candidates per
+    query, exact full-precision cosine re-ranks to top-10."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = sim.pq_rescore_topk(
+        emb, ANN_QUERY_IDS, m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS,
+        oversample=_PQ_OVERSAMPLE, k=10,
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank", "vec_id",
+        F.round("cos", 6).alias("cos"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
@@ -5011,6 +5062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_topk": _q_has_parent_topk,
         "bucket_sort_agg": _q_bucket_sort_agg,
         "span_multi_topk": _q_span_multi,
+        "variable_width_histogram": _q_variable_width_histogram,
+        "ann_pq_rescore_topk": _q_ann_pq_rescore,
         "media_image_meta": _q_media_image_meta,
         "media_audio_meta": _q_media_audio_meta,
         "kmv_distinct": _q_kmv_distinct,
@@ -5032,6 +5085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "weighted_sample": _q_weighted_sample,
         "seeded_shuffle": _q_seeded_shuffle,
+        "zipf_fit": _q_zipf_fit,
         "scroll_slices": _q_scroll_slices,
         "mix_weights": _q_mix_weights,
         "dsir_weights": _q_dsir_weights,
@@ -5049,7 +5103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": _q_rag_chunks,
         "shingle_counts": _q_shingle_counts,
         "edge_ngram_index": _q_edge_ngram_index,
-        "zipf_fit": _q_zipf_fit,
         # ---- end of driver window (first 50) ----
         "js_divergence_lang": _q_js_divergence,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -8543,6 +8596,42 @@ WHERE rank <= 10
     )
 
 
+_PQ_OVERSAMPLE = 50
+
+
+def _pq_rescore_sql() -> str:
+    """Two-stage ANN oracle: _pq_sql's CTE chain to top-`oversample`
+    ADC candidates per query, then exact full-precision cosine re-rank
+    to top-10 (functions/similarity.pq_rescore_topk semantics)."""
+    base = _pq_sql()
+    head, tail = base.rsplit("\nSELECT CAST(query_id AS INTEGER)", 1)
+    assert "WHERE rank <= 10" in tail
+    # keep the CTE chain; replace the final select with the candidate
+    # stage (top-oversample by adc) + the exact-cosine rescore
+    adc_select = tail.replace("WHERE rank <= 10",
+                              f"WHERE rank <= {_PQ_OVERSAMPLE}")
+    return (
+        head
+        + f""",
+cand AS (SELECT query_id, vec_id, adc_dist FROM (
+SELECT CAST(query_id AS INTEGER){adc_select})),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT c.query_id, c.vec_id, c.adc_dist,
+              list_dot_product(a.v, q.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(q.v, q.v))) AS cos
+       FROM cand c JOIN ev a ON a.vec_id = c.vec_id
+                   JOIN ev q ON q.vec_id = c.query_id)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       vec_id, ROUND(cos, 6) AS cos, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM ex)
+WHERE rank <= 10
+"""
+    )
+
+
 def _kmeans_sql() -> str:
     """Per-cluster member count + inertia over the final Lloyd
     assignment (_kmeans_ctes)."""
@@ -8893,6 +8982,8 @@ FROM hits h JOIN documents d USING (doc_id)
         "has_parent_topk": _HAS_PARENT_SQL,
         "bucket_sort_agg": _BUCKET_SORT_SQL,
         "span_multi_topk": _span_multi_sql(),
+        "variable_width_histogram": _VWH_SQL,
+        "ann_pq_rescore_topk": _pq_rescore_sql(),
         "span_near_topk": _span_near_sql(),
         "span_not_topk": _span_not_sql(),
         "match_phrase_prefix_topk": _mpp_sql(),

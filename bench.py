@@ -359,6 +359,11 @@ JOB_EQUIV_REVS = {
                            # -- <pkg> jobs touches NO file the leg imports
                            # (bm25 -> spec/deletes/topk/catalog;
                            # index_build -> spec/extract/catalog/codec)
+    "b35dac8": "23c0dc3",  # r3 nested/bucket_sort/span_multi — new
+                           # functions in functions/nested.py,
+                           # plans/{stats,near}.py; the leg imports none
+                           # of them (scaling_only skips the entry-based
+                           # bench headlines too)
 }
 
 

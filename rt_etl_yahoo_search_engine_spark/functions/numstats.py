@@ -192,3 +192,63 @@ def extended_stats(
         F.round(avg + F.lit(sigma) * std, 6).alias("upper_bound"),
         F.round(avg - F.lit(sigma) * std, 6).alias("lower_bound"),
     )
+
+
+def variable_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 4,
+    precision: int = 2,
+) -> DataFrame:
+    """(bucket, min_v, max_v, centroid, doc_count) — ES
+    `variable_width_histogram`: `buckets` clusters of a numeric field
+    with data-driven (non-uniform) boundaries.  ES's native algorithm
+    is a streaming, order-dependent approximation; this is the
+    DETERMINISTIC batch variant: values round to `precision` decimals,
+    and the clusters split at the (buckets-1) LARGEST gaps between
+    adjacent distinct rounded values (gap desc, lower-boundary asc
+    tie-break) — the same "wide gaps separate natural clusters" intent
+    with a reproducible, engine-portable answer.  Output bucket ids
+    are 0..buckets-1 ascending by value; centroid is the count-
+    weighted mean of the rounded values.
+
+    Scale shape: one corpus-scale groupBy to the DISTINCT-ROUNDED-VALUE
+    relation, whose size is bounded by (value range) * 10^precision —
+    a CONSTANT in corpus size, unlike a vocabulary — so the adjacent-gap
+    window over it is metadata-scale work by construction; boundaries
+    (buckets-1 rows) broadcast back for cluster assignment."""
+    from pyspark.sql import Window
+
+    v = (
+        df.select(F.round(F.col(value_col), precision).alias("rv"))
+        .groupBy("rv")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("rv")  # distinct-rounded-value scale (bounded)
+    g = v.withColumn("gap", F.col("rv") - F.lag("rv").over(w))
+    b = (
+        g.filter(F.col("gap").isNotNull())
+        .orderBy(F.desc("gap"), F.asc("rv"))
+        .limit(max(buckets - 1, 0))
+        .select(F.col("rv").alias("boundary"))
+    )
+    a = (
+        g.join(F.broadcast(b), F.col("rv") >= F.col("boundary"), "left")
+        .groupBy("rv", "c")
+        .agg(F.count("boundary").alias("bucket"))
+    )
+    return (
+        a.groupBy("bucket")
+        .agg(
+            F.min("rv").alias("min_v"),
+            F.max("rv").alias("max_v"),
+            F.round(
+                F.sum(F.col("rv") * F.col("c")) / F.sum("c"), 6
+            ).alias("centroid"),
+            F.sum("c").cast("long").alias("doc_count"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "min_v", "max_v", "centroid", "doc_count",
+        )
+    )

@@ -521,3 +521,53 @@ def pq_topk(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "vec_id", "adc_dist")
     )
+
+
+def pq_rescore_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    m: int = 4,
+    codebook_k: int = 4,
+    iters: int = 2,
+    oversample: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos, adc_dist) — the canonical TWO-STAGE
+    ANN serving pattern (ES `knn` with `rescore_vector`/oversampling;
+    every production PQ deployment): stage 1 retrieves `oversample`
+    candidates per query by compressed-domain ADC distance (pq_topk —
+    the 10^12-vector representation), stage 2 re-ranks ONLY those
+    candidates with the exact full-precision cosine and keeps the top
+    k.  Oversampling recovers the recall the lossy codes gave up while
+    touching `oversample` (not N) full vectors per query.
+
+    Scale shape: stage 1 is pq_topk's broadcast-LUT scan; stage 2 joins
+    a (Q x oversample)-row candidate list (semi-join-scale, hash join on
+    vec_id against the full table's pruned scan) with the broadcast
+    query vectors — the exact-vector read is candidate-bounded, never a
+    second corpus scan of all pairs."""
+    cand = pq_topk(
+        embeddings, query_ids, m=m, codebook_k=codebook_k, iters=iters,
+        k=oversample,
+    ).select("query_id", "vec_id", "adc_dist")
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    exact = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos",
+            F.expr(DOT_EXPR.format(a="embedding", b="qemb"))
+            / (
+                F.expr(NORM_EXPR.format(a="embedding"))
+                * F.expr(NORM_EXPR.format(a="qemb"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos", "adc_dist")
+    )

@@ -134,3 +134,37 @@ def test_daily_counts_spine(spark):
     )
     got = {r["bucket"]: r["n"] for r in daily_counts(ev, "click").collect()}
     assert got == {BASE: 2, BASE + dt.timedelta(days=1): 1}
+
+
+def test_variable_width_histogram_gap_splits(spark):
+    """Deterministic batch variant: clusters split at the largest
+    adjacent-value gaps; counts and centroids are exact."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        variable_width_histogram,
+    )
+
+    vals = [1.0, 1.1, 1.2, 5.0, 5.1, 20.0, 20.0, 20.2, 40.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {
+        r["bucket"]: (r["min_v"], r["max_v"], r["doc_count"])
+        for r in variable_width_histogram(
+            df, "value", buckets=4, precision=2
+        ).collect()
+    }
+    # largest gaps: 40.0-20.2 (19.8), 20.0-5.1 (14.9), 5.0-1.2 (3.8)
+    assert out == {
+        0: (1.0, 1.2, 3),
+        1: (5.0, 5.1, 2),
+        2: (20.0, 20.2, 3),
+        3: (40.0, 40.0, 1),
+    }
+
+
+def test_variable_width_histogram_fewer_values_than_buckets(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        variable_width_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    out = variable_width_histogram(df, "value", buckets=5).collect()
+    assert {r["bucket"] for r in out} == {0, 1}
