@@ -3058,6 +3058,46 @@ def _intervals_ordered_queries():
     }
 
 
+def _intervals_unordered_queries():
+    from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+        AllOf, AnyOf, Match,
+    )
+
+    return {
+        "ivu1": AllOf((Match("order line", ordered=True, max_gaps=2),
+                       Match("customer")), ordered=False, max_gaps=3),
+        "ivu2": AllOf((AnyOf((Match("join"), Match("merge"))),
+                       Match("table hash", ordered=True, max_gaps=1)),
+                      ordered=False, max_gaps=2),
+    }
+
+
+def _q_intervals_unordered(spark, sf_dir):
+    """ES `intervals` all_of(ordered=false, max_gaps) over complex
+    children (plans/intervals envelope DP, r3): one match interval per
+    child in any arrangement, envelope width - covered <= max_gaps;
+    disjunctive-BM25 ranked."""
+    from rt_etl_yahoo_search_engine_spark.plans.intervals import (
+        intervals_topk,
+    )
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, root)
+    out = intervals_topk(spark, root, _intervals_unordered_queries(), k=10)
+    dm = (
+        Catalog(root)
+        .read(spark, "docmap")
+        .select("doc_id", F.col("url").cast("long").alias("orig_id"))
+    )
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_intervals_ordered(spark, sf_dir):
     """ES `intervals` all_of(ordered, max_gaps) over complex children
     (plans/intervals): relational minimal-interval DP — child interval
@@ -5057,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
         "intervals_ordered_topk": _q_intervals_ordered,
+        "intervals_unordered_topk": _q_intervals_unordered,
         "nested_query_topk": _q_nested_topk,
         "has_child_topk": _q_has_child_topk,
         "has_parent_topk": _q_has_parent_topk,
@@ -8376,6 +8417,51 @@ WHERE rank <= 10
 """
 
 
+def _intervals_unordered_sql() -> str:
+    """Envelope-DP oracle: enumerate one interval per child, any
+    arrangement; envelope width - covered <= max_gaps."""
+    qt = ", ".join(
+        f"('{q}', '{t}')"
+        for q, ts in [
+            ("ivu1", ["order", "line", "customer"]),
+            ("ivu2", ["join", "merge", "table", "hash"]),
+        ]
+        for t in ts
+    )
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {qt}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+        FROM docs),
+m1 AS (SELECT DISTINCT o.doc_id
+       FROM pos o JOIN pos l USING (doc_id) JOIN pos c USING (doc_id)
+       WHERE o.term = 'order' AND l.term = 'line' AND c.term = 'customer'
+         AND l.p > o.p AND l.p - o.p <= 3
+         AND greatest(l.p, c.p) - least(o.p, c.p) + 1 - 3 <= 3),
+m2 AS (SELECT DISTINCT a.doc_id
+       FROM pos a JOIN pos t USING (doc_id) JOIN pos h USING (doc_id)
+       WHERE a.term IN ('join', 'merge') AND t.term = 'table'
+         AND h.term = 'hash'
+         AND h.p > t.p AND h.p - t.p <= 2
+         AND greatest(h.p, a.p) - least(t.p, a.p) + 1 - 3 <= 2),
+matched AS (SELECT 'ivu1' AS query_id, doc_id FROM m1
+            UNION ALL SELECT 'ivu2', doc_id FROM m2)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score
+FROM (SELECT s.query_id, s.doc_id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.doc_id ASC) AS rank
+      FROM scored s JOIN matched m USING (query_id, doc_id))
+WHERE rank <= 10
+"""
+
+
 _NESTED_SQL = """
 WITH r AS (SELECT l_orderkey AS o_orderkey,
                   sum(l_extendedprice * (1.0 - l_discount)) AS score,
@@ -8977,6 +9063,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "diversified_sampler_agg": _sampler_sql(True),
         "intervals_topk": _intervals_sql(),
         "intervals_ordered_topk": _intervals_ordered_sql(),
+        "intervals_unordered_topk": _intervals_unordered_sql(),
         "nested_query_topk": _NESTED_SQL,
         "has_child_topk": _HAS_CHILD_SQL,
         "has_parent_topk": _HAS_PARENT_SQL,

@@ -42,9 +42,15 @@ Supported surface and its exact semantics:
   (loosens the next strictly-after constraint and never grows the
   final width), so existence over all child intervals equals
   existence over the left-minimal set.  ``ordered=False`` with
-  max_gaps over non-single-term children (unordered cross-child
-  algebra needs a subset DP) remains the one NotImplementedError
-  guardrail.
+  max_gaps over arbitrary children runs the ENVELOPE DP (r3): one
+  match interval per child in any arrangement (overlaps allowed —
+  Lucene Intervals.unordered), envelope = [min s_i, max e_i], and the
+  doc matches iff some choice has envelope width - Σn <= max_gaps
+  (covered counts child coverage with multiplicity; for distinct
+  single-term children this is EXACTLY the Match-leaf window
+  semantics).  The DP frontier keeps min envelope-end per (doc,
+  envelope-start, ncov) — valid pruning because a smaller envelope
+  is always weakly better for any continuation.
 
 Ranking: matched docs are ordered by disjunctive BM25 over the UNION of
 the query's terms (score DESC, doc_id ASC), top-k — interval rules
@@ -123,13 +129,7 @@ def _normalize(node: Source) -> Source:
             " ".join(spec.tokenize(s.text)[0] for s in kids),
             ordered=node.ordered, max_gaps=node.max_gaps,
         )
-    if not node.ordered:
-        raise NotImplementedError(
-            "all_of with max_gaps but ordered=false over non-single-term "
-            "children needs an unordered cross-child subset DP "
-            "(not implemented); ordered=true is fully supported"
-        )
-    return AllOf(kids, ordered=True, max_gaps=node.max_gaps)
+    return AllOf(kids, ordered=node.ordered, max_gaps=node.max_gaps)
 
 
 def _is_complex(node: Source) -> bool:
@@ -373,35 +373,49 @@ def _node_intervals(
         for kdf in kids[1:]:
             out = out.unionByName(kdf)
         return out
-    if not (node.ordered or node.max_gaps >= 0):
-        raise NotImplementedError(
-            "unordered-unbounded all_of nested inside a constrained "
-            "all_of has no interval-set implementation (use ordered, "
-            "or lift it out of the constrained node)"
-        )
-    if not node.ordered:  # unreachable after _normalize; keep honest
-        raise NotImplementedError(
-            "unordered constrained all_of over non-single-term children"
-        )
-    # ordered DP: chain children left to right; frontier keyed by
-    # (doc, start, covered-count) with the minimal chain end
     first = _node_intervals(node.sources[0], pos, cdocs)
     m = first.select(
         "doc_id", "s", F.col("e").alias("cur"), F.col("n").alias("ncov")
     )
-    for child in node.sources[1:]:
-        kid = _node_intervals(child, pos, cdocs).select(
-            "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2"),
-            F.col("n").alias("n2"),
-        )
-        m = (
-            m.join(kid, "doc_id")
-            .filter(F.col("s2") > F.col("cur"))
-            .groupBy(
-                "doc_id", "s", (F.col("ncov") + F.col("n2")).alias("ncov")
+    if node.ordered:
+        # ordered DP: chain children left to right; frontier keyed by
+        # (doc, start, covered-count) with the minimal chain end
+        for child in node.sources[1:]:
+            kid = _node_intervals(child, pos, cdocs).select(
+                "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2"),
+                F.col("n").alias("n2"),
             )
-            .agg(F.min("e2").alias("cur"))
-        )
+            m = (
+                m.join(kid, "doc_id")
+                .filter(F.col("s2") > F.col("cur"))
+                .groupBy(
+                    "doc_id", "s",
+                    (F.col("ncov") + F.col("n2")).alias("ncov"),
+                )
+                .agg(F.min("e2").alias("cur"))
+            )
+    else:
+        # unordered ENVELOPE DP: any arrangement, overlaps allowed;
+        # envelope grows to cover each child's chosen interval; frontier
+        # keyed by (doc, envelope-start, covered-count) with the minimal
+        # envelope end — a smaller envelope is weakly better for any
+        # continuation, so the pruning is exact for feasibility
+        for child in node.sources[1:]:
+            kid = _node_intervals(child, pos, cdocs).select(
+                "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2"),
+                F.col("n").alias("n2"),
+            )
+            m = (
+                m.join(kid, "doc_id")
+                .groupBy(
+                    "doc_id",
+                    F.least("s", F.col("s2")).alias("s"),
+                    (F.col("ncov") + F.col("n2")).alias("ncov"),
+                )
+                .agg(
+                    F.min(F.greatest("cur", F.col("e2"))).alias("cur")
+                )
+            )
     if node.max_gaps >= 0:
         m = m.filter(
             F.col("cur") - F.col("s") + 1 - F.col("ncov") <= node.max_gaps
