@@ -4006,6 +4006,31 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+_BUDGET_TOKENS = 10_000
+
+
+def _q_budget_select(spark, sf_dir):
+    """Token-budget data selection (functions/sampling.select_by_budget):
+    documents ranked by quality_scores' composite score, kept greedily
+    while the running token total stays <= 10k — the LLM-corpus
+    "best docs until the budget is full" cut, computed with the banded-
+    offset pattern (no corpus-scale global window)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        select_by_budget,
+    )
+
+    q = ta.quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    out = select_by_budget(q, "quality", "n_tokens", _BUDGET_TOKENS)
+    return out.select(
+        "doc_id",
+        F.round("quality", 6).alias("quality"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "cum_tokens",
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     q = ta.quality_scores(_docs(spark, sf_dir))
     return q.select(
@@ -5102,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": _q_has_child_topk,
         "has_parent_topk": _q_has_parent_topk,
         "bucket_sort_agg": _q_bucket_sort_agg,
+        "budget_select": _q_budget_select,
         "span_multi_topk": _q_span_multi,
         "variable_width_histogram": _q_variable_width_histogram,
         "ann_pq_rescore_topk": _q_ann_pq_rescore,
@@ -8502,6 +8528,28 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
 FROM j
 """
 
+_BUDGET_SELECT_SQL = f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+q AS (SELECT doc_id, len(toks) AS n_tokens,
+             0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (len(list_filter(toks, x -> list_contains([{_SW}], x)))
+                      / greatest(len(toks), 1))
+             + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]',
+                                                  '', 'g'))
+                            / greatest(length(text), 1)) AS quality
+      FROM t),
+r AS (SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q)
+SELECT doc_id, ROUND(quality, 6) AS quality,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM r WHERE cum <= 10000
+"""
+
 _BUCKET_SORT_SQL = """
 WITH b AS (SELECT event_type AS query_id,
                   CAST(CAST(ts AS DATE) AS VARCHAR) AS bucket_key,
@@ -9068,6 +9116,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "has_child_topk": _HAS_CHILD_SQL,
         "has_parent_topk": _HAS_PARENT_SQL,
         "bucket_sort_agg": _BUCKET_SORT_SQL,
+        "budget_select": _BUDGET_SELECT_SQL,
         "span_multi_topk": _span_multi_sql(),
         "variable_width_histogram": _VWH_SQL,
         "ann_pq_rescore_topk": _pq_rescore_sql(),

@@ -362,3 +362,64 @@ def weighted_sample(
         .filter(F.col("rank") <= k)
         .select("id", "weight", "key", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def select_by_budget(
+    docs: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    precision: int = 3,
+) -> DataFrame:
+    """(doc_id, <score_col>, <tokens_col>, cum_tokens) — greedy
+    data-selection under a token budget: documents ranked by
+    (score DESC, doc_id ASC) are kept while the running token total
+    stays <= budget — the standard "take the best documents until the
+    training budget is full" selection step of LLM-corpus curation
+    (quality filters or DSIR emit the score; this performs the cut).
+
+    Scale shape (no corpus-scale un-partitioned window — the same
+    banded-offset pattern as seeded_shuffle): scores band by rounding
+    to `precision` decimals; rounding is weakly monotone in the sort
+    key, so bands are ordered segments of the global (score DESC,
+    doc_id) order, and equal scores always share a band.  One map-side-
+    combinable aggregate collects per-band (row count, token sum) — a
+    relation bounded by (score range) * 10^precision, constant in
+    corpus size — the driver folds it into per-band cumulative token
+    offsets, and a Window.partitionBy(band) running sum ordered by
+    (score DESC, doc_id) plus the band offset reproduces the exact
+    global running total.  Bands whose offset already exceeds the
+    budget are pruned BEFORE the window via the broadcast offsets
+    relation, so only the kept prefix (plus its boundary band) ever
+    reaches the window."""
+    from pyspark.sql import Window
+
+    b = docs.withColumn("_band", F.round(F.col(score_col), precision))
+    per = (
+        b.groupBy("_band")
+        .agg(F.count("*").alias("_c"), F.sum(tokens_col).alias("_t"))
+        .collect()
+    )
+    per.sort(key=lambda r: -r["_band"])
+    offs, acc = [], 0
+    for r in per:
+        offs.append((float(r["_band"]), acc))
+        acc += r["_t"]
+    off_df = docs.sparkSession.createDataFrame(
+        offs or [(0.0, 0)], "_band double, _off long"
+    )
+    w = (
+        Window.partitionBy("_band")
+        .orderBy(F.desc(score_col), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off_df), "_band")
+        .filter(F.col("_off") <= budget)  # band-level prefix prune
+        .withColumn(
+            "cum_tokens",
+            (F.col("_off") + F.sum(tokens_col).over(w)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", score_col, tokens_col, "cum_tokens")
+    )

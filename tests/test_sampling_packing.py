@@ -173,3 +173,49 @@ def test_weighted_sample_matches_python(spark):
         samp = weighted_sample(df, "wt", 40, seed=seed).collect()
         mean_w = sum(r["weight"] for r in samp) / len(samp)
         assert mean_w > pop_mean, seed
+
+
+def test_select_by_budget_exact_prefix(spark):
+    """Banded-offset running sum == the naive global-window answer, and
+    the kept set is the exact greedy prefix (r3)."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        select_by_budget,
+    )
+
+    rows = [
+        (i, float((i * 37) % 100) / 100.0, 10 + (i * 13) % 50)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, nt long")
+    budget = 2000
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in select_by_budget(df, "score", "nt", budget).collect()
+    }
+    # naive oracle
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, acc = {}, 0
+    for d, _, nt in order:
+        acc += nt
+        if acc > budget:
+            break
+        want[d] = acc
+    assert got == want
+
+
+def test_select_by_budget_window_is_partitioned(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        select_by_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7) / 7.0, 5) for i in range(50)],
+        "doc_id long, score double, nt long",
+    )
+    out = select_by_budget(df, "score", "nt", 100)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments") and "windowspecdefinition" in line:
+            assert "_band" in line.split("windowspecdefinition")[1][:60]
