@@ -4006,6 +4006,53 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+_CURR_BANDS, _CURR_SEED, _CURR_TOP = 4, "ep0", 100
+
+
+def _q_curriculum_order(spark, sf_dir):
+    """Curriculum training-data ordering (functions/sampling.
+    curriculum_order): quality bands best-first, seeded hash shuffle
+    within band; first 100 rows of the permutation."""
+    from rt_etl_yahoo_search_engine_spark.functions.sampling import (
+        curriculum_order,
+    )
+
+    q = ta.quality_scores(_docs(spark, sf_dir)).select("doc_id", "quality")
+    out = curriculum_order(
+        q, "quality", n_bands=_CURR_BANDS, seed=_CURR_SEED
+    )
+    return out.filter(F.col("rank") <= _CURR_TOP)
+
+
+_CURRICULUM_SQL_T = """
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+q AS (SELECT doc_id,
+             0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.3 * (len(list_filter(toks, x -> list_contains([{sw}], x)))
+                      / greatest(len(toks), 1))
+             + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]',
+                                                  '', 'g'))
+                            / greatest(length(text), 1)) AS quality
+      FROM t),
+k AS (SELECT doc_id,
+             CAST(least(floor(quality * {nb}), {nb1}) AS INTEGER) AS band,
+             md5(CAST(doc_id AS VARCHAR) || ':{seed}') AS shuffle_key
+      FROM q)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, band, shuffle_key
+FROM (SELECT *, row_number() OVER (ORDER BY band DESC, shuffle_key, doc_id)
+                AS rank FROM k)
+WHERE rank <= {top}
+"""
+
+def _curriculum_sql() -> str:
+    return _CURRICULUM_SQL_T.format(
+        sw=_SW, nb=_CURR_BANDS, nb1=_CURR_BANDS - 1, seed=_CURR_SEED,
+        top=_CURR_TOP,
+    )
+
+
 _BUDGET_TOKENS = 10_000
 
 
@@ -5128,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_topk": _q_has_parent_topk,
         "bucket_sort_agg": _q_bucket_sort_agg,
         "budget_select": _q_budget_select,
+        "curriculum_order": _q_curriculum_order,
         "span_multi_topk": _q_span_multi,
         "variable_width_histogram": _q_variable_width_histogram,
         "ann_pq_rescore_topk": _q_ann_pq_rescore,
@@ -9117,6 +9165,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "has_parent_topk": _HAS_PARENT_SQL,
         "bucket_sort_agg": _BUCKET_SORT_SQL,
         "budget_select": _BUDGET_SELECT_SQL,
+        "curriculum_order": _curriculum_sql(),
         "span_multi_topk": _span_multi_sql(),
         "variable_width_histogram": _VWH_SQL,
         "ann_pq_rescore_topk": _pq_rescore_sql(),

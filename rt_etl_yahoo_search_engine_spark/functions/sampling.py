@@ -423,3 +423,58 @@ def select_by_budget(
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", score_col, tokens_col, "cum_tokens")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    n_bands: int = 4,
+    seed: str = "s0",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """(rank, doc_id, band, shuffle_key) — curriculum ordering for
+    training data: documents grouped into `n_bands` equal-width score
+    bands (score must be in [0, 1], e.g. quality_scores' composite),
+    bands emitted best-first, and documents WITHIN a band in seeded
+    hash-shuffle order — the standard "quality curriculum with
+    intra-band randomization" layout applied before sequence packing
+    (deterministic across runs and partitionings, like seeded_shuffle).
+
+    Scale shape: the global rank uses the banded-offset pattern twice
+    over — the ordering key is (band DESC, md5 key ASC, doc_id), so the
+    offset buckets are (band, hash prefix) pairs: one
+    n_bands * 16^prefix_len-row count aggregate, driver-side offsets,
+    then a Window.partitionBy(band, bucket) row_number plus the offset.
+    Never a corpus-scale un-partitioned window."""
+    from pyspark.sql import Window
+
+    band = F.least(
+        F.floor(F.col(score_col) * n_bands).cast("int"),
+        F.lit(n_bands - 1),
+    )
+    keyed = docs.select(
+        "doc_id",
+        band.alias("band"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed))
+        ).alias("shuffle_key"),
+    ).withColumn("_bkt", F.substring("shuffle_key", 1, prefix_len))
+    counts = (
+        keyed.groupBy("band", "_bkt").agg(F.count("*").alias("_cnt")).collect()
+    )
+    counts.sort(key=lambda r: (-r["band"], r["_bkt"]))
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["band"], r["_bkt"], acc))
+        acc += r["_cnt"]
+    off_df = docs.sparkSession.createDataFrame(
+        offs or [(0, "", 0)], "band int, _bkt string, _off long"
+    )
+    w = Window.partitionBy("band", "_bkt").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(off_df), ["band", "_bkt"])
+        .withColumn(
+            "rank", (F.col("_off") + F.row_number().over(w)).cast("long")
+        )
+        .select("rank", "doc_id", "band", "shuffle_key")
+    )
