@@ -269,3 +269,47 @@ def test_no_algebra_gates_remain(spark, iv_index):
     for qid, src in qs.items():
         want = {docmap[u] for u, seq in toks.items() if _match(seq, src)}
         assert got[qid] == want, qid
+
+
+def test_randomized_trees_vs_bruteforce(spark, iv_index):
+    """Deterministic randomized sweep: random source trees (leaves,
+    any_of, ordered/unordered constrained all_of, nesting) over the
+    fixture corpus, match sets vs the brute-force interval-set oracle."""
+    import random
+
+    root, docmap, toks = iv_index
+    rng = random.Random(20260821)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "x"]
+
+    def rand_leaf():
+        n = rng.choice([1, 1, 2, 2, 3])
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        if n == 1:
+            return Match(text)
+        return Match(text, ordered=rng.random() < 0.5,
+                     max_gaps=rng.choice([-1, 0, 1, 2, 3]))
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return rand_leaf()
+        kids = tuple(rand_tree(depth - 1) for _ in range(rng.choice([2, 2, 3])))
+        if rng.random() < 0.4:
+            return AnyOf(kids)
+        ordered = rng.random() < 0.5
+        mg = rng.choice([-1, 0, 2, 4])
+        # plain unordered-unbounded children are fine anywhere; the
+        # engine handles every combination since r3
+        return AllOf(kids, ordered=ordered, max_gaps=mg)
+
+    qs = {}
+    while len(qs) < 18:
+        t = rand_tree(2)
+        # skip degenerate trees whose every leaf is empty-tokenized
+        qs[f"r{len(qs)}"] = t
+    out = intervals_topk(spark, root, qs, k=30)
+    got = {qid: set() for qid in qs}
+    for r in out.collect():
+        got[r["query_id"]].add(r["doc_id"])
+    for qid, src in qs.items():
+        want = {docmap[u] for u, seq in toks.items() if _match(seq, src)}
+        assert got[qid] == want, (qid, src)
