@@ -364,6 +364,14 @@ JOB_EQUIV_REVS = {
                            # plans/{stats,near}.py; the leg imports none
                            # of them (scaling_only skips the entry-based
                            # bench headlines too)
+    "94f0125": "23c0dc3",  # r3 intervals envelope DP — plans/intervals.py
+                           # only, never imported by the leg
+    "ba1b0ed": "23c0dc3",  # r3 vwh + pq_rescore — functions/{numstats,
+                           # similarity}.py only, never imported
+    "b573857": "23c0dc3",  # r3 select_by_budget — functions/sampling.py
+                           # only, never imported
+    "c498191": "23c0dc3",  # r3 curriculum_order — functions/sampling.py
+                           # only, never imported
 }
 
 
