@@ -1781,6 +1781,41 @@ def _q_geotile_grid_agg(spark, sf_dir):
     )
 
 
+_GEO_LINE_SIZE = 10
+
+
+def _q_geo_line_agg(spark, sf_dir):
+    """ES `geo_line` agg (functions/geo.geo_line): per user, the track
+    of the first 10 [lon, lat] points in (ts, event_id) order —
+    truncation via a WindowGroupLimit-pruned rank BEFORE collection."""
+    from rt_etl_yahoo_search_engine_spark.functions.geo import (
+        geo_line, with_coords,
+    )
+
+    ev = with_coords(_read(spark, sf_dir, "events"))
+    return geo_line(ev, size=_GEO_LINE_SIZE)
+
+
+_GEO_LINE_SQL = f"""
+WITH c AS (SELECT user_id, ts, event_id,
+                  CAST(-60.0005 AS DOUBLE)
+                  + ((event_id * 7919) % 120000)
+                    / CAST(1000.0 AS DOUBLE) AS lat,
+                  CAST(-179.9993 AS DOUBLE)
+                  + ((event_id * 104729) % 360000)
+                    / CAST(1000.0 AS DOUBLE) AS lon
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn FROM c)
+SELECT user_id,
+       list([round(lon, 6), round(lat, 6)]
+            ORDER BY ts, event_id) AS line,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM r WHERE rn <= {_GEO_LINE_SIZE}
+GROUP BY user_id
+"""
+
+
 def _q_geo_bounds_agg(spark, sf_dir):
     """ES `geo_bounds` + `geo_centroid` (functions/geo.
     geo_bounds_centroid): per event_type bounding box, centroid, and
@@ -5188,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_quantiles": _q_binned_quantiles,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geo_bounds_agg": _q_geo_bounds_agg,
+        "geo_line_agg": _q_geo_line_agg,
         "geo_distance_agg": _q_geo_distance_agg,
         "asof_join": _q_asof_join,
         "attribution_join": _q_attribution_join,
@@ -9131,6 +9167,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "change_point_agg": _change_point_sql(),
         "geotile_grid_agg": _geotile_sql(),
         "geo_bounds_agg": _geo_bounds_sql(),
+        "geo_line_agg": _GEO_LINE_SQL,
         "geo_distance_agg": _geo_distance_sql(),
         "ks_test_agg": _ks_test_sql(),
         "bucket_correlation_agg": _bucket_correlation_sql(),

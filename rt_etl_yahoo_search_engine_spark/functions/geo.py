@@ -141,3 +141,56 @@ def geo_distance_rings(points: DataFrame, origin_lat: float,
             F.max("d_km").alias("max_km"),
         )
     )
+
+
+def geo_line(
+    points: DataFrame,
+    group_col: str = "user_id",
+    sort_col: str = "ts",
+    id_col: str = "event_id",
+    size: int = 10,
+) -> DataFrame:
+    """(group, line, n_points) — ES `geo_line` aggregation: per group,
+    the track of [lon, lat] points ordered by `sort_col` (ES sorts by a
+    numeric/date field and emits a GeoJSON LineString), truncated to
+    the FIRST `size` points (ES's size, default 10k).  `id_col` breaks
+    sort ties deterministically.
+
+    Scale shape: truncation happens BEFORE collection — a
+    Window.partitionBy(group) row_number with a rank <= size filter
+    (WindowGroupLimit pushes the limit into the partial stage, so at
+    most `size` rows per group survive the exchange) — then one
+    groupBy collects the bounded point list; sort_array (not
+    collection order) fixes the within-list order, so the result is
+    partition-layout independent.  Per-group state is bounded by
+    `size` points, the same bound ES enforces."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(sort_col), F.asc(id_col)
+    )
+    kept = points.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= size
+    )
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(sort_col).alias("_s"),
+                        F.col(id_col).alias("_i"),
+                        F.array(
+                            F.round("lon", 6), F.round("lat", 6)
+                        ).alias("_p"),
+                    )
+                )
+            ).alias("_pts"),
+        )
+        .select(
+            group_col,
+            F.expr("transform(_pts, x -> x._p)").alias("line"),
+            "n_points",
+        )
+    )

@@ -112,3 +112,21 @@ def test_with_coords_deterministic_and_bounded(spark):
              with_coords(ev).select("event_id", "lat", "lon").collect()}
     for r in pts:
         assert again[r["event_id"]] == (r["lat"], r["lon"])
+
+
+def test_geo_line_truncates_before_collect(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.geo import geo_line
+
+    rows = [("u1", i, float(i), float(-i)) for i in range(25)] + [
+        ("u2", 100 + i, 1.0, 2.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, lat double, lon double"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = {
+        r["user_id"]: (r["n_points"], r["line"])
+        for r in geo_line(df, size=10).collect()
+    }
+    assert out["u1"][0] == 10
+    assert out["u1"][1] == [[-float(i), float(i)] for i in range(10)]
+    assert out["u2"][0] == 3
