@@ -372,6 +372,8 @@ JOB_EQUIV_REVS = {
                            # only, never imported
     "c498191": "23c0dc3",  # r3 curriculum_order — functions/sampling.py
                            # only, never imported
+    "7859eff": "23c0dc3",  # r3 geo_line — functions/geo.py only, never
+                           # imported by the leg
 }
 
 
