@@ -592,6 +592,47 @@ def _q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+_LIN_W_LEX, _LIN_W_DENSE = 0.7, 0.3
+
+
+def _q_hybrid_linear_topk(spark, sf_dir):
+    """ES `linear` retriever (plans/hybrid.linear_topk): weighted sum of
+    min-max-normalized BM25 and cosine scores over each list's own
+    top-50 window (0.7 lexical / 0.3 dense)."""
+    from rt_etl_yahoo_search_engine_spark.plans.hybrid import linear_topk
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    docmap = Catalog(root).read(spark, "docmap")
+    emb = _read(spark, sf_dir, "embeddings")
+    src = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.col("doc_id").alias("orig_id"),
+    )
+    emb_idx = (
+        src.join(emb, emb["vec_id"] == src["orig_id"])
+        .join(docmap, "url")
+        .select("doc_id", "embedding")
+    )
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.concat(F.lit("h"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("embedding").alias("qemb"),
+    )
+    out = linear_topk(
+        spark, root, HYBRID_QUERIES, qv, emb_idx,
+        w_lex=_LIN_W_LEX, w_dense=_LIN_W_DENSE, k=10, k_each=HYBRID_K_EACH,
+    )
+    return (
+        docmap.join(F.broadcast(out), "doc_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("fused", 6).alias("fused"),
+        )
+    )
+
+
 def _q_bm25_snippets(spark, sf_dir):
     """Query-aware snippets on materialized hits: the 120-char window of
     the body around the first query-token occurrence
@@ -5211,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_sort_agg": _q_bucket_sort_agg,
         "budget_select": _q_budget_select,
         "curriculum_order": _q_curriculum_order,
+        "hybrid_linear_topk": _q_hybrid_linear_topk,
         "span_multi_topk": _q_span_multi,
         "variable_width_histogram": _q_variable_width_histogram,
         "ann_pq_rescore_topk": _q_ann_pq_rescore,
@@ -8043,6 +8085,75 @@ WHERE rank <= 10
 """
 
 
+def _hybrid_linear_sql() -> str:
+    """Min-max-normalized weighted fusion — plans/hybrid.linear_topk
+    semantics (norm = (s-min)/(max-min) over each list's own top-50 per
+    query, 1.0 when max == min, 0 for absent docs; 0.7/0.3 weights)."""
+    qt = [
+        f"('{qid}', '{t}')"
+        for qid, text in HYBRID_QUERIES.items()
+        for t in sorted(set(text.split()))
+    ]
+    qv = [f"('h{i}', {i})" for i in range(5)]
+    return f"""
+WITH qterms(query_id, term) AS (VALUES {", ".join(qt)}),
+qv(query_id, vid) AS (VALUES {", ".join(qv)}),
+docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM documents WHERE lang = 'en'),
+{_BM25_CORE_CTES},
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         sum( {_BM25_WEIGHT_EXPR} ) AS score
+  FROM tf JOIN qterms USING (term) JOIN lex USING (term) JOIN dl USING (doc_id), st
+  GROUP BY qterms.query_id, tf.doc_id),
+lexl AS (SELECT query_id, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS r
+           FROM scored) WHERE r <= {HYBRID_K_EACH}),
+lexn AS (SELECT query_id, doc_id,
+                CASE WHEN max(score) OVER (PARTITION BY query_id)
+                          > min(score) OVER (PARTITION BY query_id)
+                     THEN (score - min(score) OVER (PARTITION BY query_id))
+                          / (max(score) OVER (PARTITION BY query_id)
+                             - min(score) OVER (PARTITION BY query_id))
+                     ELSE 1.0 END AS n_lex
+         FROM lexl),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+emb_idx AS (SELECT d.doc_id, e.emb FROM e JOIN docs d ON e.vec_id = d.doc_id),
+qe AS (SELECT qv.query_id, e.emb AS qemb FROM qv JOIN e ON e.vec_id = qv.vid),
+coss AS (SELECT qe.query_id, m.doc_id,
+                list_dot_product(m.emb, qe.qemb)
+                / (sqrt(list_dot_product(m.emb, m.emb))
+                   * sqrt(list_dot_product(qe.qemb, qe.qemb))) AS cos
+         FROM emb_idx m, qe),
+densel AS (SELECT query_id, doc_id, cos FROM (
+             SELECT query_id, doc_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, doc_id ASC) AS r
+             FROM coss) WHERE r <= {HYBRID_K_EACH}),
+densen AS (SELECT query_id, doc_id,
+                  CASE WHEN max(cos) OVER (PARTITION BY query_id)
+                            > min(cos) OVER (PARTITION BY query_id)
+                       THEN (cos - min(cos) OVER (PARTITION BY query_id))
+                            / (max(cos) OVER (PARTITION BY query_id)
+                               - min(cos) OVER (PARTITION BY query_id))
+                       ELSE 1.0 END AS n_dense
+           FROM densel),
+fused AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+                 coalesce(l.doc_id, d.doc_id) AS doc_id,
+                 {_LIN_W_LEX} * coalesce(l.n_lex, 0)
+                 + {_LIN_W_DENSE} * coalesce(d.n_dense, 0) AS fused
+          FROM lexn l FULL OUTER JOIN densen d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(fused, 6) AS fused
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY fused DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+
 def _near_sql() -> str:
     """Conjunctive BM25 restricted to docs where some window of
     NEAR_WINDOW consecutive token positions contains every query term —
@@ -9119,6 +9230,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "match_counts": _match_counts_sql(),
         "facet_counts": _facet_counts_sql(),
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "hybrid_linear_topk": _hybrid_linear_sql(),
         "mlt_topk": _mlt_sql(),
         "bm25_explain_top1": _explain_sql(),
         "spell_suggest": _suggest_sql(),

@@ -88,3 +88,90 @@ def rrf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf")
     )
+
+
+def linear_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    query_vecs: DataFrame,
+    embeddings: DataFrame,
+    w_lex: float = 0.7,
+    w_dense: float = 0.3,
+    k: int = spec.TOP_K_DEFAULT,
+    k_each: int = 50,
+    mode: str = spec.MODE_DISJUNCTIVE,
+) -> DataFrame:
+    """(query_id, rank, doc_id, fused) — ES's `linear` retriever (8.16+):
+    weighted sum of MIN-MAX-normalized scores from the lexical and dense
+    top-k_each lists,
+
+        fused(d) = w_lex * norm_lex(d) + w_dense * norm_dense(d),
+        norm(s)  = (s - min) / (max - min)   over the list's own top
+                   k_each scores per query (1.0 when max == min — a
+                   single-candidate list's doc is its best; documented
+                   deterministic choice), 0 for a doc absent from a
+                   list.
+
+    Unlike RRF this uses the SCORES, so normalization happens per
+    retriever per query over the retrieved window — exactly ES's
+    minmax normalizer.  Plan shape matches rrf_topk: two top-k_each
+    retrievals, per-query min/max on k_each-row relations (metadata
+    scale), full-outer fuse, one window."""
+    lex = (
+        bm25.topk(spark, index_root, queries, mode=mode, k=k_each)
+        .select("query_id", "doc_id", F.col("score").alias("s_lex"))
+    )
+    lex_mm = lex.groupBy("query_id").agg(
+        F.min("s_lex").alias("_mn"), F.max("s_lex").alias("_mx")
+    )
+    lex_n = lex.join(lex_mm, "query_id").select(
+        "query_id", "doc_id",
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("s_lex") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0)).alias("n_lex"),
+    )
+    scored = embeddings.crossJoin(F.broadcast(query_vecs)).withColumn(
+        "cos",
+        F.expr(DOT_EXPR.format(a="embedding", b="qemb"))
+        / (
+            F.expr(NORM_EXPR.format(a="embedding"))
+            * F.expr(NORM_EXPR.format(a="qemb"))
+        ),
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    dense = (
+        scored.withColumn("_r", F.row_number().over(w_cos))
+        .filter(F.col("_r") <= k_each)
+        .select("query_id", "doc_id", F.col("cos").alias("s_dense"))
+    )
+    den_mm = dense.groupBy("query_id").agg(
+        F.min("s_dense").alias("_mn"), F.max("s_dense").alias("_mx")
+    )
+    den_n = dense.join(den_mm, "query_id").select(
+        "query_id", "doc_id",
+        F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("s_dense") - F.col("_mn"))
+            / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(F.lit(1.0)).alias("n_dense"),
+    )
+    fused = (
+        lex_n.join(den_n, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "fused",
+            F.lit(w_lex) * F.coalesce(F.col("n_lex"), F.lit(0.0))
+            + F.lit(w_dense) * F.coalesce(F.col("n_dense"), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("fused"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "fused")
+    )
