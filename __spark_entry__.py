@@ -2614,11 +2614,11 @@ def _q_variable_width_histogram(spark, sf_dir):
 
 
 _VWH_SQL = f"""
-WITH v AS (SELECT round(value, {2}) AS rv, count(*) AS c
+WITH v AS (SELECT round(value, {_VWH_PREC}) AS rv, count(*) AS c
            FROM events GROUP BY 1),
 g AS (SELECT rv, c, rv - lag(rv) OVER (ORDER BY rv) AS gap FROM v),
 b AS (SELECT rv AS boundary FROM g WHERE gap IS NOT NULL
-      ORDER BY gap DESC, rv ASC LIMIT {5 - 1}),
+      ORDER BY gap DESC, rv ASC LIMIT {_VWH_BUCKETS - 1}),
 a AS (SELECT g.rv, g.c,
              (SELECT count(*) FROM b WHERE b.boundary <= g.rv) AS bucket
       FROM g)
@@ -5284,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "pipeline_agg": _q_pipeline_agg,
         "terms_pipeline_agg": _q_terms_pipeline,
+        # ---- end of driver window (the driver checks exactly the 50 entries above) ----
         "sibling_pipeline_agg": _q_sibling_pipeline,
         "bucket_script_agg": _q_bucket_script,
         "normalize_pipeline_agg": _q_normalize_pipeline,
@@ -5296,7 +5297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": _q_rag_chunks,
         "shingle_counts": _q_shingle_counts,
         "edge_ngram_index": _q_edge_ngram_index,
-        # ---- end of driver window (first 50) ----
         "js_divergence_lang": _q_js_divergence,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup": _q_semdedup,
@@ -8528,12 +8528,12 @@ WHERE rank <= 10
 
 
 def _intervals_ordered_sql() -> str:
-    """Existence-enumeration mirror of the r3 minimal-interval DP
-    (plans/intervals._node_intervals): a doc matches a constrained-
-    ordered all_of iff SOME chain of child intervals (one per child,
-    strictly-after starts) satisfies total-width - covered <= max_gaps
-    — enumerating all chains (no minimality) is equivalent, since for
-    a fixed child start a smaller child end weakly dominates."""
+    """Mirror of the r3 minimal-interval DP (plans/intervals.
+    _node_intervals, Lucene-parity semantics): children contribute
+    MINIMAL match intervals (NOT EXISTS suppresses contained-interval
+    dominators), chains require strictly-after starts, and the parent
+    max_gaps bounds only the BETWEEN-rules gaps
+    (sum of s_next - e_prev - 1)."""
     qt = ", ".join(
         f"('{q}', '{t}')"
         for q, ts in [
@@ -8562,8 +8562,15 @@ m1 AS (SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
 m2 AS (SELECT DISTINCT c.doc_id
        FROM pos c JOIN pos o USING (doc_id) JOIN pos l USING (doc_id)
        WHERE c.term = 'customer' AND o.term = 'order' AND l.term = 'line'
-         AND o.p > c.p AND l.p > o.p AND l.p - o.p <= 3
-         AND l.p - c.p <= 5),
+         AND l.p > o.p AND l.p - o.p <= 3
+         AND NOT EXISTS (
+           SELECT 1 FROM pos o2 JOIN pos l2 USING (doc_id)
+           WHERE o2.doc_id = c.doc_id
+             AND o2.term = 'order' AND l2.term = 'line'
+             AND l2.p > o2.p AND l2.p - o2.p <= 3
+             AND o2.p >= o.p AND l2.p <= l.p
+             AND (o2.p > o.p OR l2.p < l.p))
+         AND o.p > c.p AND o.p - c.p <= 4),
 m3 AS (SELECT DISTINCT w.doc_id
        FROM pos w JOIN pos t USING (doc_id) JOIN pos h USING (doc_id)
        WHERE w.term = 'window' AND t.term = 'table' AND h.term = 'hash'
@@ -8576,7 +8583,14 @@ m4 AS (SELECT DISTINCT a.doc_id
        WHERE a.term IN ('join', 'hash') AND b.term = 'column'
          AND s.term = 'scan'
          AND b.p > a.p AND b.p - a.p <= 3
-         AND s.p > b.p AND s.p - a.p <= 8),
+         AND NOT EXISTS (
+           SELECT 1 FROM pos a2 JOIN pos b2 USING (doc_id)
+           WHERE a2.doc_id = a.doc_id
+             AND a2.term IN ('join', 'hash') AND b2.term = 'column'
+             AND b2.p > a2.p AND b2.p - a2.p <= 3
+             AND a2.p >= a.p AND b2.p <= b.p
+             AND (a2.p > a.p OR b2.p < b.p))
+         AND s.p > b.p AND s.p - b.p <= 7),
 matched AS (SELECT 'ivo1' AS query_id, doc_id FROM m1
             UNION ALL SELECT 'ivo2', doc_id FROM m2
             UNION ALL SELECT 'ivo3', doc_id FROM m3
@@ -8639,8 +8653,9 @@ WHERE rank <= 10
 
 
 def _intervals_unordered_sql() -> str:
-    """Envelope-DP oracle: enumerate one interval per child, any
-    arrangement; envelope width - covered <= max_gaps."""
+    """Envelope-DP oracle (Lucene-parity): one MINIMAL interval per
+    child, any arrangement; gaps = envelope width - sum of child
+    spans <= max_gaps."""
     qt = ", ".join(
         f"('{q}', '{t}')"
         for q, ts in [
@@ -8665,13 +8680,29 @@ m1 AS (SELECT DISTINCT o.doc_id
        FROM pos o JOIN pos l USING (doc_id) JOIN pos c USING (doc_id)
        WHERE o.term = 'order' AND l.term = 'line' AND c.term = 'customer'
          AND l.p > o.p AND l.p - o.p <= 3
-         AND greatest(l.p, c.p) - least(o.p, c.p) + 1 - 3 <= 3),
+         AND NOT EXISTS (
+           SELECT 1 FROM pos o2 JOIN pos l2 USING (doc_id)
+           WHERE o2.doc_id = o.doc_id
+             AND o2.term = 'order' AND l2.term = 'line'
+             AND l2.p > o2.p AND l2.p - o2.p <= 3
+             AND o2.p >= o.p AND l2.p <= l.p
+             AND (o2.p > o.p OR l2.p < l.p))
+         AND greatest(l.p, c.p) - least(o.p, c.p) + 1
+             - (l.p - o.p + 1) - 1 <= 3),
 m2 AS (SELECT DISTINCT a.doc_id
        FROM pos a JOIN pos t USING (doc_id) JOIN pos h USING (doc_id)
        WHERE a.term IN ('join', 'merge') AND t.term = 'table'
          AND h.term = 'hash'
          AND h.p > t.p AND h.p - t.p <= 2
-         AND greatest(h.p, a.p) - least(t.p, a.p) + 1 - 3 <= 2),
+         AND NOT EXISTS (
+           SELECT 1 FROM pos t2 JOIN pos h2 USING (doc_id)
+           WHERE t2.doc_id = t.doc_id
+             AND t2.term = 'table' AND h2.term = 'hash'
+             AND h2.p > t2.p AND h2.p - t2.p <= 2
+             AND t2.p >= t.p AND h2.p <= h.p
+             AND (t2.p > t.p OR h2.p < h.p))
+         AND greatest(h.p, a.p) - least(t.p, a.p) + 1
+             - (h.p - t.p + 1) - 1 <= 2),
 matched AS (SELECT 'ivu1' AS query_id, doc_id FROM m1
             UNION ALL SELECT 'ivu2', doc_id FROM m2)
 SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score

@@ -25,32 +25,32 @@ Supported surface and its exact semantics:
   iff EVERY child matches (ES all_of with ordered=false, max_gaps=-1,
   overlaps allowed — Lucene's `Intervals.unordered`).  When every
   child is a single-term Match, a constrained node collapses to the
-  equivalent Match leaf (cheap path).  ``ordered=True`` over ARBITRARY
-  children (any_of, multi-term match, nested ordered all_of) runs the
-  full minimal-interval algebra (r3, closes the r2 gap): each child
-  contributes an interval RELATION (doc_id, s, e, n) of left-minimal
-  match intervals (n = covered term count), and the ordered
-  combination is a relational DP — children chained in order with
-  strictly-after starts (s_{i+1} > e_i, Lucene Intervals.ordered
-  non-overlap), keeping per (doc, start, ncov) the minimal chain end.
-  Total gaps of a chain telescope to (end - start + 1) - Σn (child-
-  internal gaps + between-child gaps — uncovered positions either
-  way), so the DP's min-end frontier decides max_gaps feasibility
-  EXACTLY: a doc matches iff some final state has
-  (e - s + 1) - ncov <= max_gaps.  Left-minimal child intervals
-  suffice: for a fixed child start, a smaller end weakly dominates
-  (loosens the next strictly-after constraint and never grows the
-  final width), so existence over all child intervals equals
-  existence over the left-minimal set.  ``ordered=False`` with
-  max_gaps over arbitrary children runs the ENVELOPE DP (r3): one
-  match interval per child in any arrangement (overlaps allowed —
-  Lucene Intervals.unordered), envelope = [min s_i, max e_i], and the
-  doc matches iff some choice has envelope width - Σn <= max_gaps
-  (covered counts child coverage with multiplicity; for distinct
-  single-term children this is EXACTLY the Match-leaf window
-  semantics).  The DP frontier keeps min envelope-end per (doc,
-  envelope-start, ncov) — valid pruning because a smaller envelope
-  is always weakly better for any continuation.
+  equivalent Match leaf (cheap path).  Constrained nodes over
+  ARBITRARY children (any_of, multi-term match, nested all_of) run
+  the full minimal-interval algebra (r3; Lucene-parity gap accounting
+  since the r3 review): each node contributes an interval RELATION
+  (doc_id, s, e) of its MINIMAL match intervals — intervals
+  containing another match interval are suppressed (_minimal), which
+  is exactly Lucene's minimal-interval iteration and is load-bearing
+  under bounded gaps (a non-minimal child interval could fake a
+  smaller between-gap).  Parent ``max_gaps`` counts ONLY the
+  positions BETWEEN the matching rules (ES docs: "maximum number of
+  positions between the matching rules"; child-internal gaps are
+  governed by the child's own max_gaps):
+    - ordered:   children chained with strictly-after starts
+      (s_{i+1} > e_i, Lucene Intervals.ordered non-overlap);
+      accumulated gaps g = Σ (s_{i+1} - e_i - 1); DP frontier keeps
+      min g per (doc, chain-start, chain-end) — future gaps depend
+      only on the chain end, so the frontier is exact; match iff some
+      final state has g <= max_gaps.
+    - unordered: one interval per child in any arrangement (overlaps
+      allowed); gaps g = envelope width - Σ child spans (negative
+      under overlap — overlap can only help); DP frontier keeps MAX
+      Σ-spans per (doc, envelope) — for a fixed envelope more covered
+      span is always weakly better.
+  For single-term children both definitions coincide with the Match-
+  leaf window semantics (each child spans one position, so between-
+  rules gaps == width - n).
 
 Ranking: matched docs are ordered by disjunctive BM25 over the UNION of
 the query's terms (score DESC, doc_id ASC), top-k — interval rules
@@ -111,9 +111,8 @@ Source = Union[Match, AnyOf, AllOf]
 
 def _normalize(node: Source) -> Source:
     """Collapse constrained AllOf-of-single-terms into a Match leaf
-    (cheap path); keep ordered AllOf over wider children for the
-    minimal-interval DP; reject only constrained-UNORDERED AllOf over
-    non-single-term children."""
+    (cheap path, identical semantics); keep every other constrained
+    AllOf — ordered or unordered — for the minimal-interval DP."""
     if isinstance(node, Match):
         return node
     if isinstance(node, AnyOf):
@@ -133,8 +132,9 @@ def _normalize(node: Source) -> Source:
 
 
 def _is_complex(node: Source) -> bool:
-    """An AllOf that needs the minimal-interval DP (ordered, kept by
-    _normalize because some child is wider than a single term)."""
+    """An AllOf that needs the minimal-interval DP: any constrained
+    node (ordered and/or max_gaps >= 0) _normalize kept because some
+    child is wider than a single term."""
     return isinstance(node, AllOf) and (node.ordered or node.max_gaps >= 0)
 
 
@@ -297,19 +297,49 @@ def _required(node: Source) -> set:
     return set().union(*(_required(s) for s in node.sources))
 
 
+def _minimal(iv: DataFrame) -> DataFrame:
+    """Suppress non-minimal intervals: drop every (s, e) that contains
+    another interval of the same doc (Lucene's minimal-interval
+    iteration).  Load-bearing under bounded parent gaps — a non-minimal
+    child interval would fake a smaller between-rules gap.  One
+    doc-keyed window over the df-bounded interval relation: keep the
+    min end per start, then keep (s, e) iff e < min end over any
+    strictly-larger start."""
+    from pyspark.sql import Window
+
+    per_start = iv.groupBy("doc_id", "s").agg(F.min("e").alias("e"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suffix_min = F.min("e").over(w)
+    return (
+        per_start.withColumn("_sm", suffix_min)
+        .filter(F.col("_sm").isNull() | (F.col("e") < F.col("_sm")))
+        .drop("_sm")
+    )
+
+
 def _node_intervals(
     node: Source, pos: DataFrame, cdocs: DataFrame | None
 ) -> DataFrame:
-    """(doc_id, s, e, n) left-minimal match-interval relation for a
-    source node (n = covered term count, so a chain's total gaps =
-    width - Σn).  `pos` is the positions sidecar relation restricted to
-    the needed terms; `cdocs` an optional (doc_id) candidate prefilter
-    (docs containing every required term of the enclosing complex
-    node).  All relations are doc-keyed and O(sum df)-bounded; the
-    ordered DP is a chain of doc-equi-joins with a (doc, start, ncov)
-    min-end frontier — never a corpus-scale window or cross join."""
+    """(doc_id, s, e) MINIMAL match-interval relation for a source node
+    (module docstring: Lucene-parity between-rules gap accounting).
+    `pos` is the positions sidecar relation restricted to the needed
+    terms; `cdocs` an optional (doc_id) candidate prefilter (docs
+    containing every required term of the enclosing complex node).
+    All relations are doc-keyed and O(sum df)-bounded; the DPs are
+    chains of doc-equi-joins with per-(doc, start/envelope) frontiers —
+    never a corpus-scale window or cross join."""
     if isinstance(node, Match):
         ts = spec.tokenize(node.text)
+        if not ts:
+            # an empty-analyzed rule can never match (same as the
+            # top-level leaf path's `live` guard)
+            return pos.sparkSession.createDataFrame(
+                [], "doc_id long, s long, e long"
+            )
         ex = pos.filter(F.col("term").isin(sorted(set(ts))))
         if cdocs is not None:
             ex = ex.join(cdocs, "doc_id", "left_semi")
@@ -318,12 +348,11 @@ def _node_intervals(
         )
         if len(ts) == 1:
             return ex.select(
-                "doc_id", F.col("p").alias("s"), F.col("p").alias("e"),
-                F.lit(1).alias("n"),
+                "doc_id", F.col("p").alias("s"), F.col("p").alias("e")
             )
         if node.ordered:
-            # greedy per-start min fold (as the leaf existence path),
-            # keeping (start, minimal end); own width bound applied
+            # greedy per-start min fold (minimal end per start); own
+            # width bound applied; _minimal then drops dominated starts
             m = ex.filter(F.col("term") == ts[0]).select(
                 "doc_id", F.col("p").alias("s"), F.col("p").alias("cur")
             )
@@ -342,17 +371,16 @@ def _node_intervals(
                     .groupBy("doc_id", "s")
                     .agg(F.min("p").alias("cur"))
                 )
-            return m.select(
-                "doc_id", "s", F.col("cur").alias("e"),
-                F.lit(len(ts)).alias("n"),
+            return _minimal(
+                m.select("doc_id", "s", F.col("cur").alias("e"))
             )
-        # unordered: anchor-window left-minimal intervals — for each
-        # anchor position a, e(a) = max over DISTINCT terms of the
-        # term's first occurrence in [a, a + win)
+        # unordered: anchor-window minimal intervals — for each anchor
+        # position a, e(a) = max over DISTINCT terms of the term's
+        # first occurrence in [a, a + win)
         nd = len(set(ts))
         win = nd + node.max_gaps if node.max_gaps >= 0 else _UNBOUNDED
         anchors = ex.select("doc_id", F.col("p").alias("a")).distinct()
-        return (
+        left_min = (
             anchors.join(ex, "doc_id")
             .filter(
                 (F.col("p") >= F.col("a"))
@@ -363,66 +391,72 @@ def _node_intervals(
             .groupBy("doc_id", "a")
             .agg(F.count("*").alias("hit"), F.max("mn").alias("e"))
             .filter(F.col("hit") == nd)
-            .select(
-                "doc_id", F.col("a").alias("s"), "e", F.lit(nd).alias("n")
-            )
+            .select("doc_id", F.col("a").alias("s"), "e")
         )
+        return _minimal(left_min)
     if isinstance(node, AnyOf):
         kids = [_node_intervals(s, pos, cdocs) for s in node.sources]
         out = kids[0]
         for kdf in kids[1:]:
             out = out.unionByName(kdf)
-        return out
-    first = _node_intervals(node.sources[0], pos, cdocs)
-    m = first.select(
-        "doc_id", "s", F.col("e").alias("cur"), F.col("n").alias("ncov")
-    )
+        # Lucene disjunction also suppresses intervals that contain a
+        # match from another alternative
+        return _minimal(out)
     if node.ordered:
-        # ordered DP: chain children left to right; frontier keyed by
-        # (doc, start, covered-count) with the minimal chain end
+        # ordered DP over minimal child intervals: chain left to right
+        # with strictly-after starts; g accumulates the BETWEEN-rules
+        # gaps; frontier = min g per (doc, chain-start, chain-end)
+        # (future gaps depend only on the chain end)
+        first = _node_intervals(node.sources[0], pos, cdocs)
+        m = first.select(
+            "doc_id", "s", F.col("e").alias("cur"), F.lit(0).alias("g")
+        )
         for child in node.sources[1:]:
             kid = _node_intervals(child, pos, cdocs).select(
-                "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2"),
-                F.col("n").alias("n2"),
+                "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2")
             )
             m = (
                 m.join(kid, "doc_id")
                 .filter(F.col("s2") > F.col("cur"))
-                .groupBy(
-                    "doc_id", "s",
-                    (F.col("ncov") + F.col("n2")).alias("ncov"),
+                .groupBy("doc_id", "s", F.col("e2").alias("cur"))
+                .agg(
+                    F.min(
+                        F.col("g") + F.col("s2") - F.col("cur") - 1
+                    ).alias("g")
                 )
-                .agg(F.min("e2").alias("cur"))
             )
     else:
-        # unordered ENVELOPE DP: any arrangement, overlaps allowed;
-        # envelope grows to cover each child's chosen interval; frontier
-        # keyed by (doc, envelope-start, covered-count) with the minimal
-        # envelope end — a smaller envelope is weakly better for any
-        # continuation, so the pruning is exact for feasibility
+        # unordered ENVELOPE DP over minimal child intervals: any
+        # arrangement, overlaps allowed; frontier = max Σ child spans
+        # per (doc, envelope) — more covered span is weakly better
+        first = _node_intervals(node.sources[0], pos, cdocs)
+        m = first.select(
+            "doc_id", "s", F.col("e").alias("cur"),
+            (F.col("e") - F.col("s") + 1).alias("sw"),
+        )
         for child in node.sources[1:]:
             kid = _node_intervals(child, pos, cdocs).select(
-                "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2"),
-                F.col("n").alias("n2"),
+                "doc_id", F.col("s").alias("s2"), F.col("e").alias("e2")
             )
             m = (
                 m.join(kid, "doc_id")
                 .groupBy(
                     "doc_id",
                     F.least("s", F.col("s2")).alias("s"),
-                    (F.col("ncov") + F.col("n2")).alias("ncov"),
+                    F.greatest("cur", F.col("e2")).alias("cur"),
                 )
                 .agg(
-                    F.min(F.greatest("cur", F.col("e2"))).alias("cur")
+                    F.max(
+                        F.col("sw") + F.col("e2") - F.col("s2") + 1
+                    ).alias("sw")
                 )
             )
-    if node.max_gaps >= 0:
-        m = m.filter(
-            F.col("cur") - F.col("s") + 1 - F.col("ncov") <= node.max_gaps
+        m = m.withColumn(
+            "g", F.col("cur") - F.col("s") + 1 - F.col("sw")
         )
-    return m.select(
-        "doc_id", "s", F.col("cur").alias("e"), F.col("ncov").alias("n")
-    )
+    if node.max_gaps >= 0:
+        m = m.filter(F.col("g") <= node.max_gaps)
+    return _minimal(m.select("doc_id", "s", F.col("cur").alias("e")))
 
 
 def _complex_matches(

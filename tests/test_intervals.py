@@ -84,10 +84,24 @@ def _match_leaf(seq, m: Match):
     )
 
 
+def _min_set(ivs):
+    """Lucene minimality: drop intervals containing another interval."""
+    return {
+        (s, e)
+        for (s, e) in ivs
+        if not any(
+            (s2, e2) != (s, e) and s2 >= s and e2 <= e for (s2, e2) in ivs
+        )
+    }
+
+
 def _ivset(seq, node):
-    """Ground truth: ALL genuine match intervals (s, e, ncov) of a node
-    (brute-force enumeration, no minimality) — existence over this set
-    equals existence over the implementation's left-minimal set."""
+    """Ground truth MINIMAL match-interval set {(s, e)} of a node,
+    Lucene-parity semantics: children contribute minimal intervals;
+    constrained all_of enumerates all combinations of them and filters
+    by BETWEEN-rules gaps (ordered: sum of start-minus-prev-end-minus-1;
+    unordered: envelope width minus sum of child spans); minimality is
+    re-applied at every node."""
     import itertools
 
     if isinstance(node, Match):
@@ -96,7 +110,7 @@ def _ivset(seq, node):
             t: [i for i, x in enumerate(seq) if x == t] for t in set(terms)
         }
         if len(terms) == 1:
-            return {(i, i, 1) for i in pos[terms[0]]}
+            return {(i, i) for i in pos[terms[0]]}
         if node.ordered:
             bound = (
                 len(terms) - 1 + node.max_gaps
@@ -106,7 +120,7 @@ def _ivset(seq, node):
 
             def chains(i, prev, start):
                 if i == len(terms):
-                    out.add((start, prev, len(terms)))
+                    out.add((start, prev))
                     return
                 for p in pos[terms[i]]:
                     if p > prev and p <= start + bound:
@@ -114,7 +128,7 @@ def _ivset(seq, node):
 
             for p0 in pos[terms[0]]:
                 chains(1, p0, p0)
-            return out
+            return _min_set(out)
         nd = len(set(terms))
         w = nd + node.max_gaps if node.max_gaps >= 0 else 10**9
         out = set()
@@ -122,31 +136,40 @@ def _ivset(seq, node):
             *[pos[t] for t in sorted(set(terms))]
         ):
             if max(combo) - min(combo) + 1 <= w:
-                out.add((min(combo), max(combo), nd))
-        return out
+                out.add((min(combo), max(combo)))
+        return _min_set(out)
     if isinstance(node, AnyOf):
-        return set().union(*(_ivset(seq, s) for s in node.sources))
+        return _min_set(
+            set().union(*(_ivset(seq, s) for s in node.sources))
+        )
     kids = [_ivset(seq, s) for s in node.sources]
-    cur = set(kids[0])
-    for kv in kids[1:]:
-        if node.ordered:
+    # states: (s, e, g) ordered / (s, e, sw) unordered
+    if node.ordered:
+        cur = {(s, e, 0) for (s, e) in kids[0]}
+        for kv in kids[1:]:
             cur = {
-                (s, e2, n + n2)
-                for (s, e, n) in cur
-                for (s2, e2, n2) in kv
+                (s, e2, g + s2 - e - 1)
+                for (s, e, g) in cur
+                for (s2, e2) in kv
                 if s2 > e
             }
-        else:  # unordered: envelope of one interval per child
+        if node.max_gaps >= 0:
+            cur = {(s, e, g) for (s, e, g) in cur if g <= node.max_gaps}
+    else:
+        cur = {(s, e, e - s + 1) for (s, e) in kids[0]}
+        for kv in kids[1:]:
             cur = {
-                (min(s, s2), max(e, e2), n + n2)
-                for (s, e, n) in cur
-                for (s2, e2, n2) in kv
+                (min(s, s2), max(e, e2), sw + e2 - s2 + 1)
+                for (s, e, sw) in cur
+                for (s2, e2) in kv
             }
-    if node.max_gaps >= 0:
-        cur = {
-            (s, e, n) for (s, e, n) in cur if e - s + 1 - n <= node.max_gaps
-        }
-    return cur
+        if node.max_gaps >= 0:
+            cur = {
+                (s, e, sw)
+                for (s, e, sw) in cur
+                if e - s + 1 - sw <= node.max_gaps
+            }
+    return _min_set({(s, e) for (s, e, _) in cur})
 
 
 def _match(seq, node):
@@ -313,3 +336,31 @@ def test_randomized_trees_vs_bruteforce(spark, iv_index):
     for qid, src in qs.items():
         want = {docmap[u] for u, seq in toks.items() if _match(seq, src)}
         assert got[qid] == want, (qid, src)
+
+
+def test_parent_gaps_exclude_child_internal_gaps(spark, iv_index):
+    """Lucene/ES parity (r3 review): a parent's max_gaps counts only
+    positions BETWEEN the matching rules.  d0 = 'alpha beta gamma
+    delta ...': child [alpha..gamma] has 1 internal gap (its own
+    max_gaps=1 allows it), delta follows IMMEDIATELY, so the parent
+    chain has 0 between-rules gaps and must match at max_gaps=0 —
+    the pre-review accounting (width - covered) wrongly rejected it."""
+    root, docmap, toks = iv_index
+    q = AllOf(
+        (Match("alpha gamma", ordered=True, max_gaps=1), Match("delta")),
+        ordered=True, max_gaps=0,
+    )
+    out = intervals_topk(spark, root, {"q": q}, k=10)
+    got = {r["doc_id"] for r in out.collect()}
+    assert docmap["d0"] in got
+
+
+def test_empty_analyzed_child_matches_nothing(spark, iv_index):
+    """An empty-tokenized rule inside a constrained all_of kills the
+    node (r3 review: used to raise IndexError)."""
+    root, _, _ = iv_index
+    q = AllOf(
+        (Match("***", ordered=True), Match("alpha")), ordered=True
+    )
+    out = intervals_topk(spark, root, {"q": q}, k=10)
+    assert out.collect() == []
