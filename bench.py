@@ -374,6 +374,10 @@ JOB_EQUIV_REVS = {
                            # only, never imported
     "7859eff": "23c0dc3",  # r3 geo_line — functions/geo.py only, never
                            # imported by the leg
+    "e893023": "23c0dc3",  # r3 linear retriever — plans/hybrid.py only,
+                           # never imported by the leg
+    "9223039": "23c0dc3",  # r3 Lucene-parity interval gaps —
+                           # plans/intervals.py only, never imported
 }
 
 
