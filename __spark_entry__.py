@@ -1828,13 +1828,34 @@ _GEO_LINE_SIZE = 10
 def _q_geo_line_agg(spark, sf_dir):
     """ES `geo_line` agg (functions/geo.geo_line): per user, the track
     of the first 10 [lon, lat] points in (ts, event_id) order —
-    truncation via a WindowGroupLimit-pruned rank BEFORE collection."""
+    truncation via a WindowGroupLimit-pruned rank BEFORE collection.
+
+    The track is serialized to a string of integer micro-degree pairs
+    ("lonu,latu|lonu,latu|...") because the driver's pandas
+    canonicalizer cannot sort array-typed columns (r03 `unhashable
+    type: 'list'`); micro-degree BIGINTs render identically in Spark
+    and DuckDB (no float-formatting divergence)."""
     from rt_etl_yahoo_search_engine_spark.functions.geo import (
         geo_line, with_coords,
     )
 
     ev = with_coords(_read(spark, sf_dir, "events"))
-    return geo_line(ev, size=_GEO_LINE_SIZE)
+    out = geo_line(ev, size=_GEO_LINE_SIZE)
+    return out.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                "line",
+                lambda p: F.concat_ws(
+                    ",",
+                    F.round(p[0] * 1000000).cast("long").cast("string"),
+                    F.round(p[1] * 1000000).cast("long").cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("line_micro"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
 
 
 _GEO_LINE_SQL = f"""
@@ -1849,8 +1870,12 @@ WITH c AS (SELECT user_id, ts, event_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn FROM c)
 SELECT user_id,
-       list([round(lon, 6), round(lat, 6)]
-            ORDER BY ts, event_id) AS line,
+       string_agg(CAST(CAST(round(round(lon, 6) * 1000000) AS BIGINT)
+                       AS VARCHAR)
+                  || ',' ||
+                  CAST(CAST(round(round(lat, 6) * 1000000) AS BIGINT)
+                       AS VARCHAR),
+                  '|' ORDER BY ts, event_id) AS line_micro,
        CAST(count(*) AS BIGINT) AS n_points
 FROM r WHERE rn <= {_GEO_LINE_SIZE}
 GROUP BY user_id
@@ -4025,7 +4050,12 @@ def _q_media_image_features(spark, sf_dir):
     multimodal.PAYLOAD_SQL, so every pixel stat (mean/std/min/max, the
     16-bin histogram, the nearest-neighbor thumbnail mean) is
     recomputable in SQL; decode still runs through the real
-    mapInPandas plumbing (real codecs aren't in this container)."""
+    mapInPandas plumbing (real codecs aren't in this container).
+
+    `hist` is serialized to a comma-joined string of the 16 bin
+    counts because the driver's pandas canonicalizer cannot sort
+    array-typed columns (r03 `unhashable type: 'list'`); integer
+    rendering is identical in Spark and DuckDB."""
     from rt_etl_yahoo_search_engine_spark.functions import multimodal as mm
 
     out = mm.image_features(_media(spark, sf_dir))
@@ -4036,7 +4066,7 @@ def _q_media_image_features(spark, sf_dir):
         F.round("px_std", 6).alias("px_std"),
         F.col("px_min").cast("int").alias("px_min"),
         F.col("px_max").cast("int").alias("px_max"),
-        "hist",
+        F.array_join(F.col("hist").cast("array<string>"), ",").alias("hist"),
         F.round("thumb_mean", 6).alias("thumb_mean"),
     )
 
@@ -4715,12 +4745,55 @@ def _q_dup_spans(spark, sf_dir):
 
 
 def _q_extract_structured(spark, sf_dir):
-    """Reference-parity HTML extraction over the synthesized webtext corpus
-    (non-SQL-expressible: recursive DOM traversal; rows-only check)."""
+    """Reference-parity HTML extraction, FULLY value-checked (r4): the
+    input corpus is the closed-form SERP grammar (sources/synth
+    .gen_cf_page) whose extracted (url, seq, link, date, body) rows are
+    arithmetic in (page, result) — so DuckDB reproduces the whole
+    extraction output without an HTML parser, while the Spark side
+    still runs the real DOM walk through the real mapInPandas plumbing
+    (the gate, seq renumbering, and second-date-to-body routing are all
+    exercised by value).  The Zipf-realistic corpus path stays
+    pytest-covered (tests/test_extract.py
+    test_spark_extract_matches_pure_python) and drives every index
+    build.  Ref parity: src/services/search_result_extractor.py:20-33,
+    src/utils/extract_text_utils.py:26-49."""
     from rt_etl_yahoo_search_engine_spark.functions.extract import extract_df
-    from rt_etl_yahoo_search_engine_spark.sources.synth import synth_pages_df
+    from rt_etl_yahoo_search_engine_spark.sources.synth import synth_cf_pages_df
 
-    return extract_df(synth_pages_df(spark, 120, num_partitions=4))
+    return extract_df(synth_cf_pages_df(spark, 120, num_partitions=4)).select(
+        "url", F.col("seq").cast("int").alias("seq"), "link", "date", "body"
+    )
+
+
+_EXTRACT_CF_MONTHS = (
+    "['Jan','February','Mar','April','May','June',"
+    "'Jul','August','Sep','October','Nov','December']"
+)
+
+_EXTRACT_CF_SQL = f"""
+WITH p AS (SELECT i, r FROM range(0, 120) t(i),
+                unnest(range(0, 3 + i % 5)) u(r)),
+f AS (SELECT i, r,
+        'site' || CAST((i * 13 + r * 7) % 500 AS VARCHAR)
+          || '.example.com › w' || printf('%04d', (i * 31 + r * 3) % 10000)
+          || ' › w' || printf('%04d', (i * 17 + r * 11) % 10000) AS link,
+        {_EXTRACT_CF_MONTHS}[((i + r) % 12) + 1]
+          || ' ' || CAST(1 + (i * 3 + r * 5) % 28 AS VARCHAR)
+          || ', ' || CAST(2020 + (i + 2 * r) % 5 AS VARCHAR) AS dt,
+        array_to_string(list_transform(range(0, 5 + (i + r) % 4),
+            j -> 'w' || printf('%04d', (i * 7 + r * 13 + j) % 10000)),
+            ' ') AS body0
+      FROM p),
+k AS (SELECT i, r, link, dt AS date,
+             CASE WHEN (i * 5 + r) % 11 = 0
+                  THEN dt || ' ' || body0 ELSE body0 END AS body
+      FROM f WHERE (i + r) % 7 <> 3)
+SELECT 'https://cf.example/' || printf('%08d', i) AS url,
+       CAST(row_number() OVER (PARTITION BY i ORDER BY r) - 1
+            AS INTEGER) AS seq,
+       link, date, body
+FROM k
+"""
 
 
 def _q_phrase_topk(spark, sf_dir):
@@ -9640,9 +9713,9 @@ stats AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bytes,
                  ROUND(stddev_pop(b), 6) AS px_std,
                  CAST(min(b) AS INTEGER) AS px_min,
                  CAST(max(b) AS INTEGER) AS px_max,
-                 [{", ".join(
+                 array_to_string([{", ".join(
                      f"CAST(count(*) FILTER (WHERE b // 16 = {k})"
-                     " AS INTEGER)" for k in range(16))}] AS hist
+                     " AS VARCHAR)" for k in range(16))}], ',') AS hist
           FROM px GROUP BY doc_id),
 thumb AS (SELECT doc_id,
                  ROUND(avg((doc_id * {mm.PAYLOAD_A}
@@ -9907,6 +9980,9 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
   CAST(coalesce(longest_span, 0) AS BIGINT) AS longest_span
 FROM b LEFT JOIN agg USING (doc_id)
         """,
-        # extract_structured: intentionally omitted (recursive DOM traversal is
-        # not SQL-expressible; driver records the rows-only check)
+        # extract_structured: the recursive DOM traversal itself is not
+        # SQL-expressible, but over the closed-form SERP grammar the
+        # EXTRACTED ROWS are — full value oracle (r4, zero no-oracle
+        # entries left).
+        "extract_structured": _EXTRACT_CF_SQL,
     }

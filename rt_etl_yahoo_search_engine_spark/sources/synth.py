@@ -154,6 +154,79 @@ def gen_page(i: int) -> dict:
     }
 
 
+def gen_cf_page(i: int) -> dict:
+    """One CLOSED-FORM page: every extracted field is an arithmetic
+    function of (i, r) — no RNG — so the full (url, seq, link, date,
+    body) extraction output is expressible in ANSI SQL and DuckDB can
+    serve as a value oracle for the HTML-extraction path (the same
+    trick that value-gated the media fake decode).
+
+    Grammar per page i (n_results = 3 + i % 5; result r):
+      link  "site{(13i+7r)%500}.example.com › w{(31i+3r)%10000:04d}
+             › w{(17i+11r)%10000:04d}"
+      date  "{MONTHS[(i+r)%12]} {1+(3i+5r)%28}, {2020+(i+2r)%5}"
+      body  "w{(7i+13r+j)%10000:04d}" for j in 0..(5+(i+r)%4)-1,
+            space-joined
+    Shape variants exercising the reference's routing rules by value
+    (ref: src/utils/extract_text_utils.py:36-49,
+     src/services/search_result_extractor.py:22-27):
+      (i+r) % 7 == 3   -> body-only <li>: info_count 1, DROPPED by the
+                          gate (so seq renumbers over kept results)
+      (5i+r) % 11 == 0 -> a SECOND date <span>: the elif-chain routes
+                          it to body, emitted body = "{date} {body}"
+    """
+    n_results = 3 + i % 5
+    lis = []
+    for r in range(n_results):
+        site = f"site{(i * 13 + r * 7) % 500}.example.com"
+        c1 = f"w{(i * 31 + r * 3) % 10000:04d}"
+        c2 = f"w{(i * 17 + r * 11) % 10000:04d}"
+        link = f"{site} › {c1} › {c2}"
+        month = _MONTHS[(i + r) % 12]
+        day = 1 + (i * 3 + r * 5) % 28
+        year = 2020 + (i + 2 * r) % 5
+        date = f"{month} {day}, {year}"
+        n_body = 5 + (i + r) % 4
+        body = " ".join(
+            f"w{(i * 7 + r * 13 + j) % 10000:04d}" for j in range(n_body)
+        )
+        if (i + r) % 7 == 3:
+            li = f"  <li>\n    <p>{body}</p>\n  </li>"
+        elif (i * 5 + r) % 11 == 0:
+            li = (
+                f"  <li>\n    <h3><a>{link}</a></h3>\n"
+                f"    <span>{date}</span>\n    <span>{date}</span>\n"
+                f"    <p>{body}</p>\n  </li>"
+            )
+        else:
+            li = (
+                f"  <li>\n    <h3><a>{link}</a></h3>\n"
+                f"    <span>{date}</span>\n    <p>{body}</p>\n  </li>"
+            )
+        lis.append(li)
+    html = "<html><body>\n<ol>\n" + "\n".join(lis) + "\n</ol>\n</body></html>"
+    return {
+        "url": f"https://cf.example/{i:08d}",
+        "warc_ts": EPOCH + dt.timedelta(seconds=i),
+        "html": html.encode("utf-8"),
+        "text": None,
+        "lang": "en",
+    }
+
+
+def synth_cf_pages_df(spark, n_docs: int, num_partitions: int | None = None):
+    """Distributed closed-form corpus (see gen_cf_page)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([gen_cf_page(int(i)) for i in pdf["id"]])
+
+    rng_df = spark.range(
+        0, n_docs, 1, num_partitions or spark.sparkContext.defaultParallelism
+    )
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 def synth_pages_pandas(n_docs: int, start: int = 0) -> pd.DataFrame:
     rows = [gen_page(i) for i in range(start, start + n_docs)]
     return pd.DataFrame(rows)

@@ -135,3 +135,38 @@ def test_spark_extract_matches_pure_python(spark):
                 e["date"],
                 e["body"],
             )
+
+
+def test_closed_form_grammar_matches_extractor():
+    """The closed-form SERP corpus (sources/synth.gen_cf_page) must extract
+    to EXACTLY the rows its arithmetic grammar predicts — this is the local
+    guard for the extract_structured DuckDB value oracle (grammar drift in
+    either place fails here before it fails at the driver)."""
+    from rt_etl_yahoo_search_engine_spark.sources.synth import (
+        _MONTHS,
+        gen_cf_page,
+    )
+
+    for i in range(0, 60):
+        html = gen_cf_page(i)["html"].decode("utf-8")
+        expected = []
+        for r in range(3 + i % 5):
+            if (i + r) % 7 == 3:
+                continue  # body-only li: dropped by the info_count gate
+            link = (
+                f"site{(i * 13 + r * 7) % 500}.example.com "
+                f"› w{(i * 31 + r * 3) % 10000:04d} "
+                f"› w{(i * 17 + r * 11) % 10000:04d}"
+            )
+            date = (
+                f"{_MONTHS[(i + r) % 12]} "
+                f"{1 + (i * 3 + r * 5) % 28}, {2020 + (i + 2 * r) % 5}"
+            )
+            body = " ".join(
+                f"w{(i * 7 + r * 13 + j) % 10000:04d}"
+                for j in range(5 + (i + r) % 4)
+            )
+            if (i * 5 + r) % 11 == 0:
+                body = f"{date} {body}"  # second date span routed to body
+            expected.append({"link": link, "date": date, "body": body})
+        assert extract_results(html) == expected, f"page {i}"
