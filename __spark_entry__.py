@@ -5301,63 +5301,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the DRIVER WINDOW (the driver checks the first
-    50 entries): positions 1-50 lead with the never-driver-checked
-    entries plus the SURVEY-2 stragglers and this round's additions
-    (VERDICT r2 #1/#7 rotation); previously driver-green entries sit
-    last.  Rotate again next round so cumulative driver coverage keeps
-    growing."""
+    50 entries).  r04 rotation (VERDICT r3 #2): positions 1-3 are the
+    three entries whose last driver observation was not green
+    (media_meta_stats r01 FAIL with the fix two rounds old;
+    geo_line_agg / media_image_features r03 canonicalizer errors, array
+    columns now serialized); positions 4-50 are 47 never-driver-checked
+    entries (pipeline-agg family, span family, percolate, rank_eval,
+    dedup/kmeans/semdedup, ...).  The marker comment after position 50
+    records the planned r05 window so the rotation is auditable."""
     return {
-        "scan_filter_project": _q_scan_filter_project,
-        "semi_join_inlist": _q_semi_join_inlist,
-        "broadcast_join_enrich": _q_broadcast_join_enrich,
-        "top1_per_key": _q_top1_per_key,
-        "events_tumbling": _q_events_tumbling,
-        "json_extract_agg": _q_json_extract,
-        "adjacent_grouping": _q_adjacent_grouping,
-        "extract_structured": _q_extract_structured,
-        "media_image_features": _q_media_image_features,
-        "media_audio_features": _q_media_audio_features,
-        "intervals_ordered_topk": _q_intervals_ordered,
-        "intervals_unordered_topk": _q_intervals_unordered,
-        "nested_query_topk": _q_nested_topk,
-        "has_child_topk": _q_has_child_topk,
-        "has_parent_topk": _q_has_parent_topk,
-        "bucket_sort_agg": _q_bucket_sort_agg,
-        "budget_select": _q_budget_select,
-        "curriculum_order": _q_curriculum_order,
-        "hybrid_linear_topk": _q_hybrid_linear_topk,
-        "span_multi_topk": _q_span_multi,
-        "variable_width_histogram": _q_variable_width_histogram,
-        "ann_pq_rescore_topk": _q_ann_pq_rescore,
-        "media_image_meta": _q_media_image_meta,
-        "media_audio_meta": _q_media_audio_meta,
-        "kmv_distinct": _q_kmv_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "hll_distinct": _q_hll_distinct,
-        "bloom_filter": _q_bloom_filter,
-        "binned_quantiles": _q_binned_quantiles,
-        "geotile_grid_agg": _q_geotile_grid_agg,
-        "geo_bounds_agg": _q_geo_bounds_agg,
+        "media_meta_stats": _q_media_meta_stats,
         "geo_line_agg": _q_geo_line_agg,
-        "geo_distance_agg": _q_geo_distance_agg,
-        "asof_join": _q_asof_join,
-        "attribution_join": _q_attribution_join,
-        "fuzzy_link": _q_fuzzy_link,
-        "ks_test_agg": _q_ks_test_agg,
-        "bucket_correlation_agg": _q_bucket_correlation_agg,
-        "change_point_agg": _q_change_point_agg,
-        "bpe_pair_counts": _q_bpe_pairs,
-        "bpe_learn": _q_bpe_learn,
-        "bpe_encode": _q_bpe_encode,
-        "weighted_sample": _q_weighted_sample,
-        "seeded_shuffle": _q_seeded_shuffle,
-        "zipf_fit": _q_zipf_fit,
-        "scroll_slices": _q_scroll_slices,
-        "mix_weights": _q_mix_weights,
-        "dsir_weights": _q_dsir_weights,
-        "pipeline_agg": _q_pipeline_agg,
-        "terms_pipeline_agg": _q_terms_pipeline,
-        # ---- end of driver window (the driver checks exactly the 50 entries above) ----
+        "media_image_features": _q_media_image_features,
         "sibling_pipeline_agg": _q_sibling_pipeline,
         "bucket_script_agg": _q_bucket_script,
         "normalize_pipeline_agg": _q_normalize_pipeline,
@@ -5397,17 +5352,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_topk": _q_ann_filtered,
         "phrase_suggest": _q_phrase_suggest,
         "sampler_agg": _q_sampler,
-        "diversified_sampler_agg": _q_diversified_sampler,
         "intervals_topk": _q_intervals,
         "span_near_topk": _q_span_near,
         "span_not_topk": _q_span_not,
+        "span_first_topk": _q_span_first,
+        "span_containing_topk": _q_span_containing,
+        "span_within_topk": _q_span_within,
+        "percolate_matches": _q_percolate,
+        "rank_eval": _q_rank_eval,
+        # ---- end of driver window (the driver checks exactly the 50 entries
+        # above).  r04 window = media_meta_stats (last driver observation was
+        # the r01 FAIL; fix landed r2) + geo_line_agg/media_image_features
+        # (array columns now serialized) + 47 never-driver-checked entries.
+        # PLANNED r05 WINDOW (VERDICT r3 #3): the entries listed immediately
+        # below, in this order — extract_structured (now value-oracled; needs
+        # its first hash-green row) and adjacent_grouping (SURVEY-2 cadence
+        # re-check), then the final 35 never-driver-checked entries
+        # (diversified_sampler_agg .. categorize_text), then re-checks of the
+        # oldest driver-green rows to fill 50.  After r05 every entry has at
+        # least one driver row. ----
+        "extract_structured": _q_extract_structured,
+        "adjacent_grouping": _q_adjacent_grouping,
+        "diversified_sampler_agg": _q_diversified_sampler,
         "match_phrase_prefix_topk": _q_match_phrase_prefix,
         "decay_score_topk": _q_decay_score,
         "completion_suggest": _q_completion_suggest,
         "auto_date_histogram": _q_auto_date_histogram,
         "matrix_stats_agg": _q_matrix_stats,
-        "percolate_matches": _q_percolate,
-        "rank_eval": _q_rank_eval,
         "pinned_topk": _q_pinned,
         "t_test_agg": _q_t_test,
         "extended_stats_agg": _q_extended_stats,
@@ -5415,9 +5386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_topk": _q_rank_feature,
         "distance_feature_topk": _q_distance_feature,
         "federated_topk": _q_federated,
-        "span_first_topk": _q_span_first,
-        "span_containing_topk": _q_span_containing,
-        "span_within_topk": _q_span_within,
         "date_range_agg": _q_date_range,
         "frequent_item_sets": _q_frequent_item_sets,
         "mad_agg": _q_mad,
@@ -5440,6 +5408,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_min0": _q_date_histogram_min0,
         "terms_set_topk": _q_terms_set_topk,
         "categorize_text": _q_categorize_text,
+        # ---- end of planned r05 window queue ----
+        "scan_filter_project": _q_scan_filter_project,
+        "semi_join_inlist": _q_semi_join_inlist,
+        "broadcast_join_enrich": _q_broadcast_join_enrich,
+        "top1_per_key": _q_top1_per_key,
+        "events_tumbling": _q_events_tumbling,
+        "json_extract_agg": _q_json_extract,
+        "media_audio_features": _q_media_audio_features,
+        "intervals_ordered_topk": _q_intervals_ordered,
+        "intervals_unordered_topk": _q_intervals_unordered,
+        "nested_query_topk": _q_nested_topk,
+        "has_child_topk": _q_has_child_topk,
+        "has_parent_topk": _q_has_parent_topk,
+        "bucket_sort_agg": _q_bucket_sort_agg,
+        "budget_select": _q_budget_select,
+        "curriculum_order": _q_curriculum_order,
+        "hybrid_linear_topk": _q_hybrid_linear_topk,
+        "span_multi_topk": _q_span_multi,
+        "variable_width_histogram": _q_variable_width_histogram,
+        "ann_pq_rescore_topk": _q_ann_pq_rescore,
+        "media_image_meta": _q_media_image_meta,
+        "media_audio_meta": _q_media_audio_meta,
+        "kmv_distinct": _q_kmv_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
+        "bloom_filter": _q_bloom_filter,
+        "binned_quantiles": _q_binned_quantiles,
+        "geotile_grid_agg": _q_geotile_grid_agg,
+        "geo_bounds_agg": _q_geo_bounds_agg,
+        "geo_distance_agg": _q_geo_distance_agg,
+        "asof_join": _q_asof_join,
+        "attribution_join": _q_attribution_join,
+        "fuzzy_link": _q_fuzzy_link,
+        "ks_test_agg": _q_ks_test_agg,
+        "bucket_correlation_agg": _q_bucket_correlation_agg,
+        "change_point_agg": _q_change_point_agg,
+        "bpe_pair_counts": _q_bpe_pairs,
+        "bpe_learn": _q_bpe_learn,
+        "bpe_encode": _q_bpe_encode,
+        "weighted_sample": _q_weighted_sample,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "zipf_fit": _q_zipf_fit,
+        "scroll_slices": _q_scroll_slices,
+        "mix_weights": _q_mix_weights,
+        "dsir_weights": _q_dsir_weights,
+        "pipeline_agg": _q_pipeline_agg,
+        "terms_pipeline_agg": _q_terms_pipeline,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
@@ -5449,7 +5464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        "media_meta_stats": _q_media_meta_stats,
         "media_frame_sample": _q_media_frame_sample,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,

