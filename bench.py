@@ -573,10 +573,20 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
             ent = entry_mod.queries()
             entry_mod._index_for(spark, sf_dir)
             entry_mod._index_for_title(spark, sf_dir)
+            # r4 new-family headlines (VERDICT r3 #5): intervals DP,
+            # nested parent/child join, two-stage PQ+rescore ANN.  The
+            # positional sidecar build is warmed outside the timed
+            # window (resumable) for the same reason the index is.
+            entry_mod._ensure_positions(
+                spark, sf_dir, entry_mod._index_for(spark, sf_dir)
+            )
             for key, name in (
                 ("agg_sketch_hll", "hll_distinct"),
                 ("join_asof", "asof_join"),
                 ("query_multi_match", "multi_match_best_fields"),
+                ("query_intervals", "intervals_ordered_topk"),
+                ("join_nested", "nested_query_topk"),
+                ("ann_pq_rescore", "ann_pq_rescore_topk"),
             ):
                 t0 = time.time()
                 ent[name](spark, sf_dir).collect()

@@ -157,7 +157,18 @@ def seeded_shuffle(
     independently (Window.partitionBy(bucket) — parallel, never a
     single-task global WindowExec) and adds the bucket offset.  Offsets
     depend only on key VALUES, never on partition layout, so the
-    two-scan pattern cannot drift.  At 10^12 docs with prefix_len=4
+    two-scan pattern cannot drift across partitionings.
+
+    DETERMINISTIC-INPUT REQUIREMENT (this API is EAGER — the counts job
+    runs at call time, so the input lineage is evaluated twice): `docs`
+    must produce the same rows on re-evaluation.  A nondeterministic
+    source (df.sample(), a rand()-derived filter, a changing table)
+    can disagree between the counts pass and the rank pass, yielding
+    duplicated or gapped ranks with no error — cache()/checkpoint such
+    inputs before calling.  The same contract applies to
+    select_by_budget and curriculum_order below.
+
+    At 10^12 docs with prefix_len=4
     each of the 65 536 buckets sorts ~1.5e7 rows — bounded per-task
     work; raise prefix_len for more parallelism.  For training
     pipelines that only need shard-local shuffle, drop the rank and
@@ -391,7 +402,11 @@ def select_by_budget(
     global running total.  Bands whose offset already exceeds the
     budget are pruned BEFORE the window via the broadcast offsets
     relation, so only the kept prefix (plus its boundary band) ever
-    reaches the window."""
+    reaches the window.
+
+    EAGER + deterministic-input contract: see seeded_shuffle — the
+    band-counts job evaluates the input lineage at call time and again
+    at action time; nondeterministic inputs must be cached first."""
     from pyspark.sql import Window
 
     b = docs.withColumn("_band", F.round(F.col(score_col), precision))
@@ -445,7 +460,11 @@ def curriculum_order(
     offset buckets are (band, hash prefix) pairs: one
     n_bands * 16^prefix_len-row count aggregate, driver-side offsets,
     then a Window.partitionBy(band, bucket) row_number plus the offset.
-    Never a corpus-scale un-partitioned window."""
+    Never a corpus-scale un-partitioned window.
+
+    EAGER + deterministic-input contract: see seeded_shuffle — the
+    counts job evaluates the input lineage at call time and again at
+    action time; nondeterministic inputs must be cached first."""
     from pyspark.sql import Window
 
     band = F.least(
