@@ -378,6 +378,15 @@ JOB_EQUIV_REVS = {
                            # never imported by the leg
     "9223039": "23c0dc3",  # r3 Lucene-parity interval gaps —
                            # plans/intervals.py only, never imported
+    "cf3d272": "23c0dc3",  # r4 closed-form extraction corpus — additive
+                           # defs in sources/synth.py; gen_page /
+                           # synth_pages_df (the functions the leg
+                           # executes) byte-identical
+    "8823ef6": "23c0dc3",  # r4 histogram banding + scripted batching —
+                           # functions/{numstats,scripted}.py only,
+                           # never imported by the leg
+    "6355dd7": "23c0dc3",  # r4 sampling docstrings — comment-only diff
+                           # in functions/sampling.py, never imported
 }
 
 
