@@ -1787,6 +1787,64 @@ def _q_phrase_suggest(spark, sf_dir):
 _AUTO_HISTO_TARGET = 50
 
 
+_EQL_STAGES = ["click", "view", "purchase"]
+_EQL_MAXSPAN = 5 * 86400  # 5 days
+
+
+def _q_eql_sequence(spark, sf_dir):
+    """EQL `sequence by user_id with maxspan=5d [click][view][purchase]`
+    (functions/events_agg.eql_sequence): deterministic earliest-chain
+    funnel — each stage binds to the earliest matching event after the
+    previous one; per-key position windows + narrow (key, pos) joins."""
+    from rt_etl_yahoo_search_engine_spark.functions.events_agg import (
+        eql_sequence,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    out = eql_sequence(ev, _EQL_STAGES, maxspan_s=_EQL_MAXSPAN)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("e1_id").cast("long").alias("e1_id"),
+        F.col("e2_id").cast("long").alias("e2_id"),
+        F.col("e3_id").cast("long").alias("e3_id"),
+        F.unix_timestamp("start_ts").cast("long").alias("start_epoch"),
+        F.col("span_s").cast("long").alias("span_s"),
+    )
+
+
+_EQL_FOL = ("OVER (PARTITION BY key ORDER BY ts, eid "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
+
+_EQL_SQL = f"""
+WITH b AS (SELECT user_id AS key, ts, event_id AS eid, event_type AS stage,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pos
+           FROM events),
+w AS (SELECT *,
+        min(CASE WHEN stage = '{_EQL_STAGES[1]}' THEN pos END)
+          {_EQL_FOL} AS nxt2,
+        min(CASE WHEN stage = '{_EQL_STAGES[2]}' THEN pos END)
+          {_EQL_FOL} AS nxt3
+      FROM b),
+s1 AS (SELECT key, eid AS e1_id, ts AS t1, nxt2 FROM w
+       WHERE stage = '{_EQL_STAGES[0]}' AND nxt2 IS NOT NULL),
+s2 AS (SELECT s1.key, e1_id, t1, w.eid AS e2_id, w.nxt3
+       FROM s1 JOIN w ON w.key = s1.key AND w.pos = s1.nxt2
+       WHERE CAST(floor(epoch(w.ts)) AS BIGINT)
+             - CAST(floor(epoch(t1)) AS BIGINT) <= {_EQL_MAXSPAN}
+         AND w.nxt3 IS NOT NULL),
+s3 AS (SELECT s2.key, e1_id, t1, e2_id, w.eid AS e3_id, w.ts AS t3
+       FROM s2 JOIN w ON w.key = s2.key AND w.pos = s2.nxt3
+       WHERE CAST(floor(epoch(w.ts)) AS BIGINT)
+             - CAST(floor(epoch(t1)) AS BIGINT) <= {_EQL_MAXSPAN})
+SELECT key AS user_id, e1_id, e2_id, e3_id,
+       CAST(floor(epoch(t1)) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(t3)) AS BIGINT)
+       - CAST(floor(epoch(t1)) AS BIGINT) AS span_s
+FROM s3
+"""
+
+
 def _q_auto_date_histogram(spark, sf_dir):
     """ES `auto_date_histogram` (functions/events_agg.auto_date_histogram):
     the engine picks the smallest calendar interval with <= 50 distinct
@@ -5408,6 +5466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_min0": _q_date_histogram_min0,
         "terms_set_topk": _q_terms_set_topk,
         "categorize_text": _q_categorize_text,
+        "eql_sequence": _q_eql_sequence,  # new r4 — joins the r05 window
         # ---- end of planned r05 window queue ----
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
@@ -9442,6 +9501,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "decay_score_topk": _decay_score_sql(),
         "completion_suggest": _completion_sql(),
         "auto_date_histogram": _auto_histo_sql(),
+        "eql_sequence": _EQL_SQL,
         "unigram_logprob": _unigram_logprob_sql(),
         "bigram_logprob": _BIGRAM_LP_SQL,
         "winnow_fingerprints": _winnow_sql(),

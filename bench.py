@@ -666,7 +666,10 @@ def _scaling(sf_dir: str) -> None:
     estimator of true cost on a contended host."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
-    n_queries = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "100000"))
+    # default matches the ledger's historical legs (query legs pool only
+    # within one n_queries value — a mismatched default silently produces
+    # best-of-1 query tables)
+    n_queries = int(os.environ.get("SPARK_GRAFT_SCALING_QUERIES", "120000"))
     rev = _code_rev()
     pair = tuple(
         int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")

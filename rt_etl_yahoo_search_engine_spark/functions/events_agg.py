@@ -384,3 +384,98 @@ def rate_agg(
         "n",
         (F.col("m") / span.cast("double")).alias("rate"),
     )
+
+
+def eql_sequence(
+    events: DataFrame,
+    stages: list[str],
+    maxspan_s: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    stage_col: str = "event_type",
+) -> DataFrame:
+    """(key, e1_id..ek_id, start_ts, span_s) — EQL-style ``sequence by
+    <key> with maxspan`` (the Elastic Event Query Language sequence
+    query, re-expressed as the deterministic earliest-chain funnel):
+    every stage-1 event opens a candidate sequence; each later stage
+    binds to the EARLIEST event of its type strictly after the
+    previously bound event (same key); the sequence completes iff all
+    stages bind and the last event lies within ``maxspan_s`` seconds of
+    the first.  One output row per completed candidate (sequences may
+    share later-stage events — the standard funnel-analysis semantics,
+    which unlike EQL's streaming NFA has a closed-form relational
+    definition both engines reproduce exactly).
+
+    Scale shape: one per-key position index (Window.partitionBy(key)
+    row_number — per-key state, never a global sort) plus, for each
+    stage j >= 2, a conditional forward-looking min over the SAME
+    partitioned window spec ("position of my next stage-j event") —
+    all k-1 window columns share one sort.  The chain is then k-2
+    narrow equi-joins on (key, pos) carrying only ids/timestamps, with
+    the maxspan bound applied after every join (monotone in the chain,
+    so partial sequences are pruned at the earliest possible stage).
+    No state machine, no UDF, no per-key collect."""
+    from pyspark.sql import Window
+
+    if len(stages) < 2:
+        raise ValueError("eql_sequence needs >= 2 stages")
+    w_order = Window.partitionBy("key").orderBy(F.asc("ts"), F.asc("eid"))
+    w_fol = w_order.rowsBetween(1, Window.unboundedFollowing)
+    base = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(stage_col).alias("stage"),
+    ).withColumn("pos", F.row_number().over(w_order))
+    for j in range(2, len(stages) + 1):
+        base = base.withColumn(
+            f"nxt{j}",
+            F.min(
+                F.when(F.col("stage") == stages[j - 1], F.col("pos"))
+            ).over(w_fol),
+        )
+    cur = (
+        base.filter(F.col("stage") == stages[0])
+        .select(
+            "key",
+            F.col("eid").alias("e1_id"),
+            F.col("ts").alias("start_ts"),
+            F.col("nxt2").alias("_o"),
+        )
+        .filter(F.col("_o").isNotNull())
+    )
+    for j in range(2, len(stages) + 1):
+        nxt_cols = (
+            [F.col(f"nxt{j + 1}").alias("_nxt")]
+            if j < len(stages)
+            else []
+        )
+        step = base.select(
+            "key",
+            F.col("pos").alias("_o"),
+            F.col("eid").alias(f"e{j}_id"),
+            F.col("ts").alias(f"_ts{j}"),
+            *nxt_cols,
+        )
+        cur = cur.join(step, ["key", "_o"]).drop("_o")
+        if maxspan_s is not None:
+            cur = cur.filter(
+                F.unix_timestamp(F.col(f"_ts{j}"))
+                - F.unix_timestamp(F.col("start_ts"))
+                <= maxspan_s
+            )
+        if j < len(stages):
+            cur = cur.filter(F.col("_nxt").isNotNull()).withColumnRenamed(
+                "_nxt", "_o"
+            )
+    k = len(stages)
+    return cur.select(
+        "key",
+        *[F.col(f"e{j}_id") for j in range(1, k + 1)],
+        "start_ts",
+        (
+            F.unix_timestamp(F.col(f"_ts{k}"))
+            - F.unix_timestamp(F.col("start_ts"))
+        ).cast("long").alias("span_s"),
+    )
