@@ -403,6 +403,96 @@ def semdedup(
     )
 
 
+def _pq_train(base, m: int, sub: int, codebook_k: int, iters: int):
+    """ALL m subspace codebooks trained jointly in one driver loop —
+    returns (books[mi][cell] = centroid list, codes DataFrame
+    (vec_id, m, code)).
+
+    Same math as m independent kmeans_train calls (identical seed
+    vectors, identical per-subspace argmin expression — na - 2·ab + nb
+    over the same slice fold, array-min lexicographic tie-break to the
+    lowest cell), but ONE Spark job per Lloyd's iteration instead of m:
+    every row computes its m argmins in one whole-stage-codegen pass,
+    and one posexplode + groupBy((m, cell, dim-within-subspace))
+    aggregates all m·k·sub centroid sums together (metadata-scale
+    result).  At corpus scale this cuts training scans m-fold — the
+    difference between 12 and 3 passes over a 10^12-vector table for
+    the default m=4."""
+    seeds = [
+        [float(x) for x in r["v"]]
+        for r in base.filter(F.col("vec_id") < codebook_k)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    if len(seeds) < codebook_k:
+        raise ValueError(
+            f"corpus has fewer than codebook_k={codebook_k} seed vectors"
+        )
+    books = [
+        [seeds[j][mi * sub: (mi + 1) * sub] for j in range(codebook_k)]
+        for mi in range(m)
+    ]
+
+    def _lit_arr(c: list[float]) -> str:
+        return "array(" + ", ".join(repr(x) for x in c) + ")"
+
+    def _cells_arr(bks):
+        # per subspace: argmin over codebook_k (dist2, cell) pairs —
+        # the exact expression kmeans_train builds on the sliced
+        # relation (array-min lexicographic, ties to lowest cell)
+        per_m = []
+        for mi in range(m):
+            sl = f"slice(v, {mi * sub + 1}, {sub})"
+            na = F.expr(DOT_EXPR.format(a=sl, b=sl))
+            pairs = []
+            for j, c in enumerate(bks[mi]):
+                ab = F.expr(DOT_EXPR.format(a=sl, b=_lit_arr(c)))
+                nb = F.lit(sum(x * x for x in c))
+                pairs.append(F.array(na - 2.0 * ab + nb, F.lit(float(j))))
+            per_m.append(
+                F.element_at(F.array_min(F.array(*pairs)), 2).cast("int")
+            )
+        return F.array(*per_m)
+
+    for _ in range(iters):
+        sums = (
+            base.withColumn("_cells", _cells_arr(books))
+            .select("_cells", F.posexplode("v").alias("fdim", "x"))
+            .select(
+                (F.col("fdim") / sub).cast("int").alias("m"),
+                F.element_at(
+                    "_cells", (F.col("fdim") / sub).cast("int") + 1
+                ).alias("cell"),
+                (F.col("fdim") % sub).alias("ldim"),
+                "x",
+            )
+            .groupBy("m", "cell", "ldim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in sums:
+            acc.setdefault((r["m"], r["cell"]), [0.0] * sub)[r["ldim"]] = r["s"]
+            cnt[(r["m"], r["cell"])] = r["n"]
+        books = [
+            [
+                [s / cnt[(mi, j)] for s in acc[(mi, j)]]
+                if cnt.get((mi, j))
+                else books[mi][j]
+                for j in range(codebook_k)
+            ]
+            for mi in range(m)
+        ]
+    codes = base.select(
+        "vec_id", F.posexplode(_cells_arr(books)).alias("m0", "code")
+    ).select(
+        "vec_id", F.col("m0").cast("int").alias("m"),  # posexplode pos is 0-based
+        F.col("code").cast("int").alias("code"),
+    )
+    return books, codes
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -447,27 +537,7 @@ def pq_topk(
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-
-    code_parts = []
-    books = []  # books[mi][cell] = centroid list
-    for mi in range(m):
-        sliced = base.select(
-            "vec_id", F.slice("v", mi * sub + 1, sub).alias("embedding")
-        )
-        assign, cents = kmeans_train(
-            sliced, k=codebook_k, iters=iters, id_col="vec_id",
-            vec_col="embedding",
-        )
-        books.append(cents)
-        code_parts.append(
-            assign.select(
-                "vec_id", F.lit(mi).alias("m"),
-                F.col("cell").cast("int").alias("code"),
-            )
-        )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
+    books, codes = _pq_train(base, m, sub, codebook_k, iters)
 
     qvecs = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
