@@ -1880,6 +1880,139 @@ def _q_geotile_grid_agg(spark, sf_dir):
     )
 
 
+def _q_children_agg(spark, sf_dir):
+    """ES `children` aggregation (functions/nested.children_agg): terms
+    buckets over the PARENT field c_mktsegment, metrics over the child
+    orders (count, exact-decimal total, avg).  Bucket label joins onto
+    the pruned child relation, one map-side-combinable groupBy."""
+    from rt_etl_yahoo_search_engine_spark.functions.nested import (
+        children_agg,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "_price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = children_agg(
+        cust, orders, "c_custkey", "o_custkey", "c_mktsegment", "_price"
+    )
+    return out.select(
+        "bucket",
+        "n_children",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_children"), 6
+        ).alias("avg_value"),
+    )
+
+
+_CHILDREN_AGG_SQL = """
+SELECT c.c_mktsegment AS bucket,
+       CAST(count(*) AS BIGINT) AS n_children,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_value,
+       ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def _q_parent_agg(spark, sf_dir):
+    """ES `parent` aggregation (functions/nested.parent_agg): terms
+    buckets over the CHILD field o_orderpriority, metrics over the
+    DISTINCT parent customers having >= 1 order in the bucket."""
+    from rt_etl_yahoo_search_engine_spark.functions.nested import parent_agg
+
+    cust = _read(spark, sf_dir, "customer").withColumn(
+        "_bal", F.col("c_acctbal").cast("decimal(18,2)")
+    )
+    orders = _read(spark, sf_dir, "orders")
+    out = parent_agg(
+        cust, orders, "c_custkey", "o_custkey", "o_orderpriority", "_bal"
+    )
+    return out.select(
+        "bucket",
+        "n_parents",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round(
+            F.col("sum_value").cast("double") / F.col("n_parents"), 6
+        ).alias("avg_value"),
+    )
+
+
+_PARENT_AGG_SQL = """
+WITH pairs AS (SELECT DISTINCT o_orderpriority AS bucket,
+                      o_custkey AS k FROM orders)
+SELECT p.bucket,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_value,
+       ROUND(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_value
+FROM pairs p JOIN customer c ON p.k = c.c_custkey
+GROUP BY 1
+"""
+
+
+_GEOHASH_PRECISION = 4
+
+
+def _q_geohash_grid_agg(spark, sf_dir):
+    """ES `geohash_grid` (functions/geo.geohash_grid): point counts per
+    4-char geohash cell — relational shift/mask base32 encoding, no
+    UDF, over the deterministic per-event coordinates."""
+    from rt_etl_yahoo_search_engine_spark.functions.geo import (
+        geohash_grid, with_coords,
+    )
+
+    pts = with_coords(_read(spark, sf_dir, "events"))
+    return geohash_grid(pts, _GEOHASH_PRECISION).select(
+        "geohash", F.col("n").cast("long").alias("n")
+    )
+
+
+def _geohash_sql(precision: int = _GEOHASH_PRECISION) -> str:
+    """DuckDB mirror of geo.geohash_grid: same cellx/celly expression
+    order, same shift/mask char packing, same base32 table."""
+    from rt_etl_yahoo_search_engine_spark.functions.geo import GEOHASH_BASE32
+
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    char_exprs = []
+    for i in range(precision):
+        terms = []
+        for kbit in range(5):
+            g = 5 * i + kbit
+            if g % 2 == 0:
+                s = f"((x >> {lonbits - 1 - g // 2}) & 1)"
+            else:
+                s = f"((y >> {latbits - 1 - (g - 1) // 2}) & 1)"
+            terms.append(f"{s} * {1 << (4 - kbit)}")
+        char_exprs.append(
+            f"substr('{GEOHASH_BASE32}',"
+            f" CAST({' + '.join(terms)} AS INTEGER) + 1, 1)"
+        )
+    geohash = "\n       || ".join(char_exprs)
+    return f"""
+WITH c AS (SELECT CAST(-60.0005 AS DOUBLE)
+                  + ((event_id * 7919) % 120000)
+                    / CAST(1000.0 AS DOUBLE) AS lat,
+                  CAST(-179.9993 AS DOUBLE)
+                  + ((event_id * 104729) % 360000)
+                    / CAST(1000.0 AS DOUBLE) AS lon
+           FROM events),
+g AS (SELECT CAST(floor((lon + 180.0) / 360.0 * {float(2 ** lonbits)})
+                  AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) / 180.0 * {float(2 ** latbits)})
+                  AS BIGINT) AS y
+      FROM c)
+SELECT {geohash} AS geohash, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1
+"""
+
+
 _GEO_LINE_SIZE = 10
 
 
@@ -5467,6 +5600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set_topk": _q_terms_set_topk,
         "categorize_text": _q_categorize_text,
         "eql_sequence": _q_eql_sequence,  # new r4 — joins the r05 window
+        "geohash_grid_agg": _q_geohash_grid_agg,  # new r4 — joins the r05 window
+        "children_agg": _q_children_agg,  # new r4 — joins the r05 window
+        "parent_agg": _q_parent_agg,  # new r4 — joins the r05 window
         # ---- end of planned r05 window queue ----
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
@@ -9502,6 +9638,9 @@ FROM hits h JOIN documents d USING (doc_id)
         "completion_suggest": _completion_sql(),
         "auto_date_histogram": _auto_histo_sql(),
         "eql_sequence": _EQL_SQL,
+        "geohash_grid_agg": _geohash_sql(),
+        "children_agg": _CHILDREN_AGG_SQL,
+        "parent_agg": _PARENT_AGG_SQL,
         "unigram_logprob": _unigram_logprob_sql(),
         "bigram_logprob": _BIGRAM_LP_SQL,
         "winnow_fingerprints": _winnow_sql(),

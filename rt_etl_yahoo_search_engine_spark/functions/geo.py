@@ -194,3 +194,59 @@ def geo_line(
             "n_points",
         )
     )
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_grid(points: DataFrame, precision: int = 4,
+                 keys: list[str] | None = None) -> DataFrame:
+    """(geohash, <keys...>, n): point counts per geohash cell at
+    `precision` chars — ES `geohash_grid` (the other grid agg beside
+    geotile_grid; geohash is the classic base32 Z-order encoding).
+
+    The hash is computed RELATIONALLY, no UDF: with nbits = 5*precision
+    (lon takes ceil(nbits/2) bits, lat the rest),
+        cellx = floor((lon + 180) / 360 * 2^lonbits)
+        celly = floor((lat + 90) / 180 * 2^latbits)
+    and each output char c_i packs the five interleaved bits
+    (lon bit, lat bit, ...) indexed from the MSB — plain shift/mask
+    arithmetic on two longs, then a base32 substr per char.  All
+    whole-stage codegen: one scan + one small-key groupBy (cells at
+    precision p are bounded by 32^p and in practice by the data
+    extent), map-side combinable.
+
+    Engine/oracle floor() agreement rides on the mirrored expression
+    ORDER (the same fixed-op-order contract as the other geo aggs):
+    both engines evaluate the identical IEEE-double expression, so even
+    a coordinate landing exactly on a cell edge floors identically."""
+    if precision < 1 or precision > 8:
+        raise ValueError(f"precision must be 1..8, got {precision}")
+    nbits = 5 * precision
+    lonbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    cellx = F.floor(
+        (F.col("lon") + 180.0) / 360.0 * F.lit(float(2 ** lonbits))
+    ).cast("long")
+    celly = F.floor(
+        (F.col("lat") + 90.0) / 180.0 * F.lit(float(2 ** latbits))
+    ).cast("long")
+    chars = []
+    for i in range(precision):
+        idx = F.lit(0)
+        for kbit in range(5):
+            g = 5 * i + kbit
+            if g % 2 == 0:  # even global bits come from lon
+                bit = F.shiftright(cellx, lonbits - 1 - g // 2)
+            else:
+                bit = F.shiftright(celly, latbits - 1 - (g - 1) // 2)
+            idx = idx + bit.bitwiseAND(F.lit(1)) * F.lit(1 << (4 - kbit))
+        chars.append(
+            F.substr(F.lit(GEOHASH_BASE32), (idx + 1).cast("int"), F.lit(1))
+        )
+    keys = keys or []
+    return (
+        points.withColumn("geohash", F.concat(*chars))
+        .groupBy("geohash", *keys)
+        .agg(F.count("*").alias("n"))
+    )

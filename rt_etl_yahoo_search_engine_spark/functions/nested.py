@@ -145,3 +145,76 @@ def has_parent_topk(
         .limit(k)
         .select(child_id, parent_key, "score")
     )
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(bucket, n_children, sum_value, avg_value) — ES `children`
+    AGGREGATION (distinct from the has_child QUERY): a terms bucket over
+    a PARENT field switches context to the child documents, so each
+    parent bucket aggregates metrics over every child whose parent falls
+    in it (ES docs: search-aggregations-bucket-children-aggregation).
+
+    Scale shape: the children side never aggregates per parent first —
+    one key-equi join attaches the parent's bucket label to each child
+    row (the (parent_key, bucket) relation is two narrow columns,
+    broadcast when the parent table is small; AQE picks otherwise), then
+    ONE map-side-combinable groupBy(bucket).  Child payload columns are
+    pruned to (child_key, value_col) before the join."""
+    lab = parents.select(
+        F.col(parent_key).alias("_k"), F.col(bucket_col).alias("bucket")
+    )
+    kids = children.select(
+        F.col(child_key).alias("_k"), F.col(value_col).alias("_v")
+    )
+    return (
+        kids.join(lab, "_k")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_children"),
+            F.sum("_v").alias("sum_value"),
+            F.avg("_v").alias("avg_value"),
+        )
+    )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(bucket, n_parents, sum_value, avg_value) — ES `parent`
+    AGGREGATION: a terms bucket over a CHILD field switches context to
+    the parent documents; each child bucket aggregates metrics over the
+    DISTINCT parents that have at least one child in it (a parent with
+    three matching children counts once — ES joins back to the parent
+    doc set).
+
+    Scale shape: children reduce to DISTINCT (bucket, parent key) pairs
+    first (map-side-combinable distinct — the only corpus-scale work),
+    then one narrow join to the parent metric columns and one
+    groupBy(bucket)."""
+    pairs = children.select(
+        F.col(bucket_col).alias("bucket"), F.col(child_key).alias("_k")
+    ).distinct()
+    pmetrics = parents.select(
+        F.col(parent_key).alias("_k"), F.col(value_col).alias("_v")
+    )
+    return (
+        pairs.join(pmetrics, "_k")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_parents"),
+            F.sum("_v").alias("sum_value"),
+            F.avg("_v").alias("avg_value"),
+        )
+    )
