@@ -5555,13 +5555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above).  r04 window = media_meta_stats (last driver observation was
         # the r01 FAIL; fix landed r2) + geo_line_agg/media_image_features
         # (array columns now serialized) + 47 never-driver-checked entries.
-        # PLANNED r05 WINDOW (VERDICT r3 #3): the entries listed immediately
-        # below, in this order — extract_structured (now value-oracled; needs
-        # its first hash-green row) and adjacent_grouping (SURVEY-2 cadence
-        # re-check), then the final 35 never-driver-checked entries
-        # (diversified_sampler_agg .. categorize_text), then re-checks of the
-        # oldest driver-green rows to fill 50.  After r05 every entry has at
-        # least one driver row. ----
+        # PLANNED r05 WINDOW (VERDICT r3 #3): the 41 entries listed
+        # immediately below, in this order — extract_structured (now
+        # value-oracled; needs its first hash-green row) and
+        # adjacent_grouping (SURVEY-2 cadence re-check), then the final 35
+        # never-driver-checked entries (diversified_sampler_agg ..
+        # categorize_text), then the 4 operators ADDED in r4 (eql_sequence,
+        # geohash_grid_agg, children_agg, parent_agg — all pre-verified
+        # against the same harness at sf0.01 AND sf0.1 this round), then 9
+        # re-checks of the oldest driver-green rows to fill 50.  After r05
+        # every entry has at least one driver row. ----
         "extract_structured": _q_extract_structured,
         "adjacent_grouping": _q_adjacent_grouping,
         "diversified_sampler_agg": _q_diversified_sampler,
