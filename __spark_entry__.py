@@ -1880,6 +1880,42 @@ def _q_geotile_grid_agg(spark, sf_dir):
     )
 
 
+_TERMS_ENUM_PREFIX, _TERMS_ENUM_N = "s", 40
+
+
+def _q_terms_enum(spark, sf_dir):
+    """ES `_terms_enum` API: up to N index terms matching a prefix, in
+    term order, with document frequency — served from the REAL index
+    lexicon (term-sorted files, so the prefix range prunes to a few row
+    groups; the same read path search_prefix_topk expands through),
+    sort+limit planned as TakeOrderedAndProject."""
+    from rt_etl_yahoo_search_engine_spark.sources.catalog import Catalog
+
+    root = _index_for(spark, sf_dir)
+    lex = Catalog(root).read(spark, "lexicon")
+    return (
+        lex.filter(
+            (F.col("term") >= _TERMS_ENUM_PREFIX)
+            & (F.col("term") < _TERMS_ENUM_PREFIX + "\x7f")
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+        .limit(_TERMS_ENUM_N)
+    )
+
+
+def _terms_enum_sql() -> str:
+    return f"""
+WITH tf AS (SELECT DISTINCT doc_id, term
+            FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOKS_EN})))
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM tf
+WHERE term >= '{_TERMS_ENUM_PREFIX}'
+  AND term < '{_TERMS_ENUM_PREFIX}' || chr(127)
+GROUP BY term ORDER BY term LIMIT {_TERMS_ENUM_N}
+"""
+
+
 def _q_children_agg(spark, sf_dir):
     """ES `children` aggregation (functions/nested.children_agg): terms
     buckets over the PARENT field c_mktsegment, metrics over the child
@@ -5555,16 +5591,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above).  r04 window = media_meta_stats (last driver observation was
         # the r01 FAIL; fix landed r2) + geo_line_agg/media_image_features
         # (array columns now serialized) + 47 never-driver-checked entries.
-        # PLANNED r05 WINDOW (VERDICT r3 #3): the 41 entries listed
+        # PLANNED r05 WINDOW (VERDICT r3 #3): the 42 entries listed
         # immediately below, in this order — extract_structured (now
         # value-oracled; needs its first hash-green row) and
         # adjacent_grouping (SURVEY-2 cadence re-check), then the final 35
         # never-driver-checked entries (diversified_sampler_agg ..
-        # categorize_text), then the 4 operators ADDED in r4 (eql_sequence,
-        # geohash_grid_agg, children_agg, parent_agg — all pre-verified
-        # against the same harness at sf0.01 AND sf0.1 this round), then 9
-        # re-checks of the oldest driver-green rows to fill 50.  After r05
-        # every entry has at least one driver row. ----
+        # categorize_text), then the 5 operators ADDED in r4 (eql_sequence,
+        # geohash_grid_agg, children_agg, parent_agg, terms_enum — all
+        # pre-verified against the same harness at sf0.01, the first four
+        # at sf0.1 too, this round), then 8 re-checks of the oldest
+        # driver-green rows to fill 50.  After r05 every entry has at
+        # least one driver row. ----
         "extract_structured": _q_extract_structured,
         "adjacent_grouping": _q_adjacent_grouping,
         "diversified_sampler_agg": _q_diversified_sampler,
@@ -5606,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid_agg": _q_geohash_grid_agg,  # new r4 — joins the r05 window
         "children_agg": _q_children_agg,  # new r4 — joins the r05 window
         "parent_agg": _q_parent_agg,  # new r4 — joins the r05 window
+        "terms_enum": _q_terms_enum,  # new r4 — joins the r05 window
         # ---- end of planned r05 window queue ----
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
@@ -9644,6 +9682,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "geohash_grid_agg": _geohash_sql(),
         "children_agg": _CHILDREN_AGG_SQL,
         "parent_agg": _PARENT_AGG_SQL,
+        "terms_enum": _terms_enum_sql(),
         "unigram_logprob": _unigram_logprob_sql(),
         "bigram_logprob": _BIGRAM_LP_SQL,
         "winnow_fingerprints": _winnow_sql(),
