@@ -1880,6 +1880,54 @@ def _q_geotile_grid_agg(spark, sf_dir):
     )
 
 
+_SPARSE_QUERIES = {
+    "sv1": {"order": 2.0, "hash": 1.5, "scan": 0.25},
+    "sv2": {"join": 1.0, "filter": 0.5, "group": 0.75},
+}
+
+
+def _q_sparse_vector_topk(spark, sf_dir):
+    """ES `sparse_vector` query (plans/sparsevec.sparse_vector_topk):
+    learned-sparse dot-product retrieval with dyadic query weights (sums
+    exact in double, so the score is engine/partition independent)."""
+    from rt_etl_yahoo_search_engine_spark.plans.sparsevec import (
+        sparse_vector_topk,
+    )
+
+    root = _index_for(spark, sf_dir)
+    out = sparse_vector_topk(spark, root, _SPARSE_QUERIES, k=10)
+    dm = _docmap_orig(spark, sf_dir)
+    return out.join(dm, "doc_id").select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sparse_vector_sql() -> str:
+    wrows = ", ".join(
+        f"('{qid}', '{t}', {w!r})"
+        for qid, ws in _SPARSE_QUERIES.items()
+        for t, w in ws.items()
+    )
+    return f"""
+WITH w(query_id, term, wt) AS (VALUES {wrows}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM ({{toks}}))
+       GROUP BY doc_id, term),
+s AS (SELECT w.query_id, tf.doc_id,
+             sum(CAST(w.wt AS DOUBLE) * tf.tf) AS score
+      FROM tf JOIN w USING (term) GROUP BY 1, 2)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       ROUND(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM s)
+WHERE rank <= 10
+"""
+
+
 _TERMS_ENUM_PREFIX, _TERMS_ENUM_N = "s", 40
 
 
@@ -5591,15 +5639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above).  r04 window = media_meta_stats (last driver observation was
         # the r01 FAIL; fix landed r2) + geo_line_agg/media_image_features
         # (array columns now serialized) + 47 never-driver-checked entries.
-        # PLANNED r05 WINDOW (VERDICT r3 #3): the 42 entries listed
+        # PLANNED r05 WINDOW (VERDICT r3 #3): the 43 entries listed
         # immediately below, in this order — extract_structured (now
         # value-oracled; needs its first hash-green row) and
         # adjacent_grouping (SURVEY-2 cadence re-check), then the final 35
         # never-driver-checked entries (diversified_sampler_agg ..
-        # categorize_text), then the 5 operators ADDED in r4 (eql_sequence,
-        # geohash_grid_agg, children_agg, parent_agg, terms_enum — all
-        # pre-verified against the same harness at sf0.01, the first four
-        # at sf0.1 too, this round), then 8 re-checks of the oldest
+        # categorize_text), then the 6 operators ADDED in r4 (eql_sequence,
+        # geohash_grid_agg, children_agg, parent_agg, terms_enum,
+        # sparse_vector_topk — all pre-verified against the same harness
+        # at sf0.01, most at sf0.1 too, this round), then 7 re-checks of the oldest
         # driver-green rows to fill 50.  After r05 every entry has at
         # least one driver row. ----
         "extract_structured": _q_extract_structured,
@@ -5644,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": _q_children_agg,  # new r4 — joins the r05 window
         "parent_agg": _q_parent_agg,  # new r4 — joins the r05 window
         "terms_enum": _q_terms_enum,  # new r4 — joins the r05 window
+        "sparse_vector_topk": _q_sparse_vector_topk,  # new r4 — joins the r05 window
         # ---- end of planned r05 window queue ----
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
@@ -9683,6 +9732,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "children_agg": _CHILDREN_AGG_SQL,
         "parent_agg": _PARENT_AGG_SQL,
         "terms_enum": _terms_enum_sql(),
+        "sparse_vector_topk": _sparse_vector_sql().format(toks=_TOKS_EN),
         "unigram_logprob": _unigram_logprob_sql(),
         "bigram_logprob": _BIGRAM_LP_SQL,
         "winnow_fingerprints": _winnow_sql(),
