@@ -537,22 +537,34 @@ def intervals_topk(
     scores = score_docs(
         spark, index_root, score_q, mode=spec.MODE_DISJUNCTIVE
     )
+    # one (query_id, doc_id) matched relation + ONE semi join: the
+    # per-query `scores.filter(qid).join(...)` branch form duplicated
+    # the whole scoring subtree per query (no ReusedExchange — the
+    # branch filters break canonical equality; measured 18 vs 15
+    # Python-boundary stages and 81 vs 69 exchanges at Q=2), i.e.
+    # plan size and scan work LINEAR IN Q.  The tagged union +
+    # two-key semi join keeps the scoring relation single-evaluation
+    # at any batch size; at tiny Q the old form's redundant branches
+    # ran concurrently and could wall-clock slightly faster on an
+    # idle box (A/B at sf0.1, Q=2: 4.7 s vs 5.5 s warm) — the wrong
+    # trade at every larger Q (r4).
     parts = []
     for qid, src in norm.items():
         if qid not in score_q:
             continue
-        matched = _eval(src, leaf_df, qid)
         parts.append(
-            scores.filter(F.col("query_id") == qid)
-            .join(matched, "doc_id", "left_semi")
+            _eval(src, leaf_df, qid).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
         )
     if not parts:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"
         )
-    rel = parts[0]
+    matched = parts[0]
     for p_ in parts[1:]:
-        rel = rel.unionByName(p_)
+        matched = matched.unionByName(p_)
+    rel = scores.join(matched, ["query_id", "doc_id"], "left_semi")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
