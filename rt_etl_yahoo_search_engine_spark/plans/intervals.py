@@ -472,15 +472,19 @@ def _complex_matches(
         k: " ".join(sorted(_required(n)))
         for k, n in nodes.items() if _required(n)
     }
-    cand = (
-        match_docs(spark, index_root, req, mode=spec.MODE_CONJUNCTIVE)
-        if req else None
-    )
     parts = []
     for k, n in nodes.items():
+        # per-node match_docs (not one shared all-nodes relation
+        # filtered per branch): the shared form's scan read the UNION
+        # of every node's terms in each of the N branches — N× the
+        # posting bytes; the per-node call isin-prunes each branch's
+        # scan to its OWN terms, keeping total read work linear (r4)
         cdocs = (
-            cand.filter(F.col("query_id") == k).select("doc_id")
-            if cand is not None and k in req else None
+            match_docs(
+                spark, index_root, {k: req[k]},
+                mode=spec.MODE_CONJUNCTIVE,
+            ).select("doc_id")
+            if k in req else None
         )
         iv = _node_intervals(n, pos, cdocs)
         parts.append(
