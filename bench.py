@@ -387,6 +387,20 @@ JOB_EQUIV_REVS = {
                            # never imported by the leg
     "6355dd7": "23c0dc3",  # r4 sampling docstrings — comment-only diff
                            # in functions/sampling.py, never imported
+    "8d76e3a": "23c0dc3",  # r4 eql_sequence — additive functions/
+                           # events_agg.py fn, never imported by the leg
+    "5f23b4d": "23c0dc3",  # r4 joint PQ trainer — functions/similarity.py
+                           # only, never imported by the leg
+    "8e7d9bc": "23c0dc3",  # r4 geohash + children/parent aggs — additive
+                           # functions/{geo,nested}.py, never imported
+    "7d3e157": "23c0dc3",  # r4 streaming EQL — new streaming/eql_stream.py,
+                           # never imported by the leg
+    "5c6a80d": "23c0dc3",  # r4 sparse_vector — new plans/sparsevec.py,
+                           # never imported by the leg
+    "a57fa9b": "23c0dc3",  # r4 intervals semi-join — plans/intervals.py
+                           # only, never imported by the leg
+    "44ac358": "23c0dc3",  # r4 intervals per-node prefilter — same file,
+                           # never imported by the leg
 }
 
 
