@@ -1928,6 +1928,43 @@ WHERE rank <= 10
 """
 
 
+_MBP_QUERIES = {
+    "m1": "scan filter gro",
+    "m2": "hash jo",
+    "m3": "big ta",
+}
+
+
+def _mbp_as_search(queries: dict[str, str]) -> dict[str, str]:
+    """ES match_bool_prefix text -> this engine's search syntax: every
+    term a plain disjunctive term, the LAST a `term*` prefix."""
+    out = {}
+    for qid, text in queries.items():
+        toks = text.split()
+        out[qid] = " ".join(toks[:-1] + [toks[-1] + "*"])
+    return out
+
+
+def _q_match_bool_prefix(spark, sf_dir):
+    """ES `match_bool_prefix` query: each term scores as an ordinary
+    bool should-term and the LAST term matches as a prefix — composed
+    as plans/search `"t1 t2 last*"` (the prefix expands via the lexicon
+    range read and scores as plain disjunctive contributions, exactly
+    ES's per-expansion term scoring)."""
+    from rt_etl_yahoo_search_engine_spark.plans.search import search_topk
+
+    root = _index_for(spark, sf_dir)
+    out = search_topk(
+        spark, root, _mbp_as_search(_MBP_QUERIES), k=10, with_url=True
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 _TERMS_ENUM_PREFIX, _TERMS_ENUM_N = "s", 40
 
 
@@ -5639,15 +5676,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above).  r04 window = media_meta_stats (last driver observation was
         # the r01 FAIL; fix landed r2) + geo_line_agg/media_image_features
         # (array columns now serialized) + 47 never-driver-checked entries.
-        # PLANNED r05 WINDOW (VERDICT r3 #3): the 43 entries listed
+        # PLANNED r05 WINDOW (VERDICT r3 #3): the 44 entries listed
         # immediately below, in this order — extract_structured (now
         # value-oracled; needs its first hash-green row) and
         # adjacent_grouping (SURVEY-2 cadence re-check), then the final 35
         # never-driver-checked entries (diversified_sampler_agg ..
-        # categorize_text), then the 6 operators ADDED in r4 (eql_sequence,
+        # categorize_text), then the 7 operators ADDED in r4 (eql_sequence,
         # geohash_grid_agg, children_agg, parent_agg, terms_enum,
-        # sparse_vector_topk — all pre-verified against the same harness
-        # at sf0.01, most at sf0.1 too, this round), then 7 re-checks of the oldest
+        # sparse_vector_topk, match_bool_prefix_topk — all pre-verified
+        # against the same harness at sf0.01, most at sf0.1 too, this
+        # round), then 6 re-checks of the oldest
         # driver-green rows to fill 50.  After r05 every entry has at
         # least one driver row. ----
         "extract_structured": _q_extract_structured,
@@ -5693,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_agg": _q_parent_agg,  # new r4 — joins the r05 window
         "terms_enum": _q_terms_enum,  # new r4 — joins the r05 window
         "sparse_vector_topk": _q_sparse_vector_topk,  # new r4 — joins the r05 window
+        "match_bool_prefix_topk": _q_match_bool_prefix,  # new r4 — joins the r05 window
         # ---- end of planned r05 window queue ----
         "scan_filter_project": _q_scan_filter_project,
         "semi_join_inlist": _q_semi_join_inlist,
@@ -8192,17 +8231,19 @@ WHERE rank <= 10
 """
 
 
-def _search_prefix_sql() -> str:
+def _search_prefix_sql(queries: dict | None = None) -> str:
     """_search_sql plus the prefix operator: each `wor*` expands to the
     vocabulary terms LIKE 'wor%' (exactly plans/bm25.expand_prefix's range
     read with max_expand=None), union'd into the positive term set;
     `-wor*` expands into the excluded set.  Empty operator groups get a
-    placeholder row whose query_id '' matches nothing."""
+    placeholder row whose query_id '' matches nothing.  `queries`
+    defaults to PREFIX_QUERIES; match_bool_prefix reuses the generator
+    with its converted query dict."""
     from rt_etl_yahoo_search_engine_spark.plans.phrase import phrase_needle
     from rt_etl_yahoo_search_engine_spark.plans.search import parse_query
 
     qt, qp, req, neg, qx, qxp = [], [], [], [], [], []
-    for qid, text in PREFIX_QUERIES.items():
+    for qid, text in (queries or PREFIX_QUERIES).items():
         p = parse_query(text)
         for t in p.positive_tokens:
             qt.append(f"('{qid}', '{t}')")
@@ -9733,6 +9774,7 @@ FROM hits h JOIN documents d USING (doc_id)
         "parent_agg": _PARENT_AGG_SQL,
         "terms_enum": _terms_enum_sql(),
         "sparse_vector_topk": _sparse_vector_sql().format(toks=_TOKS_EN),
+        "match_bool_prefix_topk": _search_prefix_sql(_mbp_as_search(_MBP_QUERIES)),
         "unigram_logprob": _unigram_logprob_sql(),
         "bigram_logprob": _BIGRAM_LP_SQL,
         "winnow_fingerprints": _winnow_sql(),
