@@ -1247,7 +1247,7 @@ _MM_CROSS = {"title": 1.0, "body": 1.0}
 _MM_TB = 0.3
 
 
-def _q_multi_match(spark, sf_dir, match_type, boosts, tb):
+def _multi_match_entry(spark, sf_dir, match_type, boosts, tb):
     from rt_etl_yahoo_search_engine_spark.plans.multimatch import (
         multi_match_topk,
     )
@@ -1273,13 +1273,13 @@ def _q_multi_match_best_fields(spark, sf_dir):
     """ES `multi_match` type=best_fields (plans/multimatch): title^2 and
     body fields each scored as their own BM25 index, dis_max across
     fields with tie_breaker=0.3, top-10 per DOC_QUERY."""
-    return _q_multi_match(spark, sf_dir, "best_fields", _MM_BEST, _MM_TB)
+    return _multi_match_entry(spark, sf_dir, "best_fields", _MM_BEST, _MM_TB)
 
 
 def _q_multi_match_most_fields(spark, sf_dir):
     """ES `multi_match` type=most_fields (plans/multimatch): per-field
     BM25 scores SUM (title^1.5 + body), top-10 per DOC_QUERY."""
-    return _q_multi_match(spark, sf_dir, "most_fields", _MM_MOST, 0.0)
+    return _multi_match_entry(spark, sf_dir, "most_fields", _MM_MOST, 0.0)
 
 
 def _q_multi_match_cross_fields(spark, sf_dir):
@@ -1287,7 +1287,7 @@ def _q_multi_match_cross_fields(spark, sf_dir):
     centric blend — per term, per-field tf-norms weighted by a BLENDED
     idf (df = max across fields, Lucene BlendedTermQuery) and combined
     by dis_max (tie_breaker=0.3); per-doc sum; top-10 per DOC_QUERY."""
-    return _q_multi_match(spark, sf_dir, "cross_fields", _MM_CROSS, _MM_TB)
+    return _multi_match_entry(spark, sf_dir, "cross_fields", _MM_CROSS, _MM_TB)
 
 
 def _q_boosting_topk(spark, sf_dir):
@@ -5613,81 +5613,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the DRIVER WINDOW (the driver checks the first
-    50 entries).  r04 rotation (VERDICT r3 #2): positions 1-3 are the
-    three entries whose last driver observation was not green
-    (media_meta_stats r01 FAIL with the fix two rounds old;
-    geo_line_agg / media_image_features r03 canonicalizer errors, array
-    columns now serialized); positions 4-50 are 47 never-driver-checked
-    entries (pipeline-agg family, span family, percolate, rank_eval,
-    dedup/kmeans/semdedup, ...).  The marker comment after position 50
-    records the planned r05 window so the rotation is auditable."""
+    50 entries).  r05 rotation (VERDICT r4 #1): positions 1-44 are the
+    committed r05 plan (extract_structured first — the last
+    checked-never-green entry, value-oracled in r4; adjacent_grouping;
+    the 35 remaining never-driver-checked entries; the 7 r4-new
+    operators), positions 45-50 are staleness re-checks of rows last
+    green in r01.  After r05 every registered entry has at least one
+    driver row.  The remainder is sorted oldest-green-first with
+    last-green rounds recorded inline, so future rotations are a pure
+    staleness sweep (VERDICT r4 #7)."""
     return {
-        "media_meta_stats": _q_media_meta_stats,
-        "geo_line_agg": _q_geo_line_agg,
-        "media_image_features": _q_media_image_features,
-        "sibling_pipeline_agg": _q_sibling_pipeline,
-        "bucket_script_agg": _q_bucket_script,
-        "normalize_pipeline_agg": _q_normalize_pipeline,
-        "moving_percentiles_agg": _q_moving_percentiles,
-        "serial_diff_agg": _q_serial_diff,
-        "rate_agg": _q_rate_agg,
-        "cumulative_cardinality": _q_cumulative_cardinality,
-        "bucket_selector_agg": _q_bucket_selector,
-        "ann_pq_topk": _q_ann_pq,
-        "rag_chunks": _q_rag_chunks,
-        "shingle_counts": _q_shingle_counts,
-        "edge_ngram_index": _q_edge_ngram_index,
-        "js_divergence_lang": _q_js_divergence,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "semdedup": _q_semdedup,
-        "dedup_minhash_verified": _q_dedup_minhash_verified,
-        "scripted_metric_agg": _q_scripted_metric_agg,
-        "unigram_logprob": _q_unigram_logprob,
-        "bigram_logprob": _q_bigram_logprob,
-        "winnow_fingerprints": _q_winnow,
-        "ngram_lang_id": _q_ngram_lang_id,
-        "quality_funnel": _q_quality_funnel,
-        "chunk_dedup": _q_chunk_dedup,
-        "c4_line_dedup": _q_line_dedup,
-        "boosting_topk": _q_boosting_topk,
-        "histogram_agg": _q_histogram_agg,
-        "cardinality_agg": _q_cardinality_agg,
-        "rescore_topk": _q_rescore_topk,
-        "composite_agg": _q_composite_agg,
-        "adjacency_matrix": _q_adjacency_matrix,
-        "multi_terms_agg": _q_multi_terms,
-        "rare_terms_agg": _q_rare_terms,
-        "filters_agg": _q_filters_agg,
-        "term_vectors": _q_term_vectors,
-        "percentile_ranks_agg": _q_percentile_ranks,
-        "string_stats_agg": _q_string_stats,
-        "ann_filtered_topk": _q_ann_filtered,
-        "phrase_suggest": _q_phrase_suggest,
-        "sampler_agg": _q_sampler,
-        "intervals_topk": _q_intervals,
-        "span_near_topk": _q_span_near,
-        "span_not_topk": _q_span_not,
-        "span_first_topk": _q_span_first,
-        "span_containing_topk": _q_span_containing,
-        "span_within_topk": _q_span_within,
-        "percolate_matches": _q_percolate,
-        "rank_eval": _q_rank_eval,
-        # ---- end of driver window (the driver checks exactly the 50 entries
-        # above).  r04 window = media_meta_stats (last driver observation was
-        # the r01 FAIL; fix landed r2) + geo_line_agg/media_image_features
-        # (array columns now serialized) + 47 never-driver-checked entries.
-        # PLANNED r05 WINDOW (VERDICT r3 #3): the 44 entries listed
-        # immediately below, in this order — extract_structured (now
-        # value-oracled; needs its first hash-green row) and
-        # adjacent_grouping (SURVEY-2 cadence re-check), then the final 35
-        # never-driver-checked entries (diversified_sampler_agg ..
-        # categorize_text), then the 7 operators ADDED in r4 (eql_sequence,
-        # geohash_grid_agg, children_agg, parent_agg, terms_enum,
-        # sparse_vector_topk, match_bool_prefix_topk — all pre-verified
-        # against the same harness at sf0.01, most at sf0.1 too, this
-        # round), then 6 re-checks of the oldest
-        # driver-green rows to fill 50.  After r05 every entry has at
-        # least one driver row. ----
+        # ==== r05 DRIVER WINDOW (positions 1-50) ====
+        # Rotation per VERDICT r4 'Next round #1': the committed r05 plan.
+        # 1: extract_structured — the single checked-never-green entry;
+        #    gained a closed-form-grammar value oracle in r4 (cf3d272).
+        # 2: adjacent_grouping — SURVEY-2 cadence re-check (last green r03).
+        # 3-37: the final 35 never-driver-checked entries.
+        # 38-44: the 7 operators added in r4.
+        # 45-50: staleness re-checks of 6 of the 13 oldest driver-green
+        #    rows (last green r01, never re-checked since).
         "extract_structured": _q_extract_structured,
         "adjacent_grouping": _q_adjacent_grouping,
         "diversified_sampler_agg": _q_diversified_sampler,
@@ -5725,73 +5669,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_min0": _q_date_histogram_min0,
         "terms_set_topk": _q_terms_set_topk,
         "categorize_text": _q_categorize_text,
-        "eql_sequence": _q_eql_sequence,  # new r4 — joins the r05 window
-        "geohash_grid_agg": _q_geohash_grid_agg,  # new r4 — joins the r05 window
-        "children_agg": _q_children_agg,  # new r4 — joins the r05 window
-        "parent_agg": _q_parent_agg,  # new r4 — joins the r05 window
-        "terms_enum": _q_terms_enum,  # new r4 — joins the r05 window
-        "sparse_vector_topk": _q_sparse_vector_topk,  # new r4 — joins the r05 window
-        "match_bool_prefix_topk": _q_match_bool_prefix,  # new r4 — joins the r05 window
-        # ---- end of planned r05 window queue ----
-        "scan_filter_project": _q_scan_filter_project,
-        "semi_join_inlist": _q_semi_join_inlist,
-        "broadcast_join_enrich": _q_broadcast_join_enrich,
-        "top1_per_key": _q_top1_per_key,
-        "events_tumbling": _q_events_tumbling,
-        "json_extract_agg": _q_json_extract,
-        "media_audio_features": _q_media_audio_features,
-        "intervals_ordered_topk": _q_intervals_ordered,
-        "intervals_unordered_topk": _q_intervals_unordered,
-        "nested_query_topk": _q_nested_topk,
-        "has_child_topk": _q_has_child_topk,
-        "has_parent_topk": _q_has_parent_topk,
-        "bucket_sort_agg": _q_bucket_sort_agg,
-        "budget_select": _q_budget_select,
-        "curriculum_order": _q_curriculum_order,
-        "hybrid_linear_topk": _q_hybrid_linear_topk,
-        "span_multi_topk": _q_span_multi,
-        "variable_width_histogram": _q_variable_width_histogram,
-        "ann_pq_rescore_topk": _q_ann_pq_rescore,
-        "media_image_meta": _q_media_image_meta,
-        "media_audio_meta": _q_media_audio_meta,
-        "kmv_distinct": _q_kmv_distinct,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "hll_distinct": _q_hll_distinct,
-        "bloom_filter": _q_bloom_filter,
-        "binned_quantiles": _q_binned_quantiles,
-        "geotile_grid_agg": _q_geotile_grid_agg,
-        "geo_bounds_agg": _q_geo_bounds_agg,
-        "geo_distance_agg": _q_geo_distance_agg,
-        "asof_join": _q_asof_join,
-        "attribution_join": _q_attribution_join,
-        "fuzzy_link": _q_fuzzy_link,
-        "ks_test_agg": _q_ks_test_agg,
-        "bucket_correlation_agg": _q_bucket_correlation_agg,
-        "change_point_agg": _q_change_point_agg,
-        "bpe_pair_counts": _q_bpe_pairs,
-        "bpe_learn": _q_bpe_learn,
-        "bpe_encode": _q_bpe_encode,
-        "weighted_sample": _q_weighted_sample,
-        "seeded_shuffle": _q_seeded_shuffle,
-        "zipf_fit": _q_zipf_fit,
-        "scroll_slices": _q_scroll_slices,
-        "mix_weights": _q_mix_weights,
-        "dsir_weights": _q_dsir_weights,
-        "pipeline_agg": _q_pipeline_agg,
-        "terms_pipeline_agg": _q_terms_pipeline,
-        "dedup_exact": _q_dedup_exact,
+        "eql_sequence": _q_eql_sequence,  # new in r4
+        "geohash_grid_agg": _q_geohash_grid_agg,  # new in r4
+        "children_agg": _q_children_agg,  # new in r4
+        "parent_agg": _q_parent_agg,  # new in r4
+        "terms_enum": _q_terms_enum,  # new in r4
+        "sparse_vector_topk": _q_sparse_vector_topk,  # new in r4
+        "match_bool_prefix_topk": _q_match_bool_prefix,  # new in r4
+        "dedup_exact": _q_dedup_exact,  # re-check, last green r01
+        "dedup_lsh_candidates": _q_dedup_lsh_candidates,  # re-check, last green r01
+        "ann_cosine_topk": _q_ann_cosine,  # re-check, last green r01
+        "media_frame_sample": _q_media_frame_sample,  # re-check, last green r01
+        "text_quality": _q_text_quality,  # re-check, last green r01
+        "text_lang_id": _q_text_lang_id,  # re-check, last green r01
+        # ---- end of r05 driver window (the driver checks exactly the 50
+        # entries above). ----
+        # PLANNED r06 WINDOW (oldest-green-first cadence, VERDICT r4 #7):
+        # after r05 every entry has >=1 driver row, so rotation becomes a
+        # pure staleness sweep.  The remainder below is ALREADY sorted by
+        # last-green round (recorded per entry) — the r06 window is simply
+        # the next 50 entries in registry order: the 7 remaining r01-green
+        # rows, then the first 43 of the 50 r02-green rows.
+        # -- last driver-green: r01 --
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_sig": _q_dedup_minhash_sig,
-        "dedup_lsh_candidates": _q_dedup_lsh_candidates,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
-        "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        "media_frame_sample": _q_media_frame_sample,
-        "text_quality": _q_text_quality,
-        "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
+        # -- last driver-green: r02 --
         "tokenize_tf": _q_tokenize_tf,
         "doc_token_stats": _q_doc_token_stats,
         "lexicon_stats": _q_lexicon_stats,
@@ -5842,6 +5749,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_match_combined": _q_multi_match_combined,
         "nb_lang_classify": _q_nb_lang_classify,
         "span_or_topk": _q_span_or_topk,
+        # -- last driver-green: r03 --
+        "scan_filter_project": _q_scan_filter_project,
+        "semi_join_inlist": _q_semi_join_inlist,
+        "broadcast_join_enrich": _q_broadcast_join_enrich,
+        "top1_per_key": _q_top1_per_key,
+        "events_tumbling": _q_events_tumbling,
+        "json_extract_agg": _q_json_extract,
+        "media_audio_features": _q_media_audio_features,
+        "intervals_ordered_topk": _q_intervals_ordered,
+        "intervals_unordered_topk": _q_intervals_unordered,
+        "nested_query_topk": _q_nested_topk,
+        "has_child_topk": _q_has_child_topk,
+        "has_parent_topk": _q_has_parent_topk,
+        "bucket_sort_agg": _q_bucket_sort_agg,
+        "budget_select": _q_budget_select,
+        "curriculum_order": _q_curriculum_order,
+        "hybrid_linear_topk": _q_hybrid_linear_topk,
+        "span_multi_topk": _q_span_multi,
+        "variable_width_histogram": _q_variable_width_histogram,
+        "ann_pq_rescore_topk": _q_ann_pq_rescore,
+        "media_image_meta": _q_media_image_meta,
+        "media_audio_meta": _q_media_audio_meta,
+        "kmv_distinct": _q_kmv_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
+        "bloom_filter": _q_bloom_filter,
+        "binned_quantiles": _q_binned_quantiles,
+        "geotile_grid_agg": _q_geotile_grid_agg,
+        "geo_bounds_agg": _q_geo_bounds_agg,
+        "geo_distance_agg": _q_geo_distance_agg,
+        "asof_join": _q_asof_join,
+        "attribution_join": _q_attribution_join,
+        "fuzzy_link": _q_fuzzy_link,
+        "ks_test_agg": _q_ks_test_agg,
+        "bucket_correlation_agg": _q_bucket_correlation_agg,
+        "change_point_agg": _q_change_point_agg,
+        "bpe_pair_counts": _q_bpe_pairs,
+        "bpe_learn": _q_bpe_learn,
+        "bpe_encode": _q_bpe_encode,
+        "weighted_sample": _q_weighted_sample,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "zipf_fit": _q_zipf_fit,
+        "scroll_slices": _q_scroll_slices,
+        "mix_weights": _q_mix_weights,
+        "dsir_weights": _q_dsir_weights,
+        "pipeline_agg": _q_pipeline_agg,
+        "terms_pipeline_agg": _q_terms_pipeline,
+        # -- last driver-green: r04 --
+        "media_meta_stats": _q_media_meta_stats,
+        "geo_line_agg": _q_geo_line_agg,
+        "media_image_features": _q_media_image_features,
+        "sibling_pipeline_agg": _q_sibling_pipeline,
+        "bucket_script_agg": _q_bucket_script,
+        "normalize_pipeline_agg": _q_normalize_pipeline,
+        "moving_percentiles_agg": _q_moving_percentiles,
+        "serial_diff_agg": _q_serial_diff,
+        "rate_agg": _q_rate_agg,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "bucket_selector_agg": _q_bucket_selector,
+        "ann_pq_topk": _q_ann_pq,
+        "rag_chunks": _q_rag_chunks,
+        "shingle_counts": _q_shingle_counts,
+        "edge_ngram_index": _q_edge_ngram_index,
+        "js_divergence_lang": _q_js_divergence,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
+        "dedup_minhash_verified": _q_dedup_minhash_verified,
+        "scripted_metric_agg": _q_scripted_metric_agg,
+        "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
+        "winnow_fingerprints": _q_winnow,
+        "ngram_lang_id": _q_ngram_lang_id,
+        "quality_funnel": _q_quality_funnel,
+        "chunk_dedup": _q_chunk_dedup,
+        "c4_line_dedup": _q_line_dedup,
+        "boosting_topk": _q_boosting_topk,
+        "histogram_agg": _q_histogram_agg,
+        "cardinality_agg": _q_cardinality_agg,
+        "rescore_topk": _q_rescore_topk,
+        "composite_agg": _q_composite_agg,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "multi_terms_agg": _q_multi_terms,
+        "rare_terms_agg": _q_rare_terms,
+        "filters_agg": _q_filters_agg,
+        "term_vectors": _q_term_vectors,
+        "percentile_ranks_agg": _q_percentile_ranks,
+        "string_stats_agg": _q_string_stats,
+        "ann_filtered_topk": _q_ann_filtered,
+        "phrase_suggest": _q_phrase_suggest,
+        "sampler_agg": _q_sampler,
+        "intervals_topk": _q_intervals,
+        "span_near_topk": _q_span_near,
+        "span_not_topk": _q_span_not,
+        "span_first_topk": _q_span_first,
+        "span_containing_topk": _q_span_containing,
+        "span_within_topk": _q_span_within,
+        "percolate_matches": _q_percolate,
+        "rank_eval": _q_rank_eval,
     }
 
 
