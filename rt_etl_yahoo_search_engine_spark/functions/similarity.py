@@ -403,6 +403,22 @@ def semdedup(
     )
 
 
+# Envelope for _pq_train's BROADCAST-LITERAL assignment path (VERDICT r4
+# #5): the literal argmin builds an expression tree with one `sub`-float
+# array literal + dot fold PER CELL, i.e. O(m*codebook_k*sub) codegen
+# terms, re-planned every Lloyd's iteration.  Past a few thousand cells
+# that tree dominates planning time (and at 64x65536 it would be
+# unbuildable) — the same class of bound as the un-partitioned-window
+# rule.  Above this many cells (m*codebook_k) the assignment switches to
+# the BROADCAST-JOIN form below: centroids ride a broadcast DataFrame
+# instead of the expression tree, so plan size is O(1) in the codebook
+# and the only added cost is one narrow n*m-row exchange per iteration.
+# The per-iteration driver reduce stays O(m*codebook_k*sub) on BOTH
+# paths — that is the codebook itself (the model being trained), metadata
+# by definition.
+PQ_LITERAL_MAX_CELLS = 4096
+
+
 def _pq_train(base, m: int, sub: int, codebook_k: int, iters: int):
     """ALL m subspace codebooks trained jointly in one driver loop —
     returns (books[mi][cell] = centroid list, codes DataFrame
@@ -417,7 +433,16 @@ def _pq_train(base, m: int, sub: int, codebook_k: int, iters: int):
     aggregates all m·k·sub centroid sums together (metadata-scale
     result).  At corpus scale this cuts training scans m-fold — the
     difference between 12 and 3 passes over a 10^12-vector table for
-    the default m=4."""
+    the default m=4.
+
+    Assignment strategy is codebook-size-gated (PQ_LITERAL_MAX_CELLS):
+    up to that many cells the argmin is the zero-exchange broadcast-
+    literal expression; above it, `_pq_assign_join` — a broadcast join
+    against an (m, cell, centroid) DataFrame computing the IDENTICAL
+    dist2 expression (same fold order, same (dist2, cell) lexicographic
+    tie-break), so the two paths are value-identical (tested at a
+    forced threshold and at a natively-large codebook in
+    tests/test_kmeans.py)."""
     seeds = [
         [float(x) for x in r["v"]]
         for r in base.filter(F.col("vec_id") < codebook_k)
@@ -454,22 +479,32 @@ def _pq_train(base, m: int, sub: int, codebook_k: int, iters: int):
             )
         return F.array(*per_m)
 
+    use_join = m * codebook_k > PQ_LITERAL_MAX_CELLS
     for _ in range(iters):
-        sums = (
-            base.withColumn("_cells", _cells_arr(books))
-            .select("_cells", F.posexplode("v").alias("fdim", "x"))
-            .select(
-                (F.col("fdim") / sub).cast("int").alias("m"),
-                F.element_at(
-                    "_cells", (F.col("fdim") / sub).cast("int") + 1
-                ).alias("cell"),
-                (F.col("fdim") % sub).alias("ldim"),
-                "x",
+        if use_join:
+            best = _pq_assign_join(base, books, m, sub)
+            sums = (
+                best.select("m", "cell", F.posexplode("sv").alias("ldim", "x"))
+                .groupBy("m", "cell", "ldim")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
             )
-            .groupBy("m", "cell", "ldim")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
+        else:
+            sums = (
+                base.withColumn("_cells", _cells_arr(books))
+                .select("_cells", F.posexplode("v").alias("fdim", "x"))
+                .select(
+                    (F.col("fdim") / sub).cast("int").alias("m"),
+                    F.element_at(
+                        "_cells", (F.col("fdim") / sub).cast("int") + 1
+                    ).alias("cell"),
+                    (F.col("fdim") % sub).alias("ldim"),
+                    "x",
+                )
+                .groupBy("m", "cell", "ldim")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
         acc: dict[tuple[int, int], list[float]] = {}
         cnt: dict[tuple[int, int], int] = {}
         for r in sums:
@@ -484,13 +519,68 @@ def _pq_train(base, m: int, sub: int, codebook_k: int, iters: int):
             ]
             for mi in range(m)
         ]
-    codes = base.select(
-        "vec_id", F.posexplode(_cells_arr(books)).alias("m0", "code")
-    ).select(
-        "vec_id", F.col("m0").cast("int").alias("m"),  # posexplode pos is 0-based
-        F.col("code").cast("int").alias("code"),
-    )
+    if use_join:
+        codes = _pq_assign_join(base, books, m, sub).select(
+            "vec_id",
+            F.col("m").cast("int").alias("m"),
+            F.col("cell").cast("int").alias("code"),
+        )
+    else:
+        codes = base.select(
+            "vec_id", F.posexplode(_cells_arr(books)).alias("m0", "code")
+        ).select(
+            "vec_id", F.col("m0").cast("int").alias("m"),  # posexplode pos is 0-based
+            F.col("code").cast("int").alias("code"),
+        )
     return books, codes
+
+
+def _pq_assign_join(base, books, m: int, sub: int):
+    """(vec_id, m, cell, sv) — best PQ cell per (vector, subspace) via a
+    broadcast join against an (m, cell, centroid, |c|²) DataFrame: the
+    large-codebook assignment path (see PQ_LITERAL_MAX_CELLS).
+
+    Value-identical to `_cells_arr`'s broadcast-literal argmin: dist2 is
+    the same `na - 2.0·ab + nb` with the same sequential DOT_EXPR fold
+    (`c` arrives as an array column instead of an array literal — same
+    doubles, repr round-trips exactly), and the struct-min compares
+    (d2, cell, sv) lexicographically — the same ties-to-lowest-cell rule
+    as the literal path's (dist2, cell) array-min (`sv` is never reached:
+    cell is unique within a group).  Scale shape: centroids are m·k
+    metadata rows broadcast to every task; the per-(vec, subspace) argmin
+    partially aggregates map-side (all k candidates of a group sit in the
+    same partition after the broadcast join), so the one exchange this
+    path adds per iteration carries n·m NARROW rows — no giant codegen
+    tree, no per-iteration re-planning cost in the codebook size."""
+    spark = base.sparkSession
+    cents = spark.createDataFrame(
+        [
+            (mi, j, books[mi][j], float(sum(x * x for x in books[mi][j])))
+            for mi in range(m)
+            for j in range(len(books[mi]))
+        ],
+        "m int, cell int, c array<double>, nb double",
+    )
+    slices = F.array(
+        *[F.expr(f"slice(v, {mi * sub + 1}, {sub})") for mi in range(m)]
+    )
+    sv = base.select(
+        "vec_id", F.posexplode(slices).alias("m", "sv")
+    ).withColumn("na", F.expr(DOT_EXPR.format(a="sv", b="sv")))
+    ab = F.expr(DOT_EXPR.format(a="sv", b="c"))
+    scored = sv.join(F.broadcast(cents), "m").withColumn(
+        "d2", F.col("na") - 2.0 * ab + F.col("nb")
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cell", "sv")).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.cell").alias("cell"),
+            F.col("b.sv").alias("sv"),
+        )
+    )
 
 
 def pq_topk(
