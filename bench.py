@@ -610,10 +610,22 @@ def run_bench(sf_dir: str, cpus: int, n_webtext: int | None = None) -> dict:
                 ("query_intervals", "intervals_ordered_topk"),
                 ("join_nested", "nested_query_topk"),
                 ("ann_pq_rescore", "ann_pq_rescore_topk"),
+                # r5 new-family headlines (VERDICT r4 #3): the EQL
+                # sequence DP and the learned-sparse scorer, so r6+
+                # regressions in the r4-added operators are measurable
+                ("query_eql", "eql_sequence"),
+                ("query_sparse_vector", "sparse_vector_topk"),
             ):
                 t0 = time.time()
                 ent[name](spark, sf_dir).collect()
                 timings[key] = time.time() - t0
+            # r5 new-family headline #3: one key covering the geo grid +
+            # parent/child join family added in r4 (all three are small
+            # independent aggs; one timer keeps the headline list tight)
+            t0 = time.time()
+            for name in ("geohash_grid_agg", "children_agg", "parent_agg"):
+                ent[name](spark, sf_dir).collect()
+            timings["agg_geohash_children"] = time.time() - t0
         spark.stop()
 
         # --- phase 4: serving path (plans.serve) — per-query latency with no
