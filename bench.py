@@ -401,6 +401,11 @@ JOB_EQUIV_REVS = {
                            # only, never imported by the leg
     "44ac358": "23c0dc3",  # r4 intervals per-node prefilter — same file,
                            # never imported by the leg
+    "f8250aa": "23c0dc3",  # r5 PQ broadcast-join assignment path —
+                           # functions/similarity.py + tests only, never
+                           # imported by the leg (build imports
+                           # spec/extract/catalog/codec; query imports
+                           # spec/deletes/topk/catalog)
 }
 
 
